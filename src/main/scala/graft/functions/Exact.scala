@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DoubleType}
+
+/** Cross-engine-exact numeric aggregation helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * `oracleSql` twin on the same tables. Double-precision SUM/AVG are
+  * order-dependent in the last ulp, and both engines aggregate in parallel
+  * with nondeterministic partial orders — so a naive `sum(double)` can
+  * hash-mismatch while being "equal". The fix: cast each addend to a fixed
+  * DECIMAL scale first. decimal addition is exact and order-independent,
+  * and the double→decimal cast is deterministic given the same input value
+  * (an exact round-half tie would require the double to equal k + 5e-5
+  * exactly, which is not dyadic, hence impossible — both engines always
+  * round the same way).
+  *
+  * Every helper here has a 1:1 SQL spelling used in the oracle strings:
+  *   dsum(c)  ~ SUM(CAST(c AS DECIMAL(18,4)))
+  *   dmean(c) ~ CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c)
+  */
+object Exact {
+  val D18_4 = DataTypes.createDecimalType(18, 4)
+
+  /** Addend pinned to scale 4 — exact, order-independent summation. */
+  def dec(c: Column): Column = c.cast(D18_4)
+
+  /** Exact decimal sum of a double column (scale 4). */
+  def dsum(c: Column): Column = sum(dec(c))
+
+  /** Order-independent mean: exact decimal sum, one double division.
+    * Identical IEEE result in Spark and DuckDB given identical inputs. */
+  def dmean(c: Column): Column = dsum(c).cast(DoubleType) / count(c)
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2): scan→filter→project,
+  * equi/semi/anti joins, conditional aggregation, dedup/distinct,
+  * sort/limit/top-k, string normalization.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (`nation`, `customer`) are marked `broadcast` —
+  *    at any realistic scale factor the dimensions stay orders of
+  *    magnitude smaller than the facts, so the shuffle is avoided;
+  *  - aggregations are declarative groupBy/agg → Catalyst plans
+  *    partial (map-side) aggregation before the exchange;
+  *  - every query filters and selects early so parquet pushdown/pruning
+  *    keeps `ReadSchema` minimal.
+  */
+object Relational {
+
+  /** S6 normalize (utils.py:168-185): trim, uppercase, drop `.`-suffix.
+    * Oracle twin: upper(trim(split_part(x, '.', 1))). */
+  def normalizeSymbol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    upper(trim(element_at(split(c, "\\."), 1)))
+
+  val queries: Map[String, Q] = Map(
+    // S17-style grouped aggregation (TPC-H Q1 shape): pricing summary.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dmean(col("l_quantity")).as("avg_qty"),
+          dmean(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Flagship: scan→filter→join→agg→sort. lineitem⋈orders shuffles on the
+    // fact key; customer+nation are broadcast (dimension-sized at any SF).
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // S5 filter + S6 normalize + S7 construction on part.
+    "q03_normalize_project" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_size") > 25 && length(col("p_name")) > 1)
+        .select(
+          col("p_partkey"),
+          normalizeSymbol(concat(col("p_brand"), lit("."), col("p_type"))).as("brand_sym"),
+          concat(lit("https://example.com/part/"), col("p_partkey")).as("url"),
+          col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Sort/limit/top-k: top 15 orders by totalprice, deterministic tie-break.
+    "q04_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    }),
+
+    // S13-adjacent semi join: customers having ≥1 open order, per nation.
+    "q05_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // S13 anti join (set difference): customers with no pending order
+    // (non-empty at every SF, unlike "no orders at all").
+    "q06_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // S17 conditional-sum aggregate (update-stats shape: sum(when(...))).
+    "q08_conditional_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+          sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("n_large"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact dedup via dropDuplicates + distinct count (S13 symbol-set shape).
+    "q09_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_custkey", "o_orderstatus")
+        .dropDuplicates("o_custkey", "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_custkeys"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q03_normalize_project" ->
+      """SELECT p_partkey,
+         upper(trim(split_part(p_brand || '.' || p_type, '.', 1))) AS brand_sym,
+         'https://example.com/part/' || CAST(p_partkey AS VARCHAR) AS url,
+         p_size
+         FROM part WHERE p_size > 25 AND length(p_name) > 1
+         ORDER BY p_partkey""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "q05_semi_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q06_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q08_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+         SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q09_distinct" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_custkeys FROM
+         (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}

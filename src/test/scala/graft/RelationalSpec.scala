@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeSymbol: trim/upper/drop dot-suffix (S6)") {
+    val got = Seq(" hbl.PA ", "ENGRO", "ogdc.xd.y", "  luck  ")
+      .toDF("s").select(Relational.normalizeSymbol($"s").as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("HBL", "ENGRO", "OGDC", "LUCK"))
+  }
+
+  test("q01 pricing summary groups all flag/status pairs") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum > 0)
+  }
+
+  test("q02 revenue by nation is sorted desc and non-empty") {
+    val revs = SparkEntry.queries("q02_revenue_by_nation")(spark, sf)
+      .select($"revenue".cast("double")).as[Double].collect()
+    assert(revs.nonEmpty && revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q04 top-k is 15 rows descending") {
+    val p = SparkEntry.queries("q04_topk_orders")(spark, sf)
+      .select($"o_totalprice").as[Double].collect()
+    assert(p.length == 15 && p.sameElements(p.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q05 + q06 semi/anti partition customers w.r.t. pending orders") {
+    val c = Tables.customer(spark, sf).count()
+    val anti = SparkEntry.queries("q06_anti_join")(spark, sf)
+      .agg(sum($"n_customers")).as[Long].head()
+    val semi = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf).filter($"o_orderstatus" === "P"),
+      $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(semi + anti == c)
+  }
+
+  test("all registered queries return rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, q) =>
+      assert(q(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
