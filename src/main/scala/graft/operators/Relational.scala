@@ -169,8 +169,8 @@ object Relational {
          GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q08_conditional_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-         SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q09_distinct" ->
