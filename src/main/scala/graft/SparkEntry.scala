@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    operators.Relational.queries ++ operators.Snapshots.queries
+    operators.Relational.queries ++ operators.Snapshots.queries ++
+      operators.TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Snapshots.oracles
+    operators.Relational.oracles ++ operators.Snapshots.oracles ++
+      operators.TimeSeries.oracles
 }

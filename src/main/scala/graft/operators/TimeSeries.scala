@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.Exact._
+
+/** Time-series / OHLC capability family (SURVEY.md §2.1 P1-P5, S19, S21):
+  * calendar generation (utils.py:116-150), gap detection (README.md:64),
+  * incremental daily append with dedup (README.md:66-71, main.py:83-88),
+  * daily OHLC bars from tick events, window analytics (moving averages,
+  * returns — README.md:13-17), and an as-of join (engine extension).
+  *
+  * Scale notes: the calendar is generated, never materialized beyond a
+  * few-KB array per row group; gap detection joins a broadcastable
+  * (keys × days) grid against the fact table's distinct (key, day)
+  * pairs; incremental append is an anti-join on the natural key — the
+  * canonical "append only what's new" pattern that replaces the
+  * reference's per-file max(date) loop; all window analytics partition
+  * by series key so they scale horizontally with key cardinality.
+  */
+object TimeSeries {
+
+  /** S19: inclusive daily calendar [start..end] as a single-column DF. */
+  def calendar(s: SparkSession, start: String, end: String): DataFrame =
+    s.range(1).select(explode(sequence(
+      to_date(lit(start)), to_date(lit(end)), expr("interval 1 day"))).as("day"))
+
+  /** Daily OHLC bars from raw ticks: deterministic open/close via
+    * (ts, id) ordering, window-computed so value ties cannot flip bars. */
+  def ohlcDaily(ticks: DataFrame, key: String, ts: String, value: String, id: String): DataFrame = {
+    val part = Window.partitionBy(col(key), col("day"))
+    val ord = part.orderBy(col(ts), col(id))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ticks
+      .withColumn("day", to_date(col(ts)))
+      .select(
+        col(key), col("day"),
+        first_value(col(value)).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("open"),
+        max(col(value)).over(part).as("high"),
+        min(col(value)).over(part).as("low"),
+        last_value(col(value)).over(full).as("close"),
+        count(lit(1)).over(part).as("volume"))
+      .distinct()
+  }
+
+  private def dailyClose(s: SparkSession, dir: String): DataFrame =
+    ohlcDaily(Tables.events(s, dir), "event_type", "ts", "value", "event_id")
+
+  val queries: Map[String, Q] = Map(
+    // S19: calendar generation, rolled up to month lengths.
+    "q16_calendar" -> ((s, dir) => {
+      calendar(s, "1995-01-01", "1996-12-31")
+        .groupBy(year(col("day")).as("y"), month(col("day")).as("m"))
+        .agg(count(lit(1)).as("n_days"),
+             min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .orderBy("y", "m")
+    }),
+
+    // P4: per-supplier shipping-gap detection over a fixed window.
+    "q17_gap_detect" -> ((s, dir) => {
+      val days = calendar(s, "1996-01-01", "1996-02-29")
+      val sup = Tables.supplier(s, dir).select("s_suppkey")
+      val grid = sup.crossJoin(broadcast(days))
+      val shipped = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("s_suppkey"), to_date(col("l_shipdate")).as("day"))
+        .distinct()
+      grid.join(shipped, Seq("s_suppkey", "day"), "left_anti")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_missing"), min("day").as("first_gap"), max("day").as("last_gap"))
+        .orderBy("s_suppkey")
+    }),
+
+    // P2: incremental append — store ∪ (landing ∖ store) on the natural
+    // key, then a per-day rollup proving no duplicates and no losses.
+    "q18_incremental_append" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "value")
+      val stored = ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      val landing = ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      val fresh = landing.join(stored.select("event_id"), Seq("event_id"), "left_anti")
+      stored.unionByName(fresh)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    }),
+
+    // P1/S21: daily OHLC bars per event_type from tick events.
+    "q19_ohlc_daily" -> ((s, dir) =>
+      dailyClose(s, dir).orderBy("event_type", "day")),
+
+    // Window analytics: 7-day moving average of daily close (exact).
+    "q20_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      dailyClose(s, dir)
+        .select(col("event_type"), col("day"), col("close"),
+          (sum(dec(col("close"))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("ma7"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Window analytics: daily return via lag.
+    "q21_returns" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dailyClose(s, dir)
+        .select(col("event_type"), col("day"), col("close"),
+          (col("close") / lag(col("close"), 1).over(w) - 1.0).as("ret"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Engine extension: as-of join — for each purchase, the most recent
+    // view at-or-before it by the same user (union + last ignore-nulls:
+    // one shuffle on user, no range cross product).
+    "q22_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"), lit(1).as("is_p"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"), lit(0).as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(views)
+        .withColumn("asof_view_id",
+          last(when(col("is_p") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("asof_view_value",
+          last(when(col("is_p") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_view_id"), col("asof_view_value"))
+        .orderBy("event_id")
+    })
+  )
+
+  /** Shared oracle CTE: daily close bars (must mirror [[ohlcDaily]]). */
+  private val barsSql: String =
+    """WITH bars AS (
+         SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+           first_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts, event_id) AS open,
+           max(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS high,
+           min(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS low,
+           last_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+           count(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS volume
+         FROM events)
+    """
+
+  val oracles: Map[String, String] = Map(
+    "q16_calendar" ->
+      """SELECT CAST(EXTRACT(YEAR FROM day) AS INT) AS y,
+                CAST(EXTRACT(MONTH FROM day) AS INT) AS m,
+                COUNT(*) AS n_days, MIN(day) AS first_day, MAX(day) AS last_day
+         FROM (SELECT CAST(d AS DATE) AS day
+               FROM generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                    INTERVAL '1 day') t(d))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q17_gap_detect" ->
+      """WITH days AS (SELECT CAST(d AS DATE) AS day
+           FROM generate_series(DATE '1996-01-01', DATE '1996-02-29', INTERVAL '1 day') t(d)),
+         grid AS (SELECT s_suppkey, day FROM supplier, days),
+         shipped AS (SELECT DISTINCT l_suppkey AS s_suppkey, CAST(l_shipdate AS DATE) AS day
+                     FROM lineitem)
+         SELECT g.s_suppkey, COUNT(*) AS n_missing,
+                MIN(g.day) AS first_gap, MAX(g.day) AS last_gap
+         FROM grid g WHERE NOT EXISTS
+           (SELECT 1 FROM shipped sh WHERE sh.s_suppkey = g.s_suppkey AND sh.day = g.day)
+         GROUP BY g.s_suppkey ORDER BY g.s_suppkey""",
+    "q18_incremental_append" ->
+      """WITH stored AS (SELECT event_id, ts, value FROM events
+                         WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         landing AS (SELECT event_id, ts, value FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         fresh AS (SELECT * FROM landing
+                   WHERE event_id NOT IN (SELECT event_id FROM stored)),
+         appended AS (SELECT * FROM stored UNION ALL SELECT * FROM fresh)
+         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM appended GROUP BY 1 ORDER BY 1""",
+    "q19_ohlc_daily" -> (barsSql +
+      """SELECT event_type, day, open, high, low, close, volume
+         FROM bars ORDER BY event_type, day"""),
+    "q20_moving_avg" -> (barsSql +
+      """SELECT event_type, day, close,
+           CAST(SUM(CAST(close AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma7
+         FROM bars
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day"""),
+    "q21_returns" -> (barsSql +
+      """SELECT event_type, day, close,
+           close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS ret
+         FROM bars ORDER BY event_type, day"""),
+    "q22_asof_join" ->
+      """WITH u AS (
+           SELECT event_id, ts, user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         marked AS (
+           SELECT *,
+             last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS asof_view_id,
+             last_value(CASE WHEN is_p = 0 THEN value END IGNORE NULLS)
+               OVER w AS asof_view_value
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts, value, asof_view_id, asof_view_value
+         FROM marked WHERE is_p = 1 ORDER BY event_id"""
+  )
+}

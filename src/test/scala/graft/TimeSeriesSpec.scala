@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calendar is inclusive on both ends (S19, utils.py:116-150)") {
+    val c = TimeSeries.calendar(spark, "2024-02-27", "2024-03-02")
+      .select($"day".cast("string")).as[String].collect().toSeq
+    assert(c == Seq("2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"))
+  }
+
+  test("calendar length = day span + 1 (property)") {
+    val n = TimeSeries.calendar(spark, "1995-01-01", "1995-12-31").count()
+    assert(n == 365)
+  }
+
+  test("ohlcDaily: deterministic open/close by (ts, id), high/low/volume") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ticks = Seq(
+      ("X", t("2024-01-01 09:00:00"), 10.0, 1L),
+      ("X", t("2024-01-01 09:00:00"), 11.0, 2L), // same ts: id breaks tie
+      ("X", t("2024-01-01 15:00:00"), 7.0, 3L),
+      ("X", t("2024-01-02 10:00:00"), 20.0, 4L),
+      ("Y", t("2024-01-01 12:00:00"), 5.0, 5L)
+    ).toDF("sym", "ts", "value", "id")
+    val bars = TimeSeries.ohlcDaily(ticks, "sym", "ts", "value", "id")
+      .orderBy("sym", "day").collect()
+    assert(bars.length == 3)
+    val x1 = bars(0) // X, 2024-01-01
+    assert(x1.getDouble(2) == 10.0 && x1.getDouble(3) == 11.0 &&
+      x1.getDouble(4) == 7.0 && x1.getDouble(5) == 7.0 && x1.getLong(6) == 3L)
+  }
+
+  test("incremental append never duplicates and never loses (P2)") {
+    val out = SparkEntry.queries("q18_incremental_append")(spark, sf)
+      .agg(sum($"n_events")).as[Long].head()
+    assert(out == Tables.events(spark, sf).count())
+  }
+
+  test("as-of join picks the latest view at-or-before each purchase") {
+    val asof = SparkEntry.queries("q22_asof_join")(spark, sf)
+    val row = asof.filter($"asof_view_id".isNotNull).orderBy("event_id").limit(1).collect()(0)
+    val ev = Tables.events(spark, sf)
+    val vTs = ev.filter($"event_id" === row.getAs[Long]("asof_view_id"))
+      .select("ts").as[Timestamp].head()
+    assert(!vTs.after(row.getAs[Timestamp]("ts")))
+    // and no later view exists for that user before the purchase
+    val later = ev.filter($"event_type" === "view" &&
+      $"user_id" === row.getAs[Long]("user_id") &&
+      $"ts" <= row.getAs[Timestamp]("ts") && $"ts" > vTs).count()
+    assert(later == 0)
+  }
+}
