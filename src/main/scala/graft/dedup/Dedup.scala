@@ -1,0 +1,179 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the documents corpus (BASELINE.json
+  * north star; generalizes the reference's fuzzy rename heuristic,
+  * scrape_tickers.py:612-614): character-shingle Jaccard (exact, via an
+  * inverted shingle index), MinHash+LSH banding (the 100 TB scale path),
+  * and 64-bit SimHash with Hamming-ball candidate search.
+  *
+  * Scale notes: nothing here ever self-joins the raw corpus. The exact
+  * Jaccard path joins an inverted index (shingle → doc) with itself on
+  * the shingle key — fine for bounded slices, quadratic in the worst
+  * case, which is exactly why the MinHash path exists: one scan to build
+  * k-min signatures (k cheap affine permutations of ONE xxhash64 per
+  * shingle), band keys as the equi-join attribute, and only candidates
+  * that collide in ≥1 band are verified with the exact measure. SimHash
+  * follows the same pattern with 16-bit chunk collision as the band.
+  */
+object Dedup {
+
+  /** Distinct character n-gram shingles of the named text column.
+    * Guarded for |text| < n: Spark's sequence(1, 0) runs DESCENDING, so
+    * the no-shingle case must short-circuit to an empty array. */
+  def shingles(textCol: String, n: Int): Column =
+    array_distinct(expr(
+      s"""CASE WHEN length($textCol) < $n THEN CAST(array() AS ARRAY<STRING>)
+          ELSE transform(sequence(1, length($textCol) - ${n - 1}),
+                         i -> substring($textCol, i, $n)) END"""))
+
+  /** (doc_id, shingle) inverted index. */
+  def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles("text", n)).as("g"))
+
+  /** Exact pairwise Jaccard over an inverted index: |A∩B| via the
+    * shingle join, sizes joined back, no corpus cross product. */
+  def jaccardPairs(docs: DataFrame, n: Int): DataFrame = {
+    val idx = shingleIndex(docs, n).cache()
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("x").join(idx.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash orders via seeded
+    * xxhash64(i, shingle), min-aggregated per doc — k columns of
+    * codegen'd min() over ONE exploded scan. (Seed-mixing instead of
+    * affine permutations: ANSI mode forbids wrapping multiplies, and
+    * signed-min over any uniform hash family is a valid MinHash order.) */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("g"))).as(s"s$i"))
+    shingleIndex(docs, n).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: band j key = xxhash64 of its r signature slots;
+    * docs sharing any band key become candidate pairs. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * rows until (j + 1) * rows).map(i => col(s"s$i")): _*).as("key"))
+    }
+    val melted = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    melted.as("x").join(melted.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify. */
+  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(docs, n, k), bands, k / bands)
+    val withText = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+    val aSh = shingles("a_text", n)
+    val bSh = shingles("b_text", n)
+    val inter = size(array_intersect(aSh, bSh))
+    val uni = size(aSh) + size(bSh) - inter
+    withText
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from token-hash bit votes — one scan, pure HOFs:
+    * votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1);
+    * fingerprint bit b set iff votes[b] > 0. `textCol` is a column name
+    * resolvable in the input plan. */
+  def simhash64(textCol: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            aggregate(
+              transform(split(trim($textCol), '\\\\s+'), t -> xxhash64(t)),
+              array_repeat(CAST(0 AS BIGINT), 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
+            sequence(0, 63),
+            (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                      ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (x, y) -> x + y)""")
+
+  /** SimHash near-dups: 8-bit chunk collision proposes candidates
+    * (equi-join, no cross product), Hamming ≤ maxDist verifies. With 8
+    * chunks, pigeonhole guarantees every pair at distance ≤ 7 shares an
+    * untouched chunk — candidate recall is COMPLETE for maxDist ≤ 7. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash64("text").as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j).as("j"),
+            (shiftrightunsigned(col("sig"), 8 * j) % 256).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact n-gram Jaccard near-dups on a bounded slice (oracle-checked).
+    "q36_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      jaccardPairs(docs, 3)
+        .filter(col("jaccard") >= 0.7)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup detection over the FULL corpus (scale path;
+    // approximate candidate set ⇒ rows-only check + DedupSpec recall).
+    "q37_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      minhashNearDups(docs, n = 3, k = 32, bands = 8, threshold = 0.7)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup detection, full corpus (approximate ⇒ rows-only
+    // check; agreement with MinHash asserted in DedupSpec).
+    "q41_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      simhashNearDups(docs, maxDist = 7).orderBy("a_id", "b_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM docs)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = a_id
+                    JOIN sizes sb ON sb.doc_id = b_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7
+         ORDER BY a_id, b_id"""
+  )
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface
+  * (BASELINE.json north star; generalizes the reference's keyword
+  * classifier scrape_tickers.py:161-189): language-ID by marker-word
+  * counting, quality scoring (length/stopword/token-shape), token
+  * counting (whitespace + regex), and document fingerprinting
+  * (md5 over whitespace-normalized text).
+  *
+  * Everything is built from codegen'd `functions._` string primitives —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * scales linearly with the corpus; each op is embarrassingly parallel
+  * per document (no shuffle except the final rollup).
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in padded text via the replace-length trick
+    * (portable to the DuckDB oracle verbatim). */
+  private def occ(padded: Column, marker: String): Column =
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)).cast("int")
+
+  /** Marker table: language → distinctive function words. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " los "),
+    "fr" -> Seq(" le ", " et "))
+
+  /** Deterministic argmax language-ID: first language (in langMarkers
+    * order) whose score ties-or-beats the rest; "und" when all zero. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => occ(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** SQL twin of [[langId]] — must stay textually in lockstep. */
+  val langIdSql: String = {
+    def occSql(m: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) / ${m.length} AS INT)"
+    val score = langMarkers.map { case (l, ms) =>
+      l -> ms.map(occSql).mkString("(", " + ", ")")
+    }
+    val best = s"greatest(${score.map(_._2).mkString(", ")})"
+    score.reverse.foldLeft("'und'") { case (acc, (l, s)) =>
+      s"CASE WHEN $s > 0 AND $s = $best THEN '$l' ELSE $acc END"
+    }
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** md5 fingerprint over lower/trim/whitespace-collapsed text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  val queries: Map[String, Q] = Map(
+    // Language-ID heuristic, doc-level on a bounded slice.
+    "q30_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Language distribution + agreement with the labeled lang, full corpus.
+    "q31_lang_distribution" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality scoring: length/stopword/token-shape components + composite.
+    "q32_quality_score" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks)
+      val nStop = size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
+      val noWs = length(regexp_replace(col("text"), " ", ""))
+      val avgTokLen = noWs.cast("double") / nTok
+      val stopRatio = nStop.cast("double") / nTok
+      val lenNorm = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), length(col("text")).as("n_chars_obs"),
+          nTok.as("n_tokens"), avgTokLen.as("avg_token_len"),
+          stopRatio.as("stopword_ratio"),
+          (lit(0.4) * stopRatio + lit(0.3) * least(avgTokLen / 10.0, lit(1.0)) +
+            lit(0.3) * lenNorm).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting per source: whitespace vs regex tokenizers.
+    "q33_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long")).as("re_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("source")
+    }),
+
+    // Document fingerprinting (rolling identity for dedup), bounded slice.
+    "q34_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact-dedup accounting: distinct fingerprints per source.
+    "q35_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(fingerprint(col("text"))).as("n_distinct"))
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_lang_id" ->
+      s"""SELECT doc_id, lang, $langIdSql AS pred_lang
+          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q31_lang_distribution" ->
+      s"""SELECT lang, $langIdSql AS pred_lang, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q32_quality_score" ->
+      s"""SELECT doc_id, length(text) AS n_chars_obs,
+          len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(str_split_regex(trim(text), '\\s+')) AS avg_token_len,
+          CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
+                               t -> t IN ($stopList))) AS DOUBLE)
+            / len(str_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+          0.4 * (CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
+                                      t -> t IN ($stopList))) AS DOUBLE)
+                 / len(str_split_regex(trim(text), '\\s+')))
+          + 0.3 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(str_split_regex(trim(text), '\\s+'))) / 10.0, 1.0)
+          + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality
+          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q33_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(str_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "q34_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q35_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
+         FROM documents GROUP BY source ORDER BY source"""
+  )
+}

@@ -1,0 +1,153 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (BASELINE.json north star):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale notes: the exact path broadcasts the (small) query set and
+  * streams the corpus once — O(|Q|·N·d) with no corpus self-join. The
+  * LSH path computes a 16-bit signature per vector (one pass), then
+  * joins on the bucket id, so candidate generation is equi-join
+  * shuffle-partitioned by bucket — no cross product anywhere. All
+  * arithmetic is decimal-pinned where the oracle compares values
+  * (see graft.functions.Exact).
+  */
+object Similarity {
+
+  /** Fixed-point scale for exact cross-engine dot products: element
+    * products are floored to 1e-14 resolution and summed as longs —
+    * order-independent, exactly representable (|e| < 0.53 ⇒ the 64-term
+    * sum stays < 2^53), and the identical formula runs in the oracle. */
+  val FP = 1e14
+
+  /** Scaled-long dot product: Σ floor(a_i·b_i·1e14), exact + portable. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(FP)).cast("long")),
+      lit(0L),
+      (acc, p) => acc + p)
+
+  /** cosine = dot/(|a||b|), every intermediate deterministic. */
+  def cosine(a: Column, b: Column): Column =
+    (dotScaled(a, b).cast("double") / FP) /
+      (sqrt(dotScaled(a, a).cast("double") / FP) *
+       sqrt(dotScaled(b, b).cast("double") / FP))
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** 16-bit sign signature of an embedding column under fixed planes. */
+  def signature(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(v, typedlit(p.toSeq), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, t) => acc + t)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force exact top-k: broadcast queries × corpus, window top-k. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact cosine top-5 neighbors for a fixed 10-vector query set.
+    "q38_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      topK(e.filter(col("vec_id") < 10), e, 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding near-dup pairs above a cosine threshold, bounded slice.
+    "q39_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Scale path: multi-table sign-LSH bucketed ANN — 4 independent
+    // 8-bit hyperplane tables; candidates share (table, bucket); exact
+    // cosine re-rank over the union of collisions. (Approximate ⇒ no SQL
+    // oracle; recall asserted in SimilaritySpec against q38.)
+    "q40_ann_lsh" -> ((s, dir) => {
+      val all = hyperplanes(32, 64)
+      val tables = (0 until 4).map(t => all.slice(t * 8, t * 8 + 8))
+      val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
+      }: _*)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), explode(bucketArr).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("t"), col("bucket"))
+      val cand = e.join(broadcast(q), Seq("t", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("q_emb"), col("embedding"))
+        .distinct()
+        .select(col("q_id"), col("c_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  /** Oracle CTE: exact pairwise cosine with the same decimal pinning.
+    * DuckDB 1.0 can't lateral-join range() on a column, so indices come
+    * from unnest(generate_series(1, 64)) (embeddings are 64-dim). */
+  private def cosSql(aFilter: String, bFilter: String, pairPred: String): String =
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings $aFilter),
+        b AS (SELECT vec_id, embedding FROM embeddings $bFilter),
+        norms AS (
+          SELECT vec_id,
+            sqrt(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+          GROUP BY vec_id),
+        dots AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1e14) AS BIGINT)) AS dot
+          FROM a, b, (SELECT unnest(generate_series(1, 64)) AS i) idx
+          WHERE $pairPred
+          GROUP BY 1, 2),
+        cosines AS (
+          SELECT a_id, b_id,
+            (CAST(dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON na.vec_id = a_id
+                    JOIN norms nb ON nb.vec_id = b_id)
+     """
+
+  val oracles: Map[String, String] = Map(
+    "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
+      """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
+           SELECT a_id, b_id, cos,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+           FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank"""),
+    "q39_embedding_neardup" -> (cosSql("WHERE vec_id < 300", "WHERE vec_id < 300", "a.vec_id < b.vec_id") +
+      """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id""")
+  )
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: exact on constructed vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-9 && math.abs(got(1) - 1.0) < 1e-9)
+  }
+
+  test("topK: k rows per query, descending, excludes self") {
+    val res = SparkEntry.queries("q38_cosine_topk")(spark, sf).collect()
+    assert(res.length == 50) // 10 queries × 5
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+      rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+
+  test("LSH ANN: results are true cosines and rank-consistent with exact") {
+    val exact = SparkEntry.queries("q38_cosine_topk")(spark, sf)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val approx = SparkEntry.queries("q40_ann_lsh")(spark, sf)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(approx.nonEmpty)
+    // any LSH pair that also appears in exact top-k must carry the same score
+    approx.foreach { case (q, c, s) =>
+      exact.get((q, c)).foreach(es => assert(math.abs(es - s) < 1e-12))
+    }
+  }
+
+  test("signature: deterministic across invocations") {
+    val planes = Similarity.hyperplanes(8, 64)
+    val e = Tables.embeddings(spark, sf).limit(20)
+    val s1 = e.select($"vec_id", Similarity.signature($"embedding", planes).as("s"))
+      .as[(Long, Long)].collect().toSet
+    val s2 = e.select($"vec_id", Similarity.signature($"embedding", planes).as("s"))
+      .as[(Long, Long)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+}

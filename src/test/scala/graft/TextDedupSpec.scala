@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.dedup.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: marker counting with deterministic tie-break") {
+    val got = Seq(
+      "der hund und die katze",
+      "the cat and the dog",
+      "xyz qrs nop",
+      "le chat et le chien"
+    ).toDF("text").select(TextAnalysis.langId($"text").as("l")).as[String].collect().toSeq
+    assert(got == Seq("de", "en", "und", "fr"))
+  }
+
+  test("fingerprint: case/whitespace-insensitive identity") {
+    val fp = Seq("Hello  World", "hello world", "  hello   world  ", "hello worlds")
+      .toDF("text").select(TextAnalysis.fingerprint($"text").as("f")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(1) == fp(2) && fp(2) != fp(3))
+  }
+
+  test("shingles: distinct character n-grams") {
+    val sh = Seq("abcab").toDF("text")
+      .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("abc", "bca", "cab"))
+    val empty = Seq("ab").toDF("text")
+      .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("jaccardPairs: exact value on a constructed pair") {
+    val docs = Seq((1L, "abcd"), (2L, "bcde"), (3L, "zzzz")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, 3).collect()
+    // shingles: {abc,bcd} vs {bcd,cde} → inter 1, union 3
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("minhash LSH recall: finds every very-near duplicate (j >= 0.9)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, 3).filter($"jaccard" >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = SparkEntry.queries("q37_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh),
+      s"missed ${(exact -- lsh).size} of ${exact.size} near-dup pairs")
+  }
+
+  test("simhash: near-identical docs collide, distance respects edits") {
+    val pairs = SparkEntry.queries("q41_simhash")(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, 3).filter($"jaccard" >= 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sim = pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(sim),
+      s"simhash missed ${(exact -- sim).size} of ${exact.size} (j>=0.95) pairs")
+  }
+}
