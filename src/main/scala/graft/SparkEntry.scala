@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, Q] =
     operators.Relational.queries ++ operators.Snapshots.queries ++
       operators.TimeSeries.queries ++ operators.TextAnalysis.queries ++
-      dedup.Dedup.queries ++ similarity.Similarity.queries
+      dedup.Dedup.queries ++ similarity.Similarity.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Snapshots.oracles ++
       operators.TimeSeries.oracles ++ operators.TextAnalysis.oracles ++
-      dedup.Dedup.oracles ++ similarity.Similarity.oracles
+      dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
+      multimodal.Multimodal.oracles
 }

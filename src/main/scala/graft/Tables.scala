@@ -31,4 +31,12 @@ object Tables {
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Spread a small-file scan across all cores. A single parquet file
+    * arrives as ONE partition; any CPU-heavy operator downstream (HOF
+    * pipelines, per-row hashing) would serialize on one core. At real
+    * scale inputs are many-filed and this becomes a no-op-ish shuffle
+    * of pointers; locally it is the difference between 1 and 32 cores. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -31,9 +31,10 @@ object Dedup {
           ELSE transform(sequence(1, length($textCol) - ${n - 1}),
                          i -> substring($textCol, i, $n)) END"""))
 
-  /** (doc_id, shingle) inverted index. */
+  /** (doc_id, shingle) inverted index. fanOut first: the explode and
+    * per-shingle hashing are the CPU-heavy part of every dedup path. */
   def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles("text", n)).as("g"))
+    Tables.fanOut(docs).select(col("doc_id"), explode(shingles("text", n)).as("g"))
 
   /** Exact pairwise Jaccard over an inverted index: |A∩B| via the
     * shingle join, sizes joined back, no corpus cross product. */
@@ -69,8 +70,11 @@ object Dedup {
       struct(lit(j).as("band"),
         xxhash64((j * rows until (j + 1) * rows).map(i => col(s"s$i")): _*).as("key"))
     }
+    // cache: the signature pipeline (explode + k hashes over every
+    // shingle) must run ONCE, not once per side of the self-join.
     val melted = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     melted.as("x").join(melted.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -78,17 +82,39 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify. */
+  /** Full MinHash-LSH near-dup pipeline: band candidates → cheap
+    * signature-agreement estimate prefilter → exact Jaccard verify.
+    *
+    * The corpus has high background similarity (avg 3-gram Jaccard
+    * ≈ 0.45), so banding alone admits millions of weak candidates; the
+    * estimate Σ[sig_i(a)=sig_i(b)]/k is a pure codegen'd column compare
+    * (no arrays, no HOFs) that kills ~all of them before the expensive
+    * shingle-set intersection runs on the survivors. Estimate cutoff is
+    * threshold−0.2 (≈2.3σ at k=32), so true pairs survive. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(docs, n, k), bands, k / bands)
-    val withText = cand
-      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
-    val aSh = shingles("a_text", n)
-    val bSh = shingles("b_text", n)
-    val inter = size(array_intersect(aSh, bSh))
-    val uni = size(aSh) + size(bSh) - inter
-    withText
+    val sigs = minhashSignatures(docs, n, k).cache()
+    val cand = lshCandidates(sigs, bands, k / bands)
+    val sa = sigs.select(col("doc_id").as("a_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("b_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val survivors = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("est", agree / lit(k.toDouble))
+      .filter(col("est") >= threshold - 0.2)
+      .select("a_id", "b_id")
+    // exact verify: shingle arrays are computed ONCE per doc and joined
+    // in — recomputing the transform+distinct per surviving pair is the
+    // difference between O(pairs·|doc|) and O(docs·|doc| + pairs·|set|).
+    val shArr = Tables.fanOut(docs)
+      .select(col("doc_id"), shingles("text", n).as("sh")).cache()
+    val withSh = survivors
+      .join(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+    withSh
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -116,12 +142,14 @@ object Dedup {
     * chunks, pigeonhole guarantees every pair at distance ≤ 7 shares an
     * untouched chunk — candidate recall is COMPLETE for maxDist ≤ 7. */
   def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash64("text").as("sig"))
+    val sigs = Tables.fanOut(docs).select(col("doc_id"), simhash64("text").as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 8).map(j =>
           struct(lit(j).as("j"),
             (shiftrightunsigned(col("sig"), 8 * j) % 256).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+      .cache() // simhash64 is a full-corpus HOF pass — run it once
+
     chunks.as("x").join(chunks.as("y"),
         col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))

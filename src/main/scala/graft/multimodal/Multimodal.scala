@@ -1,0 +1,152 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (BASELINE.json north star): media as
+  * opaque BINARY columns with typed metadata, batch-shaped decode /
+  * feature-extraction / resize / frame-sampling over partitions.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNEL IS A
+  * DETERMINISTIC FAKE (clearly marked below): it derives pixel-like
+  * statistics from the blob bytes. Everything around it — the schema
+  * contract, binary ingestion, partition-batched execution via
+  * mapPartitions (the Scala analogue of mapInPandas batches), metadata
+  * projection and the aggregate rollup — is real, tested plumbing that
+  * a real codec drops into without touching any call site.
+  *
+  * Scale notes: blobs never pass through a shuffle here — decode is a
+  * narrow mapPartitions; only the small extracted-feature rows move.
+  * At 100 TB the same layout holds: partition by content hash prefix,
+  * decode map-side, aggregate features only.
+  */
+object Multimodal {
+
+  /** Media-table schema contract: metadata columns + opaque payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),       // image|audio|video
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),       // image/video
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),    // audio/video
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic synthetic media table derived from documents: the
+    * payload is the utf-8 text (stand-in blob), metadata derived from
+    * doc fields. Lets every sf dir double as a media corpus. */
+  def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
+    val kinds = Seq("image", "audio", "video")
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      concat(lit("application/x-fake-"),
+        element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int"))).as("mime"),
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 1920 + 16).cast("int")).as("width"),
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 1080 + 16).cast("int")).as("height"),
+      when(col("doc_id") % 3 =!= 0, col("n_chars") * 100).as("duration_ms"),
+      col("text").cast("binary").as("payload"))
+  }
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           mean_byte: Double, byte_entropy_proxy: Double,
+                           head_sig: String)
+
+  /** ??? REAL-CODEC BOUNDARY ??? — stand-in decode kernel.
+    * A production build replaces this function body with the actual
+    * image/audio decode (e.g. javax.imageio / ffmpeg bindings); the
+    * signature (bytes in, features out) and the partition-batched call
+    * site below stay unchanged. Deterministic: derived from bytes only. */
+  private def fakeDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+    val n = payload.length
+    val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
+    val distinct = payload.map(b => b & 0xff).toSet.size
+    val entropyProxy = if (n == 0) 0.0 else distinct.toDouble / math.min(n, 256)
+    val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+    MediaFeatures(id, kind, n, mean, entropyProxy, head)
+  }
+
+  /** Batched decode over partitions — no shuffle, codec-per-executor. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(media.select("media_id", "kind", "payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here (once per task, not per row)
+        it.map { case (id, kind, bytes) => fakeDecode(id, kind, bytes) }
+      }
+      .toDF()
+  }
+
+  /** "Resize"/downsample stub: keep every k-th byte — shape-preserving
+    * stand-in for pixel resampling; real kernel swaps in at the same
+    * call site. */
+  def downsample(media: DataFrame, k: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, bytes.zipWithIndex.collect { case (b, i) if i % k == 0 => b })
+      })
+      .toDF("media_id", "payload_small")
+  }
+
+  /** Frame sampling for video-kind rows: fixed-stride byte windows as
+    * stand-in frames (start offset, frame bytes). */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Iterator.range(0, math.max(bytes.length - frameSize + 1, 0), stride)
+          .map(off => (id, off, bytes.slice(off, off + frameSize)))
+      }
+      .toDF("media_id", "frame_offset", "frame")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Metadata + feature rollup per kind over the synthetic media table.
+    // Feature extraction itself is mapPartitions (non-SQL) ⇒ the query
+    // aggregates deterministic feature values; oracle reproduces the
+    // byte-level math in SQL over the same source column.
+    "q42_multimodal_features" -> ((s, dir) => {
+      val feats = extractFeatures(syntheticMedia(s, dir))
+      feats.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"),
+          graft.functions.Exact.dsum(col("mean_byte")).as("sum_mean_byte"),
+          countDistinct(col("head_sig")).as("n_head_sigs"))
+        .orderBy("kind")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The fake decode over utf-8 text payloads is pure byte math the
+    // oracle can replay: mean byte = avg of code units (ASCII corpus),
+    // head_sig = hex of first 8 bytes.
+    "q42_multimodal_features" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id,
+                  ['image','audio','video'][(CAST(doc_id % 3 AS INT)) + 1] AS kind,
+                  text FROM documents),
+         feats AS (
+           SELECT media_id, kind,
+                  length(text) AS n_bytes,
+                  CAST(SUM(CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS DOUBLE)
+                    / length(text) AS mean_byte,
+                  lower(hex(encode(substr(text, 1, 8)))) AS head_sig
+           FROM (SELECT media_id, kind, text,
+                        unnest(generate_series(1, length(text))) AS i
+                 FROM media)
+           GROUP BY media_id, kind, text)
+         SELECT kind, COUNT(*) AS n_media,
+                CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                SUM(CAST(mean_byte AS DECIMAL(18,4))) AS sum_mean_byte,
+                COUNT(DISTINCT head_sig) AS n_head_sigs
+         FROM feats GROUP BY kind ORDER BY kind"""
+  )
+}

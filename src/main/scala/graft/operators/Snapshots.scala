@@ -46,9 +46,20 @@ object Snapshots {
     * Inputs must expose (old_symbol, old_name) / (new_symbol, new_name).
     * The reference's first-match-wins over Python set order is replaced
     * by: per old_symbol keep the lexicographically-smallest matching
-    * new_symbol, then per new_symbol keep the smallest old_symbol. */
+    * new_symbol, then per new_symbol keep the smallest old_symbol.
+    *
+    * The >3-char token array is computed ONCE per deleted row before the
+    * theta-join — splitting inside the pair predicate would re-tokenize
+    * per pair (churn² work, the reference's own O(D×A) trap). */
   def detectRenames(deleted: DataFrame, added: DataFrame): DataFrame = {
-    val cand = deleted.crossJoin(added).filter(nameSimilar)
+    val d = deleted.withColumn("old_tokens",
+      expr("filter(split(old_name, ' '), w -> length(w) > 3)"))
+    val pairSimilar =
+      expr("instr(new_name, old_name) > 0") ||
+      expr("instr(old_name, new_name) > 0") ||
+      (length(col("old_name")) > 10 && length(col("new_name")) > 10 &&
+        expr("exists(old_tokens, w -> instr(new_name, w) > 0)"))
+    val cand = d.crossJoin(added).filter(pairSimilar).drop("old_tokens")
     val byOld = Window.partitionBy(col("old_symbol")).orderBy(col("new_symbol"))
     val byNew = Window.partitionBy(col("new_symbol")).orderBy(col("old_symbol"))
     cand

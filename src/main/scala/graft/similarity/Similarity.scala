@@ -39,6 +39,16 @@ object Similarity {
       (sqrt(dotScaled(a, a).cast("double") / FP) *
        sqrt(dotScaled(b, b).cast("double") / FP))
 
+  /** Vector norm, computed ONCE per row (pair-wise ops must not
+    * recompute norms per pair — 3× the HOF work). */
+  def norm(v: Column): Column = sqrt(dotScaled(v, v).cast("double") / FP)
+
+  /** cosine from a precomputed-norm pair: dot is the only per-pair HOF. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    (dotScaled(a, b).cast("double") / FP) / (na * nb)
+
+  private def fanOut(df: DataFrame): DataFrame = Tables.fanOut(df)
+
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -56,13 +66,17 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Brute-force exact top-k: broadcast queries × corpus, window top-k. */
+  /** Brute-force exact top-k: broadcast queries × corpus, window top-k.
+    * Norms are computed once per vector before the pair fan-out. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val c = fanOut(corpus).select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -77,12 +91,13 @@ object Similarity {
 
     // Embedding near-dup pairs above a cosine threshold, bounded slice.
     "q39_embedding_neardup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("cos"))
+      val e = fanOut(Tables.embeddings(s, dir).filter(col("vec_id") < 300))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_n"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_n"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("a_id", "b_id")
     }),
@@ -97,19 +112,21 @@ object Similarity {
       val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
       }: _*)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), explode(bucketArr).as("tb"))
-        .select(col("vec_id"), col("embedding"),
+      val e = fanOut(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          explode(bucketArr).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
           col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("t"), col("bucket"))
+          col("nrm").as("q_norm"), col("t"), col("bucket"))
       val cand = e.join(broadcast(q), Seq("t", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"), col("q_emb"), col("embedding"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          col("q_emb"), col("embedding"), col("q_norm"), col("nrm"))
         .distinct()
         .select(col("q_id"), col("c_id"),
-          cosine(col("q_emb"), col("embedding")).as("cos"))
+          cosinePre(col("q_emb"), col("embedding"), col("q_norm"), col("nrm")).as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .orderBy("q_id", "rank")

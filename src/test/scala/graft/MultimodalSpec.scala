@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic media table honours the schema contract") {
+    val m = Multimodal.syntheticMedia(spark, sf)
+    assert(m.columns.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
+    val kinds = m.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+    // image rows carry dimensions, audio/video carry duration
+    assert(m.filter($"kind" === "image" && $"width".isNull).count() == 0)
+    assert(m.filter($"kind" =!= "image" && $"duration_ms".isNull).count() == 0)
+  }
+
+  test("feature extraction is deterministic byte math over the payload") {
+    val media = Seq((1L, "image", "abc".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.getAs[Int]("n_bytes") == 3)
+    assert(math.abs(f.getAs[Double]("mean_byte") - (97 + 98 + 99) / 3.0) < 1e-12)
+    assert(f.getAs[String]("head_sig") == "616263")
+  }
+
+  test("downsample keeps every k-th byte") {
+    val media = Seq((1L, Array[Byte](0, 1, 2, 3, 4, 5, 6))).toDF("media_id", "payload")
+    val d = Multimodal.downsample(media, 3).as[(Long, Array[Byte])].head()
+    assert(d._2.toSeq == Seq[Byte](0, 3, 6))
+  }
+
+  test("frame sampling windows video payloads at fixed stride") {
+    val media = Seq((1L, "video", (0 until 10).map(_.toByte).toArray),
+                    (2L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 3)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.forall(_._1 == 1L)) // image rows excluded
+    assert(frames.map(_._2).toSeq == Seq(0, 3, 6))
+    assert(frames.head._3.toSeq == Seq[Byte](0, 1, 2, 3))
+  }
+
+  test("q42 aggregates cover every kind with exact totals") {
+    val rows = SparkEntry.queries("q42_multimodal_features")(spark, sf).collect()
+    assert(rows.length == 3)
+    val total = rows.map(_.getAs[Long]("total_bytes")).sum
+    val expected = Tables.documents(spark, sf)
+      .agg(sum(length($"text"))).as[Long].head()
+    assert(total == expected)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("windowed counts over a memory stream match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:05:00"), 1L, "view", 1.0),
+      (2L, t("2024-01-01 10:20:00"), 1L, "view", 2.0),
+      (3L, t("2024-01-01 11:40:00"), 2L, "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+    q.stop()
+    // event 1+2 land in windows [09:30,10:30) and [10:00,11:00)
+    val full = rows.filter(r => r.getAs[String]("event_type") == "view" &&
+      r.getAs[java.sql.Timestamp]("w_start") == t("2024-01-01 10:00:00"))
+    assert(full.length == 1 && full(0).getAs[Long]("n") == 2)
+  }
+
+  test("streaming daily bars match the batch OHLC operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streaming.dailyBars(df)
+      .writeStream.format("memory").queryName("bars").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 09:00:00"), "X", 10.0),
+      (2L, t("2024-01-01 09:00:00"), "X", 11.0),
+      (3L, t("2024-01-01 15:00:00"), "X", 7.0))
+    q.processAllAvailable()
+    val bars = spark.table("bars").collect()
+    q.stop()
+    assert(bars.length == 1)
+    val b = bars(0)
+    assert(b.getAs[Double]("open") == 10.0 && b.getAs[Double]("close") == 7.0 &&
+      b.getAs[Double]("high") == 11.0 && b.getAs[Double]("low") == 7.0 &&
+      b.getAs[Long]("volume") == 3L)
+  }
+
+  test("incremental append via AvailableNow dedups on the natural key (P2)") {
+    val landing = tmp("landing")
+    val store = tmp("store")
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
+    // seed the store with the first 500 events, land an overlapping slice
+    ev.filter($"event_id" < 500).write.mode("overwrite").parquet(store)
+    ev.filter($"event_id" >= 300).write.mode("overwrite").parquet(landing)
+    Streaming.incrementalAppend(spark, landing, store, tmp("ckpt"),
+      spark.read.parquet(store).schema)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == ev.count(), "no loss, no duplication")
+    assert(stored.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("session windows group by inactivity gap") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, t("2024-01-01 10:10:00"), 1L, "view", 2.0),
+      (3L, t("2024-01-01 12:00:00"), 1L, "view", 3.0), // > 30 min gap → new session
+      (4L, t("2024-01-01 10:05:00"), 2L, "view", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Streaming.sessionWindows(ev).orderBy("user_id", "session_start").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 2 && s(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("mapGroupsWithState sessionize accumulates per-user state") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(mem.toDS(), 30)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    mem.addData(Streaming.Event(1, t("2024-01-01 10:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Streaming.Event(2, t("2024-01-01 10:10:00"), 7, "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+    q.stop()
+    val last = rows.maxBy(_.getAs[Int]("n_events"))
+    assert(last.getAs[Long]("user_id") == 7L && last.getAs[Int]("n_events") == 2 &&
+      last.getAs[Double]("total_value") == 3.0)
+  }
+}
