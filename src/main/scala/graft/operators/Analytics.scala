@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+
+/** Analytics coverage beyond the reference's own surface (SURVEY.md
+  * §2.2 "absent → engine built-in"): rollup/cube/grouping-sets
+  * hierarchies, the full window-function family, exact cumulative
+  * split-adjustment (P5, README.md:166-172), set intersection and
+  * difference, and HLL approximate distinct.
+  *
+  * Scale notes: rollup/cube run as a single expand+hash-aggregate
+  * (one shuffle); the window suite partitions by its natural key;
+  * approx_count_distinct is the mergeable-sketch path for 100 TB
+  * cardinality work where exact COUNT(DISTINCT) would shuffle raw keys.
+  */
+object Analytics {
+
+  val queries: Map[String, Q] = Map(
+    // Hierarchical rollup: year → priority with grouping flags.
+    "q23_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority"), col("o_totalprice"))
+        .rollup(col("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("y")).cast("int").as("g_y"), grouping(col("o_orderpriority")).cast("int").as("g_p"))
+        .orderBy(col("g_y"), col("g_p"), col("y"), col("o_orderpriority"))
+    }),
+
+    // Full cube over flag×status.
+    "q24_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_f"), grouping(col("l_linestatus")).cast("int").as("g_s"))
+        .orderBy(col("g_f"), col("g_s"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Window-function family over customers per nation.
+    "q25_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          sum(dec(col("c_acctbal"))).over(run).as("running_bal"),
+          lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+          lead(col("c_custkey"), 1).over(w).as("next_cust"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // P5 split adjustment: factor-2 splits on day%10==0; adjusted close
+    // = close / 2^(splits so far) — exact powers of two in both engines.
+    "q26_split_adjust" -> ((s, dir) => {
+      val bars = TimeSeries.queriesDailyClose(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bars
+        .withColumn("is_split", (dayofmonth(col("day")) % 10 === 0).cast("int"))
+        .withColumn("n_splits", sum(col("is_split")).over(w))
+        .select(col("event_type"), col("day"), col("close"),
+          col("n_splits"),
+          (col("close") / pow(lit(2.0), col("n_splits"))).as("adj_close"))
+        .orderBy("event_type", "day")
+    }),
+
+    // GROUPING SETS via the SQL surface over a temp view.
+    "q27_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders_v
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
+    // Set ops: custkeys ordering in both 1995 and 1996 (intersect),
+    // minus those ever cancelled-ish 'P' (except).
+    "q28_intersect_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def keys(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+      keys(1995).intersect(keys(1996)).except(p)
+        .orderBy("o_custkey")
+    }),
+
+    // HLL approximate distinct vs exact — sketch path for cardinality
+    // at scale. Approximate values are engine-specific ⇒ rows-only.
+    "q29_approx_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        .withColumn("rel_err",
+          abs(col("approx_custs") - col("exact_custs")).cast("double") / col("exact_custs"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_rollup" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, o_orderpriority,
+         COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+         CAST(GROUPING(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)) AS INT) AS g_y,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+         FROM orders
+         GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderpriority)
+         ORDER BY g_y, g_p, y, o_orderpriority""",
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_s
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_f, g_s, l_returnflag, l_linestatus""",
+    "q25_window_suite" ->
+      """SELECT * FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_bal,
+             lag(c_custkey, 1) OVER w AS prev_cust,
+             lead(c_custkey, 1) OVER w AS next_cust
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+         WHERE rn <= 20 ORDER BY c_nationkey, rn""",
+    "q26_split_adjust" -> (TimeSeries.barsSql +
+      """, adj AS (
+           SELECT event_type, day, close,
+             CAST(SUM(CASE WHEN EXTRACT(DAY FROM day) % 10 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_splits
+           FROM bars)
+         SELECT event_type, day, close, n_splits,
+                close / pow(2.0, n_splits) AS adj_close
+         FROM adj ORDER BY event_type, day"""),
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q28_intersect_except" ->
+      """SELECT o_custkey FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         ORDER BY o_custkey"""
+  )
+}

@@ -49,6 +49,9 @@ object TimeSeries {
   private def dailyClose(s: SparkSession, dir: String): DataFrame =
     ohlcDaily(Tables.events(s, dir), "event_type", "ts", "value", "event_id")
 
+  /** Daily bars for other modules (Analytics split-adjustment). */
+  def queriesDailyClose(s: SparkSession, dir: String): DataFrame = dailyClose(s, dir)
+
   val queries: Map[String, Q] = Map(
     // S19: calendar generation, rolled up to month lengths.
     "q16_calendar" -> ((s, dir) => {
@@ -135,7 +138,7 @@ object TimeSeries {
   )
 
   /** Shared oracle CTE: daily close bars (must mirror [[ohlcDaily]]). */
-  private val barsSql: String =
+  val barsSql: String =
     """WITH bars AS (
          SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
            first_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion connector layer (SURVEY.md §2.1 S1-S4, S18, S23): the
+  * reference's scrape pipeline re-shaped for Spark. Network I/O is
+  * driver-external by design — the engine consumes deterministic
+  * snapshots; the connector here is the executor-parallel fetch frame
+  * with a PLUGGABLE fetch function, so tests (and offline runs) inject
+  * a deterministic fake exactly like the reference's mock fallback
+  * (scrape_tickers.py:429-457).
+  *
+  * Scale notes: fetch fan-out is partition parallelism (S4's thread
+  * pool → mapPartitions over a keys Dataset); retry/backoff is
+  * task-local (S1's retry loop); rate limiting stays a connector
+  * concern (per-partition, never inside relational operators).
+  */
+object Ingest {
+
+  case class Ticker(symbol: String, name: String, sector: String, url: String)
+
+  /** S18: the reference's deterministic 22-row mock table
+    * (scrape_tickers.py:430-455) as a LocalRelation. */
+  val mockTickers: Seq[Ticker] = Seq(
+    Ticker("HBL", "Habib Bank Limited", "Commercial Banks", "https://dps.psx.com.pk/company/HBL"),
+    Ticker("ENGRO", "Engro Corporation Limited", "Fertilizer", "https://dps.psx.com.pk/company/ENGRO"),
+    Ticker("PSO", "Pakistan State Oil Company Limited", "Oil & Gas Marketing Companies", "https://dps.psx.com.pk/company/PSO"),
+    Ticker("LUCK", "Lucky Cement Limited", "Cement", "https://dps.psx.com.pk/company/LUCK"),
+    Ticker("OGDC", "Oil & Gas Development Company Limited", "Oil & Gas Exploration Companies", "https://dps.psx.com.pk/company/OGDC"),
+    Ticker("PPL", "Pakistan Petroleum Limited", "Oil & Gas Exploration Companies", "https://dps.psx.com.pk/company/PPL"),
+    Ticker("UBL", "United Bank Limited", "Commercial Banks", "https://dps.psx.com.pk/company/UBL"),
+    Ticker("MCB", "MCB Bank Limited", "Commercial Banks", "https://dps.psx.com.pk/company/MCB"),
+    Ticker("FFC", "Fauji Fertilizer Company Limited", "Fertilizer", "https://dps.psx.com.pk/company/FFC"),
+    Ticker("EFERT", "Engro Fertilizers Limited", "Fertilizer", "https://dps.psx.com.pk/company/EFERT"),
+    Ticker("BAHL", "Bank AL Habib Limited", "Commercial Banks", "https://dps.psx.com.pk/company/BAHL"),
+    Ticker("MEBL", "Meezan Bank Limited", "Commercial Banks", "https://dps.psx.com.pk/company/MEBL"),
+    Ticker("CNERGY", "Cnergyico PK Limited", "Refinery", "https://dps.psx.com.pk/company/CNERGY"),
+    Ticker("KEL", "K-Electric Limited", "Power Generation & Distribution", "https://dps.psx.com.pk/company/KEL"),
+    Ticker("SSGC", "Sui Southern Gas Company Limited", "Oil & Gas Marketing Companies", "https://dps.psx.com.pk/company/SSGC"),
+    Ticker("PIBTL", "Pakistan International Bulk Terminal Limited", "Transport", "https://dps.psx.com.pk/company/PIBTL"),
+    Ticker("MLCF", "Maple Leaf Cement Factory Limited", "Cement", "https://dps.psx.com.pk/company/MLCF"),
+    Ticker("PAEL", "Pak Elektron Limited", "Cable & Electrical Goods", "https://dps.psx.com.pk/company/PAEL"),
+    Ticker("FCCL", "Fauji Cement Company Limited", "Cement", "https://dps.psx.com.pk/company/FCCL"),
+    Ticker("WTL", "Worldcall Telecom Limited", "Technology & Communication", "https://dps.psx.com.pk/company/WTL"),
+    Ticker("CPHL", "Citi Pharma Limited", "Pharmaceuticals", "https://dps.psx.com.pk/company/CPHL"),
+    Ticker("SNGP", "Sui Northern Gas Pipelines Limited", "Oil & Gas Marketing Companies", "https://dps.psx.com.pk/company/SNGP"))
+
+  def mockTickerTable(s: SparkSession): Dataset[Ticker] = {
+    import s.implicits._
+    s.createDataset(mockTickers)
+  }
+
+  /** S1+S4: executor-parallel per-key fetch with task-local retry and
+    * exponential backoff (scrape_tickers.py:48-85's semantics, minus
+    * the live socket — `fetch` is injected). Returns (key, payload?)
+    * with None after maxRetries failures (reference: log + skip). */
+  def fetchPerKey[K](keys: Dataset[K], parallelism: Int,
+                     maxRetries: Int = 3, retryDelayMs: Long = 0L)
+                    (fetch: K => String)
+                    (implicit enc: org.apache.spark.sql.Encoder[(K, Option[String])])
+      : Dataset[(K, Option[String])] = {
+    keys.repartition(parallelism).mapPartitions { it =>
+      it.map { k =>
+        var attempt = 0
+        var out: Option[String] = None
+        while (out.isEmpty && attempt < maxRetries) {
+          try out = Some(fetch(k))
+          catch {
+            case _: Exception =>
+              attempt += 1
+              if (retryDelayMs > 0 && attempt < maxRetries)
+                Thread.sleep(retryDelayMs << (attempt - 1)) // exp backoff
+          }
+        }
+        (k, out)
+      }
+    }
+  }
+
+  /** S2/S3: extract ticker rows from market-watch-shaped HTML — the
+    * reference's table scan (scrape_tickers.py:243-308) as pure column
+    * expressions (regexp over the page text, no UDF, no external
+    * parser). Input: (symbol?, html) rows; output parsed fields. */
+  def parseCompanyPages(pages: DataFrame): DataFrame =
+    pages.select(
+      upper(trim(regexp_extract(col("html"),
+        "(?s)<h1[^>]*class=\"quote__symbol\"[^>]*>([^<]+)</h1>", 1))).as("symbol"),
+      trim(regexp_extract(col("html"),
+        "(?s)<h2[^>]*class=\"quote__name\"[^>]*>([^<]+)</h2>", 1)).as("name"),
+      trim(regexp_extract(col("html"),
+        "(?s)<span[^>]*class=\"quote__sector\"[^>]*>([^<]+)</span>", 1)).as("sector"))
+      .withColumn("name", when(col("name") === "", lit("No record found")).otherwise(col("name")))
+      .withColumn("sector", when(col("sector") === "", lit("Unknown")).otherwise(col("sector")))
+      .filter(length(col("symbol")) > 1 && !col("symbol").contains("SELECT"))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Pipeline, TickerStore}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("mock ticker table is a 22-row LocalRelation (S18)") {
+    val m = Ingest.mockTickerTable(spark)
+    assert(m.count() == 22)
+    assert(m.filter($"symbol" === "MLCF").head().sector == "Cement")
+  }
+
+  test("fetchPerKey: task-local retry recovers transient failures (S1/S4)") {
+    val keys = spark.createDataset(Seq("A", "B", "FAIL"))
+    val fetched = Ingest.fetchPerKey(keys, parallelism = 2, maxRetries = 3) {
+      case "FAIL" => throw new RuntimeException("down")
+      case k => s"payload:$k"
+    }.collect().toMap
+    assert(fetched("A").contains("payload:A"))
+    assert(fetched("FAIL").isEmpty) // exhausted retries → None, row kept
+  }
+
+  test("parseCompanyPages extracts fields and applies sentinels (S2/S3/S5)") {
+    val pages = Seq(
+      """<html><h1 class="quote__symbol">hbl </h1>
+         <h2 class="quote__name">Habib Bank Limited</h2>
+         <span class="quote__sector">Commercial Banks</span></html>""",
+      """<html><h1 class="quote__symbol">XYZ</h1></html>""",      // missing fields
+      """<html><h1 class="quote__symbol">SELECT ONE</h1></html>""", // placeholder row
+      """<html><h1 class="quote__symbol">x</h1></html>"""          // too short
+    ).toDF("html")
+    val rows = Ingest.parseCompanyPages(pages).collect()
+    assert(rows.length == 2)
+    val bySym = rows.map(r => r.getString(0) -> r).toMap
+    assert(bySym("HBL").getString(1) == "Habib Bank Limited")
+    assert(bySym("XYZ").getString(1) == "No record found" &&
+      bySym("XYZ").getString(2) == "Unknown")
+  }
+
+  test("CSV snapshot round-trip uses the fixed 3-column projection (S8/S9)") {
+    val dir = tmp("csv")
+    TickerStore.writeCsv(Ingest.mockTickerTable(spark).toDF(), dir)
+    val back = TickerStore.readCsv(spark, dir)
+    assert(back.columns.toSeq == Seq("symbol", "name", "sector")) // url dropped by design
+    assert(back.count() == 22)
+    assert(back.filter($"symbol" === "ENGRO").head().getString(2) == "Fertilizer")
+  }
+
+  test("JSON snapshot round-trip keeps all 4 fields (S10/S11)") {
+    val dir = tmp("json")
+    TickerStore.writeJson(Ingest.mockTickerTable(spark).toDF(), dir)
+    val back = TickerStore.readJson(spark, dir)
+    assert(back.columns.toSeq == Seq("symbol", "name", "sector", "url"))
+    assert(back.filter($"url".startsWith("https://dps.psx.com.pk/")).count() == 22)
+  }
+
+  test("partitioned store resolves the latest snapshot of either kind (S12)") {
+    val root = tmp("store")
+    val t = Ingest.mockTickerTable(spark).toDF()
+    TickerStore.writeSnapshot(t, root, "20250101", "raw")
+    TickerStore.writeSnapshot(t.withColumn("name", upper($"name")), root, "20250102", "updated")
+    val latest = TickerStore.readLatestSnapshot(spark, root)
+    assert(latest.count() == 22)
+    // the 0102 'updated' snapshot wins, regardless of kind
+    assert(latest.filter($"symbol" === "HBL").head().getString(1) == "HABIB BANK LIMITED")
+  }
+
+  test("pipeline orchestration: critical failure aborts, non-critical continues (S20)") {
+    def stage(n: String, crit: Boolean, ok: Boolean) = Pipeline.Stage(n, crit)(() => ok)
+    val r1 = Pipeline.run(Seq(
+      stage("sync", crit = true, ok = true),
+      stage("update", crit = false, ok = false),
+      stage("download", crit = false, ok = true)))
+    assert(r1.map(r => (r.ran, r.succeeded)) ==
+      Seq((true, true), (true, false), (true, true))) // continues past update failure
+    val r2 = Pipeline.run(Seq(
+      stage("sync", crit = true, ok = false),
+      stage("update", crit = false, ok = true)))
+    assert(r2(0).succeeded == false && r2(1).ran == false) // abort after critical failure
+    val r3 = Pipeline.run(Seq(
+      Pipeline.Stage("boom", critical = true)(() => throw new RuntimeException("x")),
+      stage("next", crit = false, ok = true)))
+    assert(!r3(0).succeeded && !r3(1).ran) // exceptions = failure
+  }
+}
