@@ -23,8 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is clamped BELOW 32g: crossing the compressed-oops boundary
+// doubles every object pointer and measurably slows the row-heavy
+// operators (dedup verify: ~20s at 8-30g vs 50-120s at 33-48g on the
+// same query). local[N] workloads here never need more than 30g.
+val requestedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val clampedMem = {
+  val g = "([0-9]+)g".r
+  requestedMem match {
+    case g(n) if n.toInt > 30 => "30g"
+    case other => other
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$clampedMem",
+  // pre-size the heap: lazy heap growth under allocation-heavy
+  // operators causes multi-x run-to-run variance on large heaps
+  s"-Xms$clampedMem",
+  "-XX:+AlwaysPreTouch",
 )

@@ -75,11 +75,16 @@ object Dedup {
     val melted = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache()
-    melted.as("x").join(melted.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    // fanOut after the distinct: the pair stream is tiny in BYTES but
+    // huge in downstream CPU (est + verify per pair), and AQE coalesces
+    // by bytes — left alone it squeezes millions of pairs into 1-2
+    // partitions and serializes the whole verify phase.
+    Tables.fanOut(
+      melted.as("x").join(melted.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct())
   }
 
   /** Full MinHash-LSH near-dup pipeline: band candidates → cheap
@@ -90,29 +95,39 @@ object Dedup {
     * estimate Σ[sig_i(a)=sig_i(b)]/k is a pure codegen'd column compare
     * (no arrays, no HOFs) that kills ~all of them before the expensive
     * shingle-set intersection runs on the survivors. Estimate cutoff is
-    * threshold−0.2 (≈2.3σ at k=32), so true pairs survive. */
+    * threshold−0.15 (≈2σ at k=32), so true pairs survive. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigs = minhashSignatures(docs, n, k).cache()
     val cand = lshCandidates(sigs, bands, k / bands)
-    val sa = sigs.select(col("doc_id").as("a_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
-    val sb = sigs.select(col("doc_id").as("b_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    // Candidate pairs are heavily skewed per doc (hub documents sit in
+    // thousands of pairs), so attaching signatures via a shuffle join
+    // puts whole hot keys on single tasks. The signature table is
+    // corpus-count × k longs — a dimension next to the pair fact —
+    // broadcast it. (At cluster scale with corpora too large to
+    // broadcast signatures, the same join runs shuffled with AQE skew
+    // splitting + salting; the pair fact stays evenly hash-partitioned.)
+    val sa = broadcast(sigs.select(col("doc_id").as("a_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*))
+    val sb = broadcast(sigs.select(col("doc_id").as("b_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*))
     val agree = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
     val survivors = cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("est", agree / lit(k.toDouble))
-      .filter(col("est") >= threshold - 0.2)
+      .filter(col("est") >= threshold - 0.15)
       .select("a_id", "b_id")
-    // exact verify: shingle arrays are computed ONCE per doc and joined
-    // in — recomputing the transform+distinct per surviving pair is the
-    // difference between O(pairs·|doc|) and O(docs·|doc| + pairs·|set|).
+    // exact verify: SORTED shingle arrays are computed ONCE per doc and
+    // joined in; per-pair intersection is the codegen'd two-pointer
+    // merge (graft.plans.SortedIntersectCount) — Spark's ArrayIntersect
+    // evaluates interpreted with a hash set per call and dominates the
+    // whole pipeline on millions of pairs.
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val shArr = Tables.fanOut(docs)
-      .select(col("doc_id"), shingles("text", n).as("sh")).cache()
+      .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")).cache()
     val withSh = survivors
-      .join(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+      .join(broadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
+      .join(broadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)")
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     withSh
       .select(col("a_id"), col("b_id"),

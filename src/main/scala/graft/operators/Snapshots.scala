@@ -59,7 +59,11 @@ object Snapshots {
       expr("instr(old_name, new_name) > 0") ||
       (length(col("old_name")) > 10 && length(col("new_name")) > 10 &&
         expr("exists(old_tokens, w -> instr(new_name, w) > 0)"))
-    val cand = d.crossJoin(added).filter(pairSimilar).drop("old_tokens")
+    // fanOut the deleted side: churn sets are byte-small, so upstream
+    // AQE tends to leave them in 1-2 partitions — which would serialize
+    // the |deleted|×|added| predicate evaluation on one core.
+    val cand = graft.Tables.fanOut(d).crossJoin(added)
+      .filter(pairSimilar).drop("old_tokens")
     val byOld = Window.partitionBy(col("old_symbol")).orderBy(col("new_symbol"))
     val byNew = Window.partitionBy(col("new_symbol")).orderBy(col("old_symbol"))
     cand

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** |A ∩ B| for two SORTED, DISTINCT string arrays via a two-pointer
+  * merge — O(|A|+|B|), zero allocation, whole-stage-codegen'd.
+  *
+  * Built because Spark's ArrayIntersect evaluates interpreted and
+  * builds a hash set per call: on the dedup verify path (millions of
+  * candidate pairs × ~300-shingle arrays) that is the entire runtime,
+  * and its constant factor degrades badly on large heaps. Sorting the
+  * arrays once per document (array_sort in the plan) converts every
+  * pair evaluation into a branch-predictable merge scan.
+  *
+  * Inputs MUST be sorted ascending and duplicate-free (array_sort ∘
+  * array_distinct) — garbage in, garbage out, exactly like a merge
+  * join on unsorted input. Exposed to plans via [[SortedIntersectCount.register]]
+  * + `expr("sorted_intersect_count(a, b)")`.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    while (i < a.numElements() && j < b.numElements()) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      s"""
+         int $i = 0, $j = 0;
+         ${ev.value} = 0;
+         while ($i < $a.numElements() && $j < $b.numElements()) {
+           int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           if ($c == 0) { ${ev.value}++; $i++; $j++; }
+           else if ($c < 0) { $i++; } else { $j++; }
+         }
+       """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  val NAME = "sorted_intersect_count"
+
+  /** Idempotent per-session SQL registration; afterwards the expression
+    * is reachable from any plan via expr("sorted_intersect_count(a,b)"). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NAME, exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions (the 100 TB posture, SURVEY.md §7.4.7):
+  * dimension joins must broadcast, scans must push filters and prune
+  * columns, and no operator may collect the corpus to the driver. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("flagship join broadcasts the dimension sides (q02)") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "customer/nation should broadcast")
+  }
+
+  test("parquet scans push filters down (q01, q06)") {
+    val p1 = plan("q01_pricing_summary")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p1")
+  }
+
+  test("scans prune to the referenced columns only (q02 lineitem)") {
+    val p = plan("q02_revenue_by_nation")
+    val lineitemScan = p.linesIterator.find(l => l.contains("lineitem") && l.contains("FileScan"))
+    assert(lineitemScan.exists(l =>
+      l.contains("l_orderkey") && !l.contains("l_shipdate")),
+      s"lineitem ReadSchema should exclude unused columns:\n${lineitemScan.getOrElse("")}")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans (q05, q06)") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline (q01)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple form
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(2000))
+  }
+
+  test("no operator collects the corpus to the driver") {
+    // every query plan must keep its row movement inside Spark: the only
+    // driver-side action in the library is TickerStore.readLatestSnapshot's
+    // 1-row partition max. Query functions themselves are lazy.
+    SparkEntry.queries.foreach { case (name, q) =>
+      val df = q(spark, sf)
+      assert(df.queryExecution.analyzed != null, s"$name must build a lazy plan")
+    }
+  }
+}
