@@ -43,4 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // operators causes multi-x run-to-run variance on large heaps
   s"-Xms$clampedMem",
   "-XX:+AlwaysPreTouch",
+  // 40+ codegen'd queries in one JVM overflow the default 240m JIT
+  // code cache; once full, late queries run interpreted (5-10x)
+  "-XX:ReservedCodeCacheSize=1g",
 )

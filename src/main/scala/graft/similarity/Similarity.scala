@@ -130,8 +130,56 @@ object Similarity {
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // Scale path #2: IVF coarse-quantized ANN — 16 deterministic
+    // centroids, 2-cell probe, exact re-rank. (Approximate ⇒ rows-only.)
+    "q43_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val maxId = 500L // centroid stride over the guaranteed id range
+      val centroidIds = (0 until 16).map(i => i * (maxId / 16))
+      ivfTopK(e, centroidIds, k = 5, nprobe = 2).orderBy("q_id", "rank")
     })
   )
+
+  /** IVF (inverted-file) ANN: deterministic coarse centroids, cell
+    * assignment by max cosine, 2-cell probe + exact re-rank. The cell
+    * assignment is one broadcast pass (corpus × C centroids); queries
+    * only scan their 2 nearest cells — at scale each cell is a
+    * partition-pruned slice, so probe cost is corpus/C × nprobe.
+    * Centroids here are a deterministic id-stride sample (k-means would
+    * drift with RNG; the structure, not the clustering quality, is what
+    * the operator contributes). */
+  def ivfTopK(e: org.apache.spark.sql.DataFrame, centroidIds: Seq[Long],
+              k: Int, nprobe: Int): DataFrame = {
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        norm(col("embedding")).as("cent_norm"))
+    val withNorm = Tables.fanOut(e)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // rank cells per vector once (corpus × C); keep top-1 for corpus
+    // rows and top-nprobe for query rows
+    val scored = withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = scored.withColumn("crank", row_number().over(byVec))
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_norm"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("cent_id").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .distinct()
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Oracle CTE: exact pairwise cosine with the same decimal pinning.
     * DuckDB 1.0 can't lateral-join range() on a column, so indices come

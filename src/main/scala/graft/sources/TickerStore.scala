@@ -52,6 +52,15 @@ object TickerStore {
       .withColumn("kind", lit(kind))
       .write.partitionBy("sync_date", "kind").mode(SaveMode.Append).parquet(root)
 
+  /** P5: delisted-ticker archive — rows leaving the universe move to an
+    * append-only archive partitioned by delist date (filter + write;
+    * README.md:166-172's "archive delisted tickers"). */
+  def archiveDelisted(snapshot: DataFrame, delisted: DataFrame,
+                      archiveRoot: String, delistDate: String): Unit =
+    snapshot.join(delisted.select("symbol"), Seq("symbol"), "left_semi")
+      .withColumn("delist_date", lit(delistDate))
+      .write.partitionBy("delist_date").mode(SaveMode.Append).parquet(archiveRoot)
+
   /** S12: latest-snapshot resolution — max partition of EITHER kind
     * (mirroring the reference's glob matching both raw and _updated
     * files), via partition pruning instead of file mtimes. */

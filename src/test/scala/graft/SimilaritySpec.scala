@@ -38,6 +38,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns k true-cosine neighbors per query (q43)") {
+    val r = SparkEntry.queries("q43_ann_ivf")(spark, sf).collect()
+    assert(r.nonEmpty)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+    }
+    // scores must agree with the exact brute-force computation
+    val exact = SparkEntry.queries("q38_cosine_topk")(spark, sf)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, c, sc) => (q, c) -> sc }.toMap
+    r.foreach { row =>
+      exact.get((row.getLong(0), row.getLong(1)))
+        .foreach(es => assert(math.abs(es - row.getDouble(2)) < 1e-12))
+    }
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)

@@ -70,6 +70,17 @@ class SourcesSpec extends SparkSpec {
     assert(latest.filter($"symbol" === "HBL").head().getString(1) == "HABIB BANK LIMITED")
   }
 
+  test("delisted archive keeps only departing symbols, partitioned by date (P5)") {
+    val root = tmp("archive")
+    val snap = Ingest.mockTickerTable(spark).toDF()
+    val delisted = Seq("WTL", "CPHL").toDF("symbol")
+    TickerStore.archiveDelisted(snap, delisted, root, "20250110")
+    val arch = spark.read.parquet(root)
+    assert(arch.count() == 2)
+    assert(arch.select("symbol").as[String].collect().toSet == Set("WTL", "CPHL"))
+    assert(arch.columns.contains("delist_date"))
+  }
+
   test("pipeline orchestration: critical failure aborts, non-critical continues (S20)") {
     def stage(n: String, crit: Boolean, ok: Boolean) = Pipeline.Stage(n, crit)(() => ok)
     val r1 = Pipeline.run(Seq(
