@@ -87,6 +87,13 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: watermark-bounded state, natural-key
+    * dropDuplicates — the streaming twin of the batch anti-join dedup
+    * (state is purged once the watermark passes, so it holds one
+    * watermark-window of keys, not the corpus). */
+  def dedupStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   /** Event-time session windows (built-in session_window aggregate). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
                      watermark: String = "1 hour"): DataFrame =

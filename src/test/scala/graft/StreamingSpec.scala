@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(stored.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming dedup drops replayed keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = Streaming.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (2L, t("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (3L, t("2024-01-01 10:02:00"), 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // replayed id 1 dropped
+  }
+
   test("session windows group by inactivity gap") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
