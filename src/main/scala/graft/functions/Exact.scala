@@ -24,11 +24,17 @@ import org.apache.spark.sql.types.{DataTypes, DoubleType}
 object Exact {
   val D18_4 = DataTypes.createDecimalType(18, 4)
 
+  /** DuckDB's SUM(DECIMAL(p,s)) result type is DECIMAL(38,s); Spark's is
+    * DECIMAL(p+10,s). The driver's hash is type-sensitive, so pin the sum
+    * result to DuckDB's spelling. */
+  val D38_4 = DataTypes.createDecimalType(38, 4)
+
   /** Addend pinned to scale 4 — exact, order-independent summation. */
   def dec(c: Column): Column = c.cast(D18_4)
 
-  /** Exact decimal sum of a double column (scale 4). */
-  def dsum(c: Column): Column = sum(dec(c))
+  /** Exact decimal sum of a double column (scale 4), result pinned to
+    * DECIMAL(38,4) to match DuckDB's SUM result type exactly. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(D38_4)
 
   /** Order-independent mean: exact decimal sum, one double division.
     * Identical IEEE result in Spark and DuckDB given identical inputs. */

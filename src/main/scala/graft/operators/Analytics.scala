@@ -50,7 +50,7 @@ object Analytics {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"),
-          sum(dec(col("c_acctbal"))).over(run).as("running_bal"),
+          sum(dec(col("c_acctbal"))).over(run).cast(D38_4).as("running_bal"),
           lag(col("c_custkey"), 1).over(w).as("prev_cust"),
           lead(col("c_custkey"), 1).over(w).as("next_cust"))
         .filter(col("rn") <= 20)
