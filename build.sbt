@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Spark sessions are process-global (getOrCreate + active/default
+// registries): suites running concurrently in the forked JVM race
+// ExtensionsSpec's clear-and-rebuild of the session. Run sequentially.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

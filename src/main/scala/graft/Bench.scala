@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Hardened against host noise and silent failures:
+  *  - one untimed warmup query absorbs JVM/codegen/parquet-footer warmup
+  *    so the first timed query isn't charged for it;
+  *  - each query runs SPARK_GRAFT_REPS times (default 2) and reports the
+  *    per-query MIN — run-to-run variance on this host is multi-x;
+  *  - a crashing query is recorded in "failed" (and excluded from
+  *    "queries"/total) instead of logging a fake fast time;
+  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT if set, so
+  *    parsers need not scrape sbt-prefixed stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +31,36 @@ object Bench {
       case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Untimed warmup: a join+agg query exercises codegen, shuffle and the
+    // parquet reader once before any measurement.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = selected.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          None
+        }
+        finally Caches.releaseAll() // each rep pays its own cache cost
+      }
+      if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
+    if (failed.nonEmpty) System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")
   }
 }

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * k-min signatures (k cheap affine permutations of ONE xxhash64 per
   * shingle), band keys as the equi-join attribute, and only candidates
   * that collide in ≥1 band are verified with the exact measure. SimHash
-  * follows the same pattern with 16-bit chunk collision as the band.
+  * follows the same pattern with 8-bit chunk collision as the band
+  * (8 chunks ⇒ complete candidate recall for Hamming distance ≤ 7).
   */
 object Dedup {
 
@@ -39,7 +40,7 @@ object Dedup {
   /** Exact pairwise Jaccard over an inverted index: |A∩B| via the
     * shingle join, sizes joined back, no corpus cross product. */
   def jaccardPairs(docs: DataFrame, n: Int): DataFrame = {
-    val idx = shingleIndex(docs, n).cache()
+    val idx = graft.Caches.cached(shingleIndex(docs, n))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("x").join(idx.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -72,9 +73,9 @@ object Dedup {
     }
     // cache: the signature pipeline (explode + k hashes over every
     // shingle) must run ONCE, not once per side of the self-join.
-    val melted = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+    val melted = graft.Caches.cached(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
     // fanOut after the distinct: the pair stream is tiny in BYTES but
     // huge in downstream CPU (est + verify per pair), and AQE coalesces
     // by bytes — left alone it squeezes millions of pairs into 1-2
@@ -97,7 +98,7 @@ object Dedup {
     * shingle-set intersection runs on the survivors. Estimate cutoff is
     * threshold−0.15 (≈2σ at k=32), so true pairs survive. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, n, k).cache()
+    val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
     val cand = lshCandidates(sigs, bands, k / bands)
     // Candidate pairs are heavily skewed per doc (hub documents sit in
     // thousands of pairs), so attaching signatures via a shuffle join
@@ -122,8 +123,8 @@ object Dedup {
     // evaluates interpreted with a hash set per call and dominates the
     // whole pipeline on millions of pairs.
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    val shArr = Tables.fanOut(docs)
-      .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")).cache()
+    val shArr = graft.Caches.cached(Tables.fanOut(docs)
+      .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")))
     val withSh = survivors
       .join(broadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
       .join(broadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
@@ -163,9 +164,9 @@ object Dedup {
           struct(lit(j).as("j"),
             (shiftrightunsigned(col("sig"), 8 * j) % 256).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
-      .cache() // simhash64 is a full-corpus HOF pass — run it once
+    val chunksC = graft.Caches.cached(chunks) // simhash64 is a full-corpus HOF pass — run it once
 
-    chunks.as("x").join(chunks.as("y"),
+    chunksC.as("x").join(chunks.as("y"),
         col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

@@ -118,7 +118,7 @@ object Multimodal {
       feats.groupBy(col("kind"))
         .agg(count(lit(1)).as("n_media"),
           sum(col("n_bytes").cast("long")).as("total_bytes"),
-          graft.functions.Exact.dsum(col("mean_byte")).as("sum_mean_byte"),
+          graft.functions.Exact.dsumd(col("mean_byte")).as("sum_mean_byte"),
           countDistinct(col("head_sig")).as("n_head_sigs"))
         .orderBy("kind")
     })
@@ -145,7 +145,7 @@ object Multimodal {
            GROUP BY media_id, kind, text)
          SELECT kind, COUNT(*) AS n_media,
                 CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-                SUM(CAST(mean_byte AS DECIMAL(18,4))) AS sum_mean_byte,
+                CAST(SUM(CAST(mean_byte AS DECIMAL(18,4))) AS DOUBLE) AS sum_mean_byte,
                 COUNT(DISTINCT head_sig) AS n_head_sigs
          FROM feats GROUP BY kind ORDER BY kind"""
   )

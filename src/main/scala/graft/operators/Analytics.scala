@@ -24,7 +24,7 @@ object Analytics {
       Tables.orders(s, dir)
         .select(year(col("o_orderdate")).as("y"), col("o_orderpriority"), col("o_totalprice"))
         .rollup(col("y"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("sum_price"),
           grouping(col("y")).cast("int").as("g_y"), grouping(col("o_orderpriority")).cast("int").as("g_p"))
         .orderBy(col("g_y"), col("g_p"), col("y"), col("o_orderpriority"))
     }),
@@ -34,7 +34,7 @@ object Analytics {
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        .agg(count(lit(1)).as("n"), dsumd(col("l_quantity")).as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_f"), grouping(col("l_linestatus")).cast("int").as("g_s"))
         .orderBy(col("g_f"), col("g_s"), col("l_returnflag"), col("l_linestatus"))
     }),
@@ -50,7 +50,7 @@ object Analytics {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"),
-          sum(dec(col("c_acctbal"))).over(run).cast(D38_4).as("running_bal"),
+          dsumOverD(col("c_acctbal"), run).as("running_bal"),
           lag(col("c_custkey"), 1).over(w).as("prev_cust"),
           lead(col("c_custkey"), 1).over(w).as("next_cust"))
         .filter(col("rn") <= 20)
@@ -109,7 +109,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q23_rollup" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, o_orderpriority,
-         COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+         COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
          CAST(GROUPING(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)) AS INT) AS g_y,
          CAST(GROUPING(o_orderpriority) AS INT) AS g_p
          FROM orders
@@ -117,7 +117,7 @@ object Analytics {
          ORDER BY g_y, g_p, y, o_orderpriority""",
     "q24_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(GROUPING(l_returnflag) AS INT) AS g_f,
          CAST(GROUPING(l_linestatus) AS INT) AS g_s
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -129,9 +129,9 @@ object Analytics {
              rank() OVER w AS rnk,
              dense_rank() OVER w AS drnk,
              ntile(4) OVER w AS quartile,
-             SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_bal,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal,
              lag(c_custkey, 1) OVER w AS prev_cust,
              lead(c_custkey, 1) OVER w AS next_cust
            FROM customer

@@ -31,9 +31,9 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsumd(col("l_quantity")).as("sum_qty"),
+          dsumd(col("l_extendedprice")).as("sum_base_price"),
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           dmean(col("l_quantity")).as("avg_qty"),
           dmean(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -54,7 +54,7 @@ object Relational {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -110,7 +110,7 @@ object Relational {
           count(lit(1)).as("n_orders"),
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
           sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("n_large"),
-          dsum(col("o_totalprice")).as("sum_price"))
+          dsumd(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -128,9 +128,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
          CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
          COUNT(*) AS count_order
@@ -139,7 +139,7 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          COUNT(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -171,7 +171,7 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
          CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q09_distinct" ->
       """SELECT o_orderstatus, COUNT(*) AS n_custkeys FROM

@@ -32,38 +32,60 @@ object Snapshots {
   def diffDeleted(cur: DataFrame, prev: DataFrame, key: String): DataFrame =
     prev.join(cur.select(key), Seq(key), "left_anti")
 
-  /** S14 similarity predicate (scrape_tickers.py:612-614): substring
-    * containment either way, or — both names >10 chars — any >3-char
-    * whitespace token of the old name occurring in the new name. */
-  val nameSimilar: Column =
-    expr("instr(new_name, old_name) > 0") ||
-    expr("instr(old_name, new_name) > 0") ||
-    (length(col("old_name")) > 10 && length(col("new_name")) > 10 &&
-      expr("exists(filter(split(old_name, ' '), w -> length(w) > 3), " +
-           "w -> instr(new_name, w) > 0)"))
+  /** Blocking keys for the rename candidate join: every contiguous
+    * whitespace-token span of the name (single tokens included) longer
+    * than 3 chars, de-duplicated. Why spans are a COMPLETE block for the
+    * predicate's match surface:
+    *  - token branch: a shared >3-char token IS a shared single-token
+    *    span on both sides;
+    *  - containment branch: token-aligned containment means the shorter
+    *    full name equals one of the longer name's token spans, so the
+    *    shorter name itself is the shared key.
+    * Envelope (documented deviation from the quadratic reference scan):
+    * containment that is not token-aligned (name glued inside a word) or
+    * of a ≤3-char name is not proposed — at any realistic churn those
+    * are noise matches, and recovering them exactly requires the O(D×A)
+    * scan this blocking exists to kill. Span count is O(t²) in the
+    * token count t of one NAME (~4), not in churn. */
+  private def spanKeys(nameCol: Column): Column = {
+    val toks = split(trim(nameCol), " +")
+    val n = size(toks)
+    array_distinct(filter(
+      flatten(transform(sequence(lit(1), n),
+        i => transform(sequence(i, n),
+          j => array_join(slice(toks, i, (j - i) + 1), " ")))),
+      s => length(s) > 3))
+  }
 
-  /** S14: deleted×added theta-join + deterministic greedy 1:1.
+  /** S14: blocked candidate generation + deterministic greedy 1:1.
     * Inputs must expose (old_symbol, old_name) / (new_symbol, new_name).
-    * The reference's first-match-wins over Python set order is replaced
-    * by: per old_symbol keep the lexicographically-smallest matching
-    * new_symbol, then per new_symbol keep the smallest old_symbol.
     *
-    * The >3-char token array is computed ONCE per deleted row before the
-    * theta-join — splitting inside the pair predicate would re-tokenize
-    * per pair (churn² work, the reference's own O(D×A) trap). */
+    * Candidates come from an EQUI-JOIN on exploded name-span blocking
+    * keys (see [[spanKeys]]) — never a cross join, so pair work scales
+    * with shared-vocabulary collisions, not churn². The full reference
+    * predicate then re-verifies every candidate (blocking can only
+    * drop pairs, never admit false ones). Greedy 1:1: the reference's
+    * first-match-wins over Python set order is replaced by a
+    * deterministic order — per old_symbol keep the lexicographically
+    * smallest matching new_symbol, then per new_symbol the smallest
+    * old_symbol. */
   def detectRenames(deleted: DataFrame, added: DataFrame): DataFrame = {
-    val d = deleted.withColumn("old_tokens",
-      expr("filter(split(old_name, ' '), w -> length(w) > 3)"))
+    // fanOut both sides: churn sets are byte-small, so upstream AQE
+    // tends to leave them in 1-2 partitions — which would serialize the
+    // per-candidate predicate evaluation on one core.
+    val d = graft.Tables.fanOut(deleted)
+      .select(col("old_symbol"), col("old_name"), explode(spanKeys(col("old_name"))).as("bk"))
+    val a = graft.Tables.fanOut(added)
+      .select(col("new_symbol"), col("new_name"), explode(spanKeys(col("new_name"))).as("bk"))
     val pairSimilar =
       expr("instr(new_name, old_name) > 0") ||
       expr("instr(old_name, new_name) > 0") ||
       (length(col("old_name")) > 10 && length(col("new_name")) > 10 &&
-        expr("exists(old_tokens, w -> instr(new_name, w) > 0)"))
-    // fanOut the deleted side: churn sets are byte-small, so upstream
-    // AQE tends to leave them in 1-2 partitions — which would serialize
-    // the |deleted|×|added| predicate evaluation on one core.
-    val cand = graft.Tables.fanOut(d).crossJoin(added)
-      .filter(pairSimilar).drop("old_tokens")
+        expr("exists(filter(split(old_name, ' '), w -> length(w) > 3), " +
+             "w -> instr(new_name, w) > 0)"))
+    val cand = d.join(a, "bk").drop("bk")
+      .distinct()            // a pair may share several spans — count once
+      .filter(pairSimilar)
     val byOld = Window.partitionBy(col("old_symbol")).orderBy(col("new_symbol"))
     val byNew = Window.partitionBy(col("new_symbol")).orderBy(col("old_symbol"))
     cand
@@ -75,14 +97,16 @@ object Snapshots {
   }
 
   /** S15: classified change log — ADDED/DELETED minus rename pairs,
-    * RENAMED with both symbols. */
+    * RENAMED with both symbols. Rename exclusion is a left_anti join on
+    * the (already-unique) snapshot keys — `except` would add a full
+    * distinct shuffle on top of the same anti-join. */
   def changeLog(added: DataFrame, deleted: DataFrame, renamed: DataFrame): DataFrame = {
     val renOld = renamed.select(col("old_symbol").as("symbol"))
     val renNew = renamed.select(col("new_symbol").as("symbol"))
-    added.select(col("new_symbol").as("symbol")).except(renNew)
+    added.select(col("new_symbol").as("symbol")).join(renNew, Seq("symbol"), "left_anti")
       .select(lit("ADDED").as("change_type"), col("symbol"), lit(null: String).as("new_symbol"))
       .unionByName(
-        deleted.select(col("old_symbol").as("symbol")).except(renOld)
+        deleted.select(col("old_symbol").as("symbol")).join(renOld, Seq("symbol"), "left_anti")
           .select(lit("DELETED").as("change_type"), col("symbol"), lit(null: String).as("new_symbol")))
       .unionByName(
         renamed.select(lit("RENAMED").as("change_type"),

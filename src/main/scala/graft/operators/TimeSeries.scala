@@ -28,23 +28,27 @@ object TimeSeries {
     s.range(1).select(explode(sequence(
       to_date(lit(start)), to_date(lit(end)), expr("interval 1 day"))).as("day"))
 
+  /** S19 string mode (utils.py:116-150 `as_string=True`/`fmt` parity):
+    * the same inclusive calendar with days rendered through a Spark
+    * datetime pattern (the engine-native spelling of strftime fmt). */
+  def calendar(s: SparkSession, start: String, end: String, fmt: String): DataFrame =
+    calendar(s, start, end).select(date_format(col("day"), fmt).as("day"))
+
   /** Daily OHLC bars from raw ticks: deterministic open/close via
-    * (ts, id) ordering, window-computed so value ties cannot flip bars. */
-  def ohlcDaily(ticks: DataFrame, key: String, ts: String, value: String, id: String): DataFrame = {
-    val part = Window.partitionBy(col(key), col("day"))
-    val ord = part.orderBy(col(ts), col(id))
-    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    * (ts, id) ordering — min_by/max_by on the (ts, id) struct, so value
+    * ties cannot flip bars. One hash aggregate with map-side partials
+    * (same shape as Streaming.dailyBars): no window sort, no dedup
+    * shuffle — the scale-correct plan for tick → bar compaction. */
+  def ohlcDaily(ticks: DataFrame, key: String, ts: String, value: String, id: String): DataFrame =
     ticks
       .withColumn("day", to_date(col(ts)))
-      .select(
-        col(key), col("day"),
-        first_value(col(value)).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("open"),
-        max(col(value)).over(part).as("high"),
-        min(col(value)).over(part).as("low"),
-        last_value(col(value)).over(full).as("close"),
-        count(lit(1)).over(part).as("volume"))
-      .distinct()
-  }
+      .groupBy(col(key), col("day"))
+      .agg(
+        min_by(col(value), struct(col(ts), col(id))).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), struct(col(ts), col(id))).as("close"),
+        count(lit(1)).as("volume"))
 
   private def dailyClose(s: SparkSession, dir: String): DataFrame =
     ohlcDaily(Tables.events(s, dir), "event_type", "ts", "value", "event_id")
@@ -85,7 +89,7 @@ object TimeSeries {
       val fresh = landing.join(stored.select("event_id"), Seq("event_id"), "left_anti")
       stored.unionByName(fresh)
         .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), dsumd(col("value")).as("sum_value"))
         .orderBy("day")
     }),
 
@@ -181,7 +185,7 @@ object TimeSeries {
                    WHERE event_id NOT IN (SELECT event_id FROM stored)),
          appended AS (SELECT * FROM stored UNION ALL SELECT * FROM fresh)
          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-                SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM appended GROUP BY 1 ORDER BY 1""",
     "q19_ohlc_daily" -> (barsSql +
       """SELECT event_type, day, open, high, low, close, volume

@@ -19,6 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier(SortedIntersectCount.NAME),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, SortedIntersectCount.NAME),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => SortedIntersectCount.build(exprs)))
   }
 }

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, NullType, StringType}
 
 /** |A ∩ B| for two SORTED, DISTINCT string arrays via a two-pointer
   * merge — O(|A|+|B|), zero allocation, whole-stage-codegen'd.
@@ -25,6 +26,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  /** Analysis-time type validation: both inputs must be ARRAY<STRING>.
+    * Without this, a misuse like sorted_intersect_count(arr_of_int, x)
+    * would pass analysis and fail deep in codegen/runtime. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType element = the empty array() literal — trivially valid
+    // (the merge loop never dereferences an element of an empty array)
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType | NullType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${SortedIntersectCount.NAME} requires (ARRAY<STRING>, ARRAY<STRING>), " +
+        s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -61,9 +78,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object SortedIntersectCount {
   val NAME = "sorted_intersect_count"
 
+  /** Arity-checked builder shared by both registration paths; element
+    * types are validated by checkInputDataTypes at analysis time. */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$NAME takes exactly 2 arguments (sorted ARRAY<STRING>, sorted ARRAY<STRING>); got ${exprs.length}")
+    SortedIntersectCount(exprs(0), exprs(1))
+  }
+
   /** Idempotent per-session SQL registration; afterwards the expression
     * is reachable from any plan via expr("sorted_intersect_count(a,b)"). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+      NAME, build, "scala_udf")
 }

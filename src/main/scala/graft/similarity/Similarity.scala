@@ -102,13 +102,17 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
-    // Scale path: multi-table sign-LSH bucketed ANN — 4 independent
-    // 8-bit hyperplane tables; candidates share (table, bucket); exact
+    // Scale path: multi-table sign-LSH bucketed ANN — 8 independent
+    // 6-bit hyperplane tables; candidates share (table, bucket); exact
     // cosine re-rank over the union of collisions. (Approximate ⇒ no SQL
     // oracle; recall asserted in SimilaritySpec against q38.)
+    // Table/bit sizing: this corpus's true top-5 neighbors sit at modest
+    // cosine (~0.4-0.6), where a 6-bit bucket agrees with p≈(1-θ/π)^6 ≈
+    // 0.1 — 8 tables lift recall to ~0.5 while each table's buckets
+    // still cut the candidate set to ~1/64 of the corpus per table.
     "q40_ann_lsh" -> ((s, dir) => {
-      val all = hyperplanes(32, 64)
-      val tables = (0 until 4).map(t => all.slice(t * 8, t * 8 + 8))
+      val all = hyperplanes(48, 64)
+      val tables = (0 until 8).map(t => all.slice(t * 6, t * 6 + 6))
       val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
       }: _*)
@@ -136,9 +140,7 @@ object Similarity {
     // centroids, 2-cell probe, exact re-rank. (Approximate ⇒ rows-only.)
     "q43_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val maxId = 500L // centroid stride over the guaranteed id range
-      val centroidIds = (0 until 16).map(i => i * (maxId / 16))
-      ivfTopK(e, centroidIds, k = 5, nprobe = 2).orderBy("q_id", "rank")
+      ivfTopK(e, nCentroids = 16, k = 5, nprobe = 2).orderBy("q_id", "rank")
     })
   )
 
@@ -149,9 +151,15 @@ object Similarity {
     * partition-pruned slice, so probe cost is corpus/C × nprobe.
     * Centroids here are a deterministic id-stride sample (k-means would
     * drift with RNG; the structure, not the clustering quality, is what
-    * the operator contributes). */
-  def ivfTopK(e: org.apache.spark.sql.DataFrame, centroidIds: Seq[Long],
+    * the operator contributes), strided over the CORPUS's own id range —
+    * the max(vec_id) lookup is a 1-value driver action on an aggregated
+    * row (the documented bounded-collect pattern), so centroids cover
+    * any corpus, not a hard-coded fixture range. */
+  def ivfTopK(e: org.apache.spark.sql.DataFrame, nCentroids: Int,
               k: Int, nprobe: Int): DataFrame = {
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val stride = math.max((maxId + 1) / nCentroids, 1L)
+    val centroidIds = (0 until nCentroids).map(_ * stride)
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         norm(col("embedding")).as("cent_norm"))

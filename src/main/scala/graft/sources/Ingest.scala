@@ -78,9 +78,95 @@ object Ingest {
     }
   }
 
-  /** S2/S3: extract ticker rows from market-watch-shaped HTML — the
-    * reference's table scan (scrape_tickers.py:243-308) as pure column
-    * expressions (regexp over the page text, no UDF, no external
+  /** S2 core loop: the market-watch TABLE scan (scrape_tickers.py:243-308)
+    * as pure column expressions — find the <table> whose header mentions
+    * SYMBOL, map header names → column ordinals, iterate tbody rows, and
+    * resolve relative hrefs against `baseUrl`. No UDF, no external
+    * parser: every step is a codegen'd regexp/HOF column expression, so
+    * a million fetched pages parse partition-parallel with zero
+    * serialization boundary.
+    *
+    * Header → ordinal mapping mirrors the reference exactly: SYMBOL,
+    * CURRENT|PRICE, VOLUME, SECTOR matched case-insensitively on the
+    * stripped <th> texts; a missing SYMBOL header falls back to column 0
+    * (scrape_tickers.py:283-285). Rows with <2 cells, empty/1-char
+    * symbols or 'SELECT' placeholders are dropped (same guards). */
+  def parseMarketWatch(pages: DataFrame, baseUrl: String): DataFrame = {
+    // 1. the candidate table: first <table> whose <th> texts mention SYMBOL
+    val withTbl = pages.withColumn("mw_tbl", expr(
+      """get(filter(regexp_extract_all(html, '(?s)<table[^>]*>.*?</table>', 0),
+               t -> exists(regexp_extract_all(t, '(?s)<th[^>]*>(.*?)</th>', 1),
+                           h -> upper(trim(regexp_replace(h, '<[^>]*>', ''))) LIKE '%SYMBOL%')), 0)"""))
+      .filter(col("mw_tbl").isNotNull)
+    // 2. header texts (thead th when present, else all th), uppercased
+    val withHdrs = withTbl
+      .withColumn("mw_head", expr(
+        """CASE WHEN regexp_extract(mw_tbl, '(?s)<thead[^>]*>(.*?)</thead>', 1) = ''
+                THEN mw_tbl
+                ELSE regexp_extract(mw_tbl, '(?s)<thead[^>]*>(.*?)</thead>', 1) END"""))
+      .withColumn("hdrs", expr(
+        """transform(regexp_extract_all(mw_head, '(?s)<th[^>]*>(.*?)</th>', 1),
+                     h -> upper(trim(regexp_replace(h, '<[^>]*>', ''))))"""))
+    // header-name → ordinal (0-based), null when the header is absent
+    def ordinal(pred: String) = expr(
+      s"get(filter(transform(hdrs, (h, i) -> struct(i AS i, h AS h)), x -> $pred), 0).i")
+    val withOrds = withHdrs
+      .withColumn("sym_ord", ordinal("x.h LIKE '%SYMBOL%'"))
+      .withColumn("price_ord", ordinal("x.h LIKE '%CURRENT%' OR x.h LIKE '%PRICE%'"))
+      .withColumn("vol_ord", ordinal("x.h LIKE '%VOLUME%'"))
+      .withColumn("sector_ord", ordinal("x.h LIKE '%SECTOR%'"))
+    // 3. tbody rows → td cell arrays
+    val cellText = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(c, "<[^>]*>", ""))
+    val rows = withOrds
+      .withColumn("mw_row", explode(expr(
+        """regexp_extract_all(
+             CASE WHEN regexp_extract(mw_tbl, '(?s)<tbody[^>]*>(.*?)</tbody>', 1) = ''
+                  THEN mw_tbl
+                  ELSE regexp_extract(mw_tbl, '(?s)<tbody[^>]*>(.*?)</tbody>', 1) END,
+             '(?s)<tr[^>]*>(.*?)</tr>', 1)""")))
+      .withColumn("cells", expr("regexp_extract_all(mw_row, '(?s)<td[^>]*>(.*?)</td>', 1)"))
+      .filter(size(col("cells")) >= 2) // reference: need symbol + ≥1 datum
+      .withColumn("sym_cell", expr("get(cells, coalesce(sym_ord, 0))"))
+    // 4. symbol normalization + relative-href resolution
+    rows
+      .withColumn("symbol",
+        graft.operators.Relational.normalizeSymbol(cellText(col("sym_cell"))))
+      .withColumn("href", regexp_extract(col("sym_cell"), "href=\"([^\"]*)\"", 1))
+      .withColumn("url",
+        when(col("href") === "", lit(""))
+          .when(col("href").startsWith("/"), concat(lit(baseUrl), col("href")))
+          .when(col("href").startsWith("http"), col("href"))
+          .otherwise(concat(lit(baseUrl), lit("/"), col("href"))))
+      .withColumn("price", expr(
+        "try_cast(regexp_replace(trim(regexp_replace(get(cells, price_ord), '<[^>]*>', '')), ',', '') AS DOUBLE)"))
+      .withColumn("volume", expr(
+        "try_cast(regexp_replace(trim(regexp_replace(get(cells, vol_ord), '<[^>]*>', '')), ',', '') AS BIGINT)"))
+      .withColumn("sector", expr(
+        "trim(regexp_replace(get(cells, sector_ord), '<[^>]*>', ''))"))
+      .filter(length(col("symbol")) > 1 && !upper(col("symbol")).contains("SELECT"))
+      .select("symbol", "url", "price", "volume", "sector")
+  }
+
+  /** S20/S1 degradation ladder (scrape_tickers.py:222-457): try each
+    * source in order, accept the first yielding ≥1 row, else fall back
+    * to the deterministic mock table — every row tagged with its
+    * provenance. The 1-row existence probe is a bounded connector-layer
+    * orchestration action (it decides WHICH plan to run), not a data
+    * collect inside an operator. */
+  def loadTickersWithFallback(s: SparkSession,
+      attempts: Seq[(String, () => DataFrame)]): DataFrame =
+    attempts.iterator.flatMap { case (prov, load) =>
+      try {
+        val df = load()
+        if (!df.isEmpty) Some(df.withColumn("provenance", lit(prov))) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption().getOrElse(
+      mockTickerTable(s).toDF().withColumn("provenance", lit("mock")))
+
+  /** S3: extract ticker rows from company-page-shaped HTML — the
+    * reference's detail-page scan (scrape_tickers.py:88-180) as pure
+    * column expressions (regexp over the page text, no UDF, no external
     * parser). Input: (symbol?, html) rows; output parsed fields. */
   def parseCompanyPages(pages: DataFrame): DataFrame =
     pages.select(

@@ -44,22 +44,42 @@ object Streaming {
         col("event_type"), col("n"), col("total"))
 
   /** Incremental append job: micro-batch merge of a landing directory
-    * into a partitioned store with natural-key dedup — the P2 loop.
-    * Runs with Trigger.AvailableNow (cron-equivalent); each batch
-    * anti-joins the already-stored keys before appending. */
+    * into a DAY-PARTITIONED store with natural-key dedup — the P2 loop.
+    * Runs with Trigger.AvailableNow (cron-equivalent).
+    *
+    * Scale shape: the store is written with partitionBy(day), and each
+    * batch anti-joins ONLY the store partitions overlapping the batch's
+    * own [min(day), max(day)] range — the day filter is a partition-
+    * pruned directory scan, so per-batch read cost tracks the batch's
+    * time span, never the store size. (The reference's loop reads one
+    * file per symbol to find max(date) — same intent, per-key.) The
+    * 2-value min/max collect is a bounded driver action on an
+    * already-aggregated single row, not a data collect. */
   def incrementalAppend(spark: SparkSession, landingDir: String, storeDir: String,
                         checkpointDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val stored =
-          try spark.read.parquet(storeDir).select("event_id")
-          catch { case _: Exception => spark.emptyDataFrame.withColumn("event_id", lit(0L)).limit(0) }
-        batch.join(stored, Seq("event_id"), "left_anti")
-          .write.mode("append").parquet(storeDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.withColumn("day", to_date(col("ts")))
+        val Array(row) = batch.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()
+        if (!row.isNullAt(0)) {
+          val (lo, hi) = (row.getDate(0), row.getDate(1))
+          val storedKeys =
+            try spark.read.parquet(storeDir)
+              .filter(col("day") >= lit(lo) && col("day") <= lit(hi)) // partition-pruned
+              .select("event_id")
+            catch { case _: Exception =>
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("event_id",
+                    org.apache.spark.sql.types.LongType))))
+            }
+          batch.join(storedKeys, Seq("event_id"), "left_anti")
+            .write.mode("append").partitionBy("day").parquet(storeDir)
+        }
       }
       .start()
     q.awaitTermination()
@@ -69,21 +89,55 @@ object Streaming {
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
                      end: java.sql.Timestamp, total_value: Double)
+  /** Constant-size open-session accumulator — the ONLY state kept per
+    * user, regardless of event rate. */
+  case class OpenSession(n: Int, startMs: Long, endMs: Long, total: Double)
 
-  /** Custom sessionization with mapGroupsWithState: a session closes
-    * after `gapMinutes` of inactivity per user (processing-time demo
-    * state machine; event-time sessions use session_window below). */
-  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+  /** Custom sessionization with flatMapGroupsWithState: a session CLOSES
+    * (is emitted) once `gapMinutes` of EVENT-TIME inactivity separates
+    * it from the next event, or when the event-time timeout fires for
+    * the tail session as the watermark passes end+gap. State per user is
+    * one OpenSession — four fixed-width fields, never the event list —
+    * so state size is O(active users), independent of event count, and
+    * every session terminates (gap event or watermark timeout; event-
+    * time timeouts fire only when the watermark moves, so no busy
+    * empty-batch loop). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+                 watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[List[Event], Session](GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[Event], state: GroupState[List[Event]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++ evs.toList).sortBy(_.ts.getTime)
-          state.update(all)
-          Session(uid, all.size,
-            all.headOption.map(_.ts).orNull,
-            all.lastOption.map(_.ts).orNull,
-            all.map(_.value).sum)
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = Session(uid, s.n,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.total)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(emit)
+            state.remove()
+            closed.iterator
+          } else {
+            // per-trigger per-user slice: bounded by the micro-batch
+            val batch = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              open =
+                if (open == null) OpenSession(1, t, t, e.value)
+                else if (t - open.endMs > gapMs) { closed += emit(open); OpenSession(1, t, t, e.value) }
+                else OpenSession(open.n + 1, open.startMs, math.max(open.endMs, t), open.total + e.value)
+            }
+            if (open != null) {
+              state.update(open)
+              // must stay ahead of the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
       }
   }
 

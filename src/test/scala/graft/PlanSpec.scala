@@ -44,6 +44,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(2000))
   }
 
+  test("rename detection is a blocked equi-join, never a cross product (q11)") {
+    val p = plan("q11_rename_detect")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q11 must block candidates via equi-join on name spans:\n$p")
+  }
+
   test("no operator collects the corpus to the driver") {
     // every query plan must keep its row movement inside Spark: the only
     // driver-side action in the library is TickerStore.readLatestSnapshot's

@@ -57,6 +57,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Mean recall@5 of an ANN query against the exact q38 top-5. */
+  private def recallVsExact(name: String): Double = {
+    val exact = SparkEntry.queries("q38_cosine_topk")(spark, sf)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val approx = SparkEntry.queries(name)(spark, sf)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val rs = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    rs.sum / exact.size
+  }
+
+  test("LSH ANN recall floor against exact top-5 (q40)") {
+    val r = recallVsExact("q40_ann_lsh")
+    info(f"q40 recall@5 = $r%.3f")
+    assert(r >= 0.4, f"LSH recall collapsed: $r%.3f")
+  }
+
+  test("IVF ANN recall floor against exact top-5 (q43)") {
+    val r = recallVsExact("q43_ann_ivf")
+    info(f"q43 recall@5 = $r%.3f")
+    assert(r >= 0.3, f"IVF recall collapsed: $r%.3f")
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)

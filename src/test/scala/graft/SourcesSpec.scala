@@ -42,6 +42,54 @@ class SourcesSpec extends SparkSpec {
       bySym("XYZ").getString(2) == "Unknown")
   }
 
+  test("parseMarketWatch maps headers to ordinals and resolves hrefs (S2)") {
+    // deliberately REORDERED columns (sector, volume, symbol, price) plus
+    // a decoy table with no SYMBOL header — the parse must key on header
+    // names, never fixed positions
+    val html =
+      """<html>
+        <table class="other"><thead><tr><th>Foo</th><th>Bar</th></tr></thead>
+          <tbody><tr><td>1</td><td>2</td></tr></tbody></table>
+        <table class="table">
+          <thead><tr><th>Sector</th><th> Volume </th><th>SYMBOL</th><th>Current Price</th></tr></thead>
+          <tbody>
+            <tr><td>Commercial Banks</td><td>1,234,567</td>
+                <td><a href="/company/HBL">hbl </a></td><td>98.75</td></tr>
+            <tr><td>Fertilizer</td><td>22</td>
+                <td><a href="https://other.example/x">engro.pa</a></td><td>310.10</td></tr>
+            <tr><td>Cement</td><td>33</td>
+                <td><a href="company/LUCK">LUCK</a></td><td>1,050.00</td></tr>
+            <tr><td>-</td><td>-</td><td>Select...</td><td>-</td></tr>
+            <tr><td>-</td><td>-</td><td>x</td><td>-</td></tr>
+            <tr><td>only-one-cell</td></tr>
+          </tbody></table></html>"""
+    val rows = Ingest.parseMarketWatch(Seq(html).toDF("html"), "https://base.example")
+      .orderBy("symbol").collect()
+    assert(rows.length == 3, rows.mkString("\n"))
+    val bySym = rows.map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(bySym.keySet == Set("HBL", "ENGRO", "LUCK")) // normalized, .PA stripped
+    assert(bySym("HBL").getAs[String]("url") == "https://base.example/company/HBL")
+    assert(bySym("ENGRO").getAs[String]("url") == "https://other.example/x")
+    assert(bySym("LUCK").getAs[String]("url") == "https://base.example/company/LUCK")
+    assert(bySym("HBL").getAs[Double]("price") == 98.75)
+    assert(bySym("HBL").getAs[Long]("volume") == 1234567L)
+    assert(bySym("LUCK").getAs[Double]("price") == 1050.0)
+    assert(bySym("ENGRO").getAs[String]("sector") == "Fertilizer")
+  }
+
+  test("fallback chain: failing primary degrades to mock with provenance (S1/S18/S20)") {
+    val got = Ingest.loadTickersWithFallback(spark, Seq(
+      "live" -> (() => throw new RuntimeException("connection refused")),
+      "alternate" -> (() => Seq.empty[(String, String)].toDF("symbol", "name"))))
+    assert(got.count() == 22)
+    assert(got.select("provenance").distinct().as[String].collect().toSeq == Seq("mock"))
+    // a healthy primary short-circuits the ladder
+    val live = Ingest.loadTickersWithFallback(spark, Seq(
+      "live" -> (() => Seq(("HBL", "Habib Bank")).toDF("symbol", "name"))))
+    assert(live.count() == 1 &&
+      live.head().getAs[String]("provenance") == "live")
+  }
+
   test("CSV snapshot round-trip uses the fixed 3-column projection (S8/S9)") {
     val dir = tmp("csv")
     TickerStore.writeCsv(Ingest.mockTickerTable(spark).toDF(), dir)

@@ -57,14 +57,39 @@ class StreamingSpec extends SparkSpec {
     val landing = tmp("landing")
     val store = tmp("store")
     val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
-    // seed the store with the first 500 events, land an overlapping slice
-    ev.filter($"event_id" < 500).write.mode("overwrite").parquet(store)
+    // seed the store day-partitioned with the first 500 events, land an
+    // overlapping slice
+    ev.filter($"event_id" < 500).withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").mode("overwrite").parquet(store)
     ev.filter($"event_id" >= 300).write.mode("overwrite").parquet(landing)
     Streaming.incrementalAppend(spark, landing, store, tmp("ckpt"),
-      spark.read.parquet(store).schema)
+      spark.read.parquet(landing).schema)
     val stored = spark.read.parquet(store)
     assert(stored.count() == ev.count(), "no loss, no duplication")
     assert(stored.select("event_id").distinct().count() == ev.count())
+    // the store stays day-partitioned (the pruning contract)
+    assert(new java.io.File(store).listFiles().exists(_.getName.startsWith("day=")))
+  }
+
+  test("incremental append reads only store partitions overlapping the batch (P2 scale)") {
+    val landing = tmp("landing")
+    val store = tmp("store")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // store holds id 1 on an OLD day, far outside the landing range
+    Seq((1L, t("2020-01-01 00:00:00"), 1.0)).toDF("event_id", "ts", "value")
+      .withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").mode("overwrite").parquet(store)
+    // landing holds the same id on a NEW day plus a fresh id
+    Seq((1L, t("2024-06-01 00:00:00"), 2.0), (2L, t("2024-06-01 01:00:00"), 3.0))
+      .toDF("event_id", "ts", "value").write.mode("overwrite").parquet(landing)
+    Streaming.incrementalAppend(spark, landing, store, tmp("ckpt"),
+      spark.read.parquet(landing).schema)
+    val stored = spark.read.parquet(store)
+    // if the whole store were scanned, the old id-1 row would have
+    // suppressed the new-day append; partition-range pruning means the
+    // anti-join only saw overlapping days and both landing rows appended
+    assert(stored.count() == 3,
+      s"expected pruned scan to admit both landing rows, got:\n${stored.collect().mkString("\n")}")
   }
 
   test("streaming dedup drops replayed keys within the watermark") {
@@ -96,20 +121,43 @@ class StreamingSpec extends SparkSpec {
     assert(s(0).getAs[Long]("n_events") == 2 && s(1).getAs[Long]("n_events") == 1)
   }
 
-  test("mapGroupsWithState sessionize accumulates per-user state") {
+  test("sessionize closes sessions after the event-time gap with O(users) state") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val mem = MemoryStream[Streaming.Event]
     val q = Streaming.sessionize(mem.toDS(), 30)
-      .writeStream.format("memory").queryName("sess").outputMode("update").start()
-    mem.addData(Streaming.Event(1, t("2024-01-01 10:00:00"), 7, "view", 1.0))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // 3 events inside one session window for user 7
+    mem.addData(
+      Streaming.Event(1, t("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Streaming.Event(2, t("2024-01-01 10:10:00"), 7, "view", 2.0))
     q.processAllAvailable()
-    mem.addData(Streaming.Event(2, t("2024-01-01 10:10:00"), 7, "view", 2.0))
+    mem.addData(Streaming.Event(3, t("2024-01-01 10:20:00"), 7, "view", 4.0))
     q.processAllAvailable()
+    assert(spark.table("sess").isEmpty, "open session must not emit early")
+    // state is ONE row for the user, not one per event (bounded-state law)
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 1, s"state must be O(users), got $stateRows rows")
+    // an event past the 30-min gap closes the session deterministically
+    mem.addData(Streaming.Event(4, t("2024-01-01 11:30:00"), 7, "view", 8.0))
+    q.processAllAvailable()
+    val closed1 = spark.table("sess").collect()
+    assert(closed1.length == 1)
+    val s0 = closed1(0)
+    assert(s0.getAs[Long]("user_id") == 7L && s0.getAs[Int]("n_events") == 3 &&
+      s0.getAs[Double]("total_value") == 7.0 &&
+      s0.getAs[java.sql.Timestamp]("end") == t("2024-01-01 10:20:00"))
+    // the tail session closes via the EVENT-TIME timeout once the
+    // watermark (driven by another user's events) passes end + gap
+    mem.addData(Streaming.Event(5, t("2024-01-01 13:00:00"), 8, "view", 1.0))
+    q.processAllAvailable() // advances watermark to 13:00
+    mem.addData(Streaming.Event(6, t("2024-01-01 13:05:00"), 8, "view", 1.0))
+    q.processAllAvailable() // timeout for user 7 fires against wm 13:00
     val rows = spark.table("sess").collect()
     q.stop()
-    val last = rows.maxBy(_.getAs[Int]("n_events"))
-    assert(last.getAs[Long]("user_id") == 7L && last.getAs[Int]("n_events") == 2 &&
-      last.getAs[Double]("total_value") == 3.0)
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 2, s"tail session must close by timeout:\n${rows.mkString("\n")}")
+    assert(u7.exists(r => r.getAs[Int]("n_events") == 1 &&
+      r.getAs[Double]("total_value") == 8.0))
   }
 }

@@ -13,6 +13,12 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c == Seq("2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"))
   }
 
+  test("calendar string mode renders the fmt pattern (S19 as_string)") {
+    val c = TimeSeries.calendar(spark, "2024-02-28", "2024-03-01", "dd/MM/yyyy")
+      .as[String].collect().toSeq
+    assert(c == Seq("28/02/2024", "29/02/2024", "01/03/2024"))
+  }
+
   test("calendar length = day span + 1 (property)") {
     val n = TimeSeries.calendar(spark, "1995-01-01", "1995-12-31").count()
     assert(n == 365)
