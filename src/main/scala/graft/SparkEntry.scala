@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Snapshots.queries ++
       operators.TimeSeries.queries ++ operators.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
-      multimodal.Multimodal.queries ++ operators.Analytics.queries
+      multimodal.Multimodal.queries ++ operators.Analytics.queries ++
+      operators.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Snapshots.oracles ++
       operators.TimeSeries.oracles ++ operators.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
-      multimodal.Multimodal.oracles ++ operators.Analytics.oracles
+      multimodal.Multimodal.oracles ++ operators.Analytics.oracles ++
+      operators.Scale.oracles
 }
