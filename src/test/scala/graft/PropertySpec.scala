@@ -65,6 +65,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rename blocking never loses a token-aligned similar pair (S14 law)") {
+    // Law: for names made of whitespace tokens, any pair accepted by the
+    // reference predicate via (a) a shared >3-char token or (b) token-
+    // aligned containment is also proposed by the span-blocked equi-join
+    // — i.e. blocked detectRenames equals the brute-force theta-join +
+    // greedy 1:1 on such inputs.
+    // all-words >3 chars and no word-in-word pairs: containment between
+    // generated names is then always token-aligned — the envelope the
+    // blocking documents (Snapshots.spanKeys)
+    val word = Gen.oneOf("Alpha", "Beta", "Gamma", "Steel", "Cement",
+      "Holdings", "Limited", "Group", "Intl", "Textile")
+    val nameGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.zip(Gen.listOfN(8, nameGen), Gen.listOfN(8, nameGen)), 6)
+      .foreach { case (oldNames, newNames) =>
+        val deleted = oldNames.distinct.zipWithIndex
+          .map { case (n, i) => (f"O$i%02d", n) }.toDF("old_symbol", "old_name")
+        val added = newNames.distinct.zipWithIndex
+          .map { case (n, i) => (f"N$i%02d", n) }.toDF("new_symbol", "new_name")
+        val blocked = Snapshots.detectRenames(deleted, added)
+          .select("old_symbol", "new_symbol").as[(String, String)].collect().toSet
+        // brute force: same predicate + same greedy 1:1, via cross join
+        val pred =
+          expr("instr(new_name, old_name) > 0") ||
+          expr("instr(old_name, new_name) > 0") ||
+          (length($"old_name") > 10 && length($"new_name") > 10 &&
+            expr("exists(filter(split(old_name, ' '), w -> length(w) > 3), " +
+                 "w -> instr(new_name, w) > 0)"))
+        val cand = deleted.crossJoin(added).filter(pred)
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"old_symbol").orderBy($"new_symbol")
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"new_symbol").orderBy($"old_symbol")
+        val brute = cand
+          .withColumn("r1", row_number().over(w1)).filter($"r1" === 1)
+          .withColumn("r2", row_number().over(w2)).filter($"r2" === 1)
+          .select("old_symbol", "new_symbol").as[(String, String)].collect().toSet
+        assert(blocked == brute, s"blocked=$blocked brute=$brute")
+      }
+  }
+
   test("calendar length = day span + 1 for arbitrary ranges (S19 law)") {
     val dayGen = Gen.choose(0, 1200)
     samples(Gen.zip(dayGen, Gen.choose(0, 400)), 8).foreach { case (startOff, span) =>
