@@ -64,6 +64,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Rolling polynomial 5-gram hashes (base 257 mod 1e9+7) at every
+    * character position — the Rabin-Karp hash family used by winnowing
+    * fingerprinting (Schleimer et al., SIGMOD 2003). The window product
+    * is unrolled so the whole pipeline is one codegen'd HOF pass and the
+    * oracle spelling is literally identical (ascii ↔ unicode); k is a
+    * constant, so per-position evaluation is O(k)=O(1) per char — the
+    * classic O(1) rolling update buys nothing at k=5 and would cost a
+    * sequential dependency. */
+  def rollingHashesExpr(textCol: String): String =
+    s"""CASE WHEN length($textCol) < 5 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE transform(sequence(1, length($textCol) - 4), i ->
+          (ascii(substring($textCol, i, 1)) * 4362470401 +
+           ascii(substring($textCol, i + 1, 1)) * 16974593 +
+           ascii(substring($textCol, i + 2, 1)) * 66049 +
+           ascii(substring($textCol, i + 3, 1)) * 257 +
+           ascii(substring($textCol, i + 4, 1))) % 1000000007) END"""
+
+  /** Winnowing selection: min hash of every w=4 window of consecutive
+    * gram hashes, distinct — a document's O(len/w)-sized robust
+    * fingerprint set (shared fingerprints ⇒ shared ≥k+w-1-char runs). */
+  def winnowExpr(hashesCol: String): String =
+    s"""CASE WHEN size($hashesCol) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE array_distinct(transform(sequence(1, greatest(size($hashesCol) - 3, 1)),
+          i -> array_min(slice($hashesCol, i, 4)))) END"""
+
   val queries: Map[String, Q] = Map(
     // Language-ID heuristic, doc-level on a bounded slice.
     "q30_lang_id" -> ((s, dir) => {
@@ -128,6 +153,22 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
              countDistinct(fingerprint(col("text"))).as("n_distinct"))
         .orderBy("source")
+    }),
+
+    // Winnowing fingerprints (rolling-hash document signatures), bounded
+    // slice — the content-overlap-robust counterpart of q34's identity
+    // fingerprint.
+    "q46_winnow_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .withColumn("hs", expr(rollingHashesExpr("text")))
+        .withColumn("wfp", expr(winnowExpr("hs")))
+        .select(col("doc_id"),
+          size(col("hs")).as("n_grams"),
+          size(col("wfp")).as("n_fp"),
+          expr("array_min(wfp)").as("fp_min"),
+          expr("array_max(wfp)").as("fp_max"))
+        .orderBy("doc_id")
     })
   )
 
@@ -165,6 +206,26 @@ object TextAnalysis {
     "q35_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
-         FROM documents GROUP BY source ORDER BY source"""
+         FROM documents GROUP BY source ORDER BY source""",
+    "q46_winnow_fingerprint" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN CAST([] AS BIGINT[])
+             ELSE list_transform(generate_series(1, length(text) - 4), i ->
+               (unicode(substr(text, CAST(i AS INT), 1)) * 4362470401 +
+                unicode(substr(text, CAST(i + 1 AS INT), 1)) * 16974593 +
+                unicode(substr(text, CAST(i + 2 AS INT), 1)) * 66049 +
+                unicode(substr(text, CAST(i + 3 AS INT), 1)) * 257 +
+                unicode(substr(text, CAST(i + 4 AS INT), 1))) % 1000000007) END AS hs
+           FROM documents WHERE doc_id < 100),
+         w AS (
+           SELECT doc_id, hs,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+               i -> list_aggregate(hs[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))) END AS wfp
+           FROM h)
+         SELECT doc_id, CAST(len(hs) AS INT) AS n_grams, CAST(len(wfp) AS INT) AS n_fp,
+                list_aggregate(wfp, 'min') AS fp_min, list_aggregate(wfp, 'max') AS fp_max
+         FROM w ORDER BY doc_id"""
   )
 }

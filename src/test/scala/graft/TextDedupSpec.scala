@@ -23,6 +23,28 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(1) == fp(2) && fp(2) != fp(3))
   }
 
+  test("winnowing: rolling hashes and fingerprints match the DuckDB twin exactly") {
+    // expected values computed with DuckDB 1.0 running the q46 oracle
+    // spelling on the same string — pins the cross-engine lockstep
+    val r = Seq("hello world abc").toDF("text")
+      .withColumn("hs", expr(TextAnalysis.rollingHashesExpr("text")))
+      .withColumn("wfp", expr(TextAnalysis.winnowExpr("hs")))
+      .select(size($"hs").as("n_grams"), size($"wfp").as("n_fp"),
+        expr("array_min(wfp)").as("mn"), expr("array_max(wfp)").as("mx"),
+        expr("slice(hs, 1, 3)").as("first3"))
+      .head()
+    assert(r.getAs[Int]("n_grams") == 11 && r.getAs[Int]("n_fp") == 3)
+    assert(r.getAs[Long]("mn") == 25711337L && r.getAs[Long]("mx") == 161491486L)
+    assert(r.getAs[scala.collection.Seq[Long]]("first3").toSeq ==
+      Seq(418513571L, 449925302L, 987395830L))
+    // short-text guard: no grams, no fingerprints
+    val short = Seq("abc").toDF("text")
+      .withColumn("hs", expr(TextAnalysis.rollingHashesExpr("text")))
+      .withColumn("wfp", expr(TextAnalysis.winnowExpr("hs")))
+      .select(size($"hs"), size($"wfp")).head()
+    assert(short.getInt(0) == 0 && short.getInt(1) == 0)
+  }
+
   test("shingles: distinct character n-grams") {
     val sh = Seq("abcab").toDF("text")
       .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
