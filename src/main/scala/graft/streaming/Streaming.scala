@@ -141,6 +141,29 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views in the hour before it — the streaming counterpart of
+    * the batch as-of join (q22), with BOTH sides watermarked and the
+    * join range bounded, so each side buffers at most
+    * watermark + interval of state and rows age out deterministically.
+    * Unbounded stream-stream joins (no range, no watermark) are the
+    * streaming OOM analogue of a cross join — never shipped here. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+                       interval: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"), col("value").as("p_value"))
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"), col("value").as("v_value"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $interval") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("p_value"),
+        col("v_id"), col("v_ts"), col("v_value"))
+  }
+
   /** Streaming exact dedup: watermark-bounded state, natural-key
     * dropDuplicates — the streaming twin of the batch anti-join dedup
     * (state is purged once the watermark passes, so it holds one

@@ -108,6 +108,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // replayed id 1 dropped
   }
 
+  test("stream-stream interval join matches views to in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val vMem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = Streaming.purchaseViewJoin(
+        pMem.toDF().toDF("event_id", "ts", "user_id", "value"),
+        vMem.toDF().toDF("event_id", "ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("pvj").outputMode("append").start()
+    vMem.addData(
+      (100L, t("2024-01-01 09:30:00"), 7L, 1.0),  // in window
+      (101L, t("2024-01-01 08:30:00"), 7L, 2.0),  // too old (> 1h before)
+      (102L, t("2024-01-01 09:50:00"), 8L, 3.0))  // other user
+    pMem.addData((1L, t("2024-01-01 10:00:00"), 7L, 50.0))
+    q.processAllAvailable()
+    val rows = spark.table("pvj").collect()
+    q.stop()
+    assert(rows.length == 1, rows.mkString("\n"))
+    assert(rows(0).getAs[Long]("p_id") == 1L && rows(0).getAs[Long]("v_id") == 100L)
+  }
+
   test("session windows group by inactivity gap") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
