@@ -122,6 +122,31 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_custkeys"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Range join, scale-correct spelling: orders banded by totalprice
+    // against a price-band dimension. Uniform bands let the range
+    // predicate lo <= x < hi compile to an EQUI-join on the computed
+    // band key (floor(x/width)) — hash join, no BroadcastNestedLoopJoin,
+    // no per-row range scan; the oracle runs the literal range-predicate
+    // join and must agree row-for-row. (Non-uniform bands fall back to a
+    // broadcast range join — dim-sized, never fact×fact.)
+    "q47_range_join" -> ((s, dir) => {
+      val width = 50000L
+      val bands = s.range(0, 12).select(
+        col("id").as("band_id"),
+        (col("id") * width).cast("double").as("lo"),
+        ((col("id") + 1) * width).cast("double").as("hi"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          floor(col("o_totalprice") / width).as("band_id"))
+      o.join(broadcast(bands), Seq("band_id"))
+        .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("band_id")
     })
   )
 
@@ -176,6 +201,17 @@ object Relational {
     "q09_distinct" ->
       """SELECT o_orderstatus, COUNT(*) AS n_custkeys FROM
          (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q47_range_join" ->
+      """WITH bands AS (
+           SELECT CAST(i AS BIGINT) AS band_id,
+                  CAST(i * 50000 AS DOUBLE) AS lo,
+                  CAST((i + 1) * 50000 AS DOUBLE) AS hi
+           FROM (SELECT unnest(generate_series(0, 11)) AS i))
+         SELECT band_id, lo, hi, COUNT(*) AS n_orders,
+                MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band_id, lo, hi ORDER BY band_id"""
   )
 }

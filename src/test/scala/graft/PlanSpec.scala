@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpec {
       s"q11 must block candidates via equi-join on name spans:\n$p")
   }
 
+  test("range join compiles to a hash join on the band key, not a nested loop (q47)") {
+    val p = plan("q47_range_join")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"uniform-band range join must be an equi-join:\n$p")
+  }
+
   test("no operator collects the corpus to the driver") {
     // every query plan must keep its row movement inside Spark: the only
     // driver-side action in the library is TickerStore.readLatestSnapshot's
