@@ -141,6 +141,37 @@ object Similarity {
     "q43_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       ivfTopK(e, nCentroids = 16, k = 5, nprobe = 2).orderBy("q_id", "rank")
+    }),
+
+    // Scale path for q39's threshold near-dup: sign-LSH bucket collision
+    // proposes candidate pairs (equi-join on (table, bucket) — never the
+    // corpus² broadcast q39 uses at local scale), exact cosine verifies.
+    // Every emitted pair is a TRUE ≥-threshold pair (precision 1 by
+    // construction — SimilaritySpec asserts q48 ⊆ q39); candidate recall
+    // is probabilistic, floored in the spec. (Approximate ⇒ rows-only.)
+    "q48_embedding_neardup_lsh" -> ((s, dir) => {
+      val all = hyperplanes(48, 64)
+      val tables = (0 until 8).map(t => all.slice(t * 6, t * 6 + 6))
+      val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
+      }: _*)
+      val e = fanOut(Tables.embeddings(s, dir).filter(col("vec_id") < 300))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          explode(bucketArr).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val a = e.select(col("t"), col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_n"))
+      val b = e.select(col("t"), col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_n"))
+      a.join(b, Seq("t", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"), col("a_n"), col("b_n"))
+        .distinct()
+        .select(col("a_id"), col("b_id"),
+          cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a_id", "b_id")
     })
   )
 

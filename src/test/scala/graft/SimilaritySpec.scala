@@ -82,6 +82,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.3, f"IVF recall collapsed: $r%.3f")
   }
 
+  test("LSH-bucketed near-dup: perfect precision, floored recall vs exact q39 (q48)") {
+    val exact = SparkEntry.queries("q39_embedding_neardup")(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q48_embedding_neardup_lsh")(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"q48 pair recall = $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.3, f"LSH pair recall collapsed: $recall%.3f")
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)
