@@ -126,14 +126,19 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
-    // Token counting per source: whitespace vs regex tokenizers.
+    // Token counting per source: whitespace, word-regex, and a BPE-style
+    // pre-tokenizer (contractions | letter runs | digit runs | punct
+    // runs — the GPT-2 pattern family, spelled lookahead-free so the
+    // RE2 oracle and Java regex agree token-for-token).
     "q33_token_count" -> ((s, dir) => {
+      val bpePat = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s]+"
       Tables.documents(s, dir)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
           sum(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long")).as("re_tokens"),
+          sum(size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("long")).as("bpe_tokens"),
           sum(length(col("text")).cast("long")).as("total_chars"))
         .orderBy("source")
     }),
@@ -198,6 +203,8 @@ object TextAnalysis {
       """SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len(str_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
          CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+         CAST(SUM(len(regexp_extract_all(lower(text),
+           '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
          CAST(SUM(length(text)) AS BIGINT) AS total_chars
          FROM documents GROUP BY source ORDER BY source""",
     "q34_fingerprint" ->
