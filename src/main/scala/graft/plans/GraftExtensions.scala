@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SortedIntersectCount.NAME),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, SortedIntersectCount.NAME),
       (exprs: Seq[Expression]) => SortedIntersectCount.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(DotScaled.NAME),
+      new ExpressionInfo(classOf[DotScaled].getName, DotScaled.NAME),
+      (exprs: Seq[Expression]) => DotScaled.build(exprs)))
   }
 }

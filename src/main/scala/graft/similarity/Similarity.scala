@@ -25,13 +25,24 @@ object Similarity {
     * sum stays < 2^53), and the identical formula runs in the oracle. */
   val FP = 1e14
 
-  /** Scaled-long dot product: Σ floor(a_i·b_i·1e14), exact + portable. */
+  /** Scaled-long dot product: Σ floor(a_i·b_i·1e14), exact + portable.
+    * Runs as the codegen'd [[graft.plans.DotScaled]] expression — the
+    * HOF spelling (aggregate∘zip_with) is CodegenFallback/interpreted
+    * and dominates pair-dense similarity plans; kept as the fallback
+    * for session-less Column composition. Both spellings are the same
+    * IEEE arithmetic, so oracle hashes are unchanged. */
   def dotScaled(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(FP)).cast("long")),
-      lit(0L),
-      (acc, p) => acc + p)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.plans.DotScaled.register(s)
+        call_function(graft.plans.DotScaled.NAME, a, b)
+      case None =>
+        aggregate(
+          zip_with(a, b, (x, y) =>
+            floor(x.cast("double") * y.cast("double") * lit(FP)).cast("long")),
+          lit(0L),
+          (acc, p) => acc + p)
+    }
 
   /** cosine = dot/(|a||b|), every intermediate deterministic. */
   def cosine(a: Column, b: Column): Column =

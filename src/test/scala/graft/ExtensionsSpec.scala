@@ -23,6 +23,13 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n,
                   sorted_intersect_count(array(), array('x')) AS zero""").head()
       assert(got.getInt(0) == 2 && got.getInt(1) == 0)
+      // dot_scaled: Σ floor(a·b·1e14) with float/double arrays
+      val dot = spark.sql(
+        """SELECT dot_scaled(array(CAST(0.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                             array(CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d,
+                  dot_scaled(array(CAST(1.0 AS DOUBLE)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS mism""").head()
+      assert(dot.getLong(0) == 150000000000000L) // (1.0 + 0.5) * 1e14
+      assert(dot.isNullAt(1)) // length mismatch poisons, like zip_with
     } finally previous.foreach { p =>
       SparkSession.setActiveSession(p); SparkSession.setDefaultSession(p)
     }
