@@ -175,6 +175,44 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair set by iterative
+    * min-label propagation: every node adopts the smallest label among
+    * itself and its neighbours until fixpoint — the canonical-document
+    * selection step of a dedup pipeline (cluster near-dups, keep the
+    * min-id representative).
+    *
+    * Scale shape: each round is one hash-shuffle join on node id plus a
+    * map-side-combined min aggregate; rounds needed = component
+    * diameter (near-dup clusters are shallow — pairs chain through
+    * shared content). The per-round `count()` is the loop-termination
+    * aggregate every iterative Spark algorithm needs (a 1-value driver
+    * action, not a data collect), and `localCheckpoint` truncates the
+    * growing lineage (cluster deployments would use checkpoint(dir)). */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    graft.Caches.cached(edges)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .select(col("src").as("nid"), col("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact n-gram Jaccard near-dups on a bounded slice (oracle-checked).
     "q36_ngram_jaccard" -> ((s, dir) => {
@@ -198,6 +236,16 @@ object Dedup {
     "q41_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       simhashNearDups(docs, maxDist = 7).orderBy("a_id", "b_id")
+    }),
+
+    // Near-dup clustering: connected components over the exact Jaccard
+    // pair set → (doc, canonical representative) — the "keep one per
+    // cluster" step. Oracle = DuckDB recursive CTE transitive closure.
+    "q49_neardup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val pairs = jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7)
+      components(pairs).orderBy("doc_id")
     })
   )
 
@@ -218,6 +266,31 @@ object Dedup {
          FROM inter JOIN sizes sa ON sa.doc_id = a_id
                     JOIN sizes sb ON sb.doc_id = b_id
          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+    "q49_neardup_components" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM docs)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+         SELECT id AS doc_id, MIN(label) AS canonical_id
+         FROM r GROUP BY id ORDER BY doc_id"""
   )
 }

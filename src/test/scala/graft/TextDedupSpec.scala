@@ -45,6 +45,18 @@ class TextDedupSpec extends SparkSpec {
     assert(short.getInt(0) == 0 && short.getInt(1) == 0)
   }
 
+  test("components: min-label propagation finds transitive clusters") {
+    // chain 1-2-3 plus isolated pair 5-6: canonical = component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // long chain exercises multi-round propagation (diameter > 1 hop)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.components(chain).as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 1L) && labels.length == 9)
+  }
+
   test("shingles: distinct character n-grams") {
     val sh = Seq("abcab").toDF("text")
       .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
