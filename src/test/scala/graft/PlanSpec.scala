@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
       s"uniform-band range join must be an equi-join:\n$p")
   }
 
+  test("no query plans a cartesian or nested-loop join, except documented baselines") {
+    // deliberate exceptions, each a BOUNDED cross product against a
+    // broadcast side that is dimension-sized by construction:
+    //  q17 — suppliers × 60-day calendar grid (gap detection)
+    //  q38/q39 — exact-cosine BASELINES (broadcast query/slice side);
+    //            their scale paths are q40/q48
+    //  q43 — corpus × 16 broadcast centroids (IVF assignment pass)
+    val allowed = Set("q17_gap_detect", "q38_cosine_topk",
+      "q39_embedding_neardup", "q43_ann_ivf")
+    SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must generate candidates, not cross products:\n${p.take(4000)}")
+    }
+  }
+
   test("no operator collects the corpus to the driver") {
     // every query plan must keep its row movement inside Spark: the only
     // driver-side action in the library is TickerStore.readLatestSnapshot's
