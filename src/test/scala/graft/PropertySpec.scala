@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import graft.functions.Exact.dsumd
 import graft.operators.{Relational, Snapshots}
 
 /** Property-based laws from SURVEY.md §5: normalize idempotence, diff
@@ -103,6 +104,46 @@ class PropertySpec extends SparkSpec {
           .select("old_symbol", "new_symbol").as[(String, String)].collect().toSet
         assert(blocked == brute, s"blocked=$blocked brute=$brute")
       }
+  }
+
+  test("winnowing fingerprints are edit-robust and identity-stable (q46 law)") {
+    import graft.operators.TextAnalysis
+    val base = samples(Gen.listOfN(40, Gen.alphaLowerChar), 6)
+      .map(_.mkString).filter(_.length == 40)
+    base.foreach { text =>
+      // single-char substitution in the middle
+      val edited = text.updated(20, if (text(20) == 'z') 'a' else 'z')
+      val df = Seq(("orig", text), ("same", text), ("edit", edited))
+        .toDF("tag", "text")
+        .withColumn("hs", expr(TextAnalysis.rollingHashesExpr("text")))
+        .withColumn("wfp", expr(TextAnalysis.winnowExpr("hs")))
+        .select($"tag", $"wfp")
+      val fp = df.as[(String, Seq[Long])].collect().toMap
+      assert(fp("orig") == fp("same"), "identical text ⇒ identical fingerprints")
+      val o = fp("orig").toSet; val e = fp("edit").toSet
+      // a 1-char edit touches ≤ k+w-1 = 8 gram positions ⇒ the windows
+      // outside that region keep their minima: overlap must survive
+      val overlap = o.intersect(e).size.toDouble / math.max(o.size, 1)
+      assert(overlap >= 0.4, f"edit destroyed fingerprint overlap: $overlap%.2f")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation on arbitrary skew (q44 law)") {
+    import graft.operators.Scale
+    val rows = Gen.listOfN(300, for {
+      k <- Gen.frequency(8 -> Gen.const("HOT"), 2 -> Gen.oneOf("a", "b", "c"))
+      v <- Gen.choose(0.0, 1000.0)
+    } yield (k, v))
+    samples(rows, 4).foreach { data =>
+      val df = data.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "rid")
+      val salted = Scale.saltedAgg(df, "k", "v", salts = 8, saltSource = $"rid")
+        .orderBy("k").collect().toSeq
+      val plain = df.groupBy($"k")
+        .agg(count(lit(1)).as("n"), dsumd($"v").as("sum"))
+        .orderBy("k").collect().toSeq
+      assert(salted == plain)
+    }
   }
 
   test("calendar length = day span + 1 for arbitrary ranges (S19 law)") {
