@@ -34,7 +34,9 @@ object Bench {
     // Untimed warmup: a join+agg query exercises codegen, shuffle and the
     // parquet reader once before any measurement.
     selected.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      finally Caches.releaseAll() // timed reps must not reuse warmup caches
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.flatMap { case (name, fn) =>

@@ -176,23 +176,32 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair set by iterative
-    * min-label propagation: every node adopts the smallest label among
-    * itself and its neighbours until fixpoint — the canonical-document
-    * selection step of a dedup pipeline (cluster near-dups, keep the
-    * min-id representative).
+    * min-label propagation with POINTER JUMPING: each round every node
+    * adopts the smallest label among itself and its neighbours, then
+    * additionally the label OF its label (path halving), so rounds
+    * needed are O(log diameter), not diameter — a 10k-link near-dup
+    * chain converges in ~14 rounds instead of 10k. This is the
+    * canonical-document selection step of a dedup pipeline (cluster
+    * near-dups, keep the min-id representative).
     *
-    * Scale shape: each round is one hash-shuffle join on node id plus a
-    * map-side-combined min aggregate; rounds needed = component
-    * diameter (near-dup clusters are shallow — pairs chain through
-    * shared content). The per-round `count()` is the loop-termination
-    * aggregate every iterative Spark algorithm needs (a 1-value driver
-    * action, not a data collect), and `localCheckpoint` truncates the
-    * growing lineage (cluster deployments would use checkpoint(dir)). */
+    * Labels are always ids of nodes in the same component, so the
+    * label-of-label lookup is a self-equi-join on the labels table.
+    * Fixpoint = every edge has equal labels on both ends = exact
+    * transitive closure (what the q49 oracle computes); if maxIter
+    * rounds ever exhaust without converging this THROWS rather than
+    * silently returning partial clusters that would hash-mismatch.
+    *
+    * Scale shape: each round is two hash-shuffle joins on node id plus
+    * a map-side-combined min aggregate; the per-round `count()` is the
+    * loop-termination aggregate every iterative Spark algorithm needs
+    * (a 1-value driver action, not a data collect), and
+    * `localCheckpoint` truncates the growing lineage (cluster
+    * deployments would use checkpoint(dir)). */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-    graft.Caches.cached(edges)
+    val edges = graft.Caches.cached(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -202,14 +211,23 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
         .select(col("src").as("nid"), col("nbr_min"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("mid_label"))
+      // pointer jump: my new label ← label of the node my label points to
+      val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
+      val updated = stepped.join(parents, stepped("mid_label") === parents("p_id"), "left")
+        .select(col("id"), col("label"),
+          least(col("mid_label"), coalesce(col("p_label"), col("mid_label"))).as("new_label"))
         .localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components() did not converge after $maxIter rounds ($changed labels still " +
+          "moving) — component diameter exceeds 2^rounds; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

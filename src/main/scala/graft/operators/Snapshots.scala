@@ -34,19 +34,27 @@ object Snapshots {
 
   /** Blocking keys for the rename candidate join: every contiguous
     * whitespace-token span of the name (single tokens included) longer
-    * than 3 chars, de-duplicated. Why spans are a COMPLETE block for the
-    * predicate's match surface:
-    *  - token branch: a shared >3-char token IS a shared single-token
-    *    span on both sides;
-    *  - containment branch: token-aligned containment means the shorter
-    *    full name equals one of the longer name's token spans, so the
-    *    shorter name itself is the shared key.
-    * Envelope (documented deviation from the quadratic reference scan):
-    * containment that is not token-aligned (name glued inside a word) or
-    * of a ≤3-char name is not proposed — at any realistic churn those
-    * are noise matches, and recovering them exactly requires the O(D×A)
-    * scan this blocking exists to kill. Span count is O(t²) in the
-    * token count t of one NAME (~4), not in churn. */
+    * than 3 chars, de-duplicated. Why spans block the predicate's
+    * TOKEN-ALIGNED match surface completely:
+    *  - token branch, token-aligned: a >3-char token of old_name that is
+    *    itself a whitespace-delimited token of new_name IS a shared
+    *    single-token span on both sides;
+    *  - containment branch, token-aligned: containment along token
+    *    boundaries means the shorter full name equals one of the longer
+    *    name's token spans, so the shorter name itself is the shared key.
+    * Envelope (deliberate deviation from the quadratic reference scan,
+    * encoded in BOTH the engine and the q11/q12 oracle SQL's cand CTE so
+    * the two can never diverge on any data):
+    *  - GLUED word-in-word matches — a token of one name occurring as a
+    *    substring INSIDE a longer word of the other ('Steel' inside
+    *    'PakSteelCo'), which the reference's instr() accepts — are not
+    *    proposed;
+    *  - containment of a ≤3-char name is not proposed.
+    * At any realistic churn those are noise matches, and recovering them
+    * exactly requires the O(D×A) scan this blocking exists to kill.
+    * SnapshotsSpec pins the glued-word exclusion as intended behavior.
+    * Span count is O(t²) in the token count t of one NAME (~4), not in
+    * churn. */
   private def spanKeys(nameCol: Column): Column = {
     val toks = split(trim(nameCol), " +")
     val n = size(toks)
@@ -61,10 +69,11 @@ object Snapshots {
     * Inputs must expose (old_symbol, old_name) / (new_symbol, new_name).
     *
     * Candidates come from an EQUI-JOIN on exploded name-span blocking
-    * keys (see [[spanKeys]]) — never a cross join, so pair work scales
-    * with shared-vocabulary collisions, not churn². The full reference
-    * predicate then re-verifies every candidate (blocking can only
-    * drop pairs, never admit false ones). Greedy 1:1: the reference's
+    * keys (see [[spanKeys]], incl. the documented token-aligned
+    * envelope mirrored in the oracle SQL) — never a cross join, so pair
+    * work scales with shared-vocabulary collisions, not churn². The full
+    * reference predicate then re-verifies every candidate (blocking can
+    * only drop pairs, never admit false ones). Greedy 1:1: the reference's
     * first-match-wins over Python set order is replaced by a
     * deterministic order — per old_symbol keep the lexicographically
     * smallest matching new_symbol, then per new_symbol the smallest
@@ -192,13 +201,35 @@ object Snapshots {
        deleted AS (
          SELECT symbol AS old_symbol, name AS old_name FROM g1
          WHERE symbol NOT IN (SELECT symbol FROM g2)),
+       -- blocked candidate semantics, identical to the engine's
+       -- span-key equi-join (Snapshots.spanKeys): a pair is a candidate
+       -- only if the names share a >3-char whitespace-token SPAN *and*
+       -- the reference predicate accepts it. The span condition makes
+       -- the blocking envelope explicit on both sides — glued
+       -- word-in-word containment (token 'Steel' inside 'PakSteelCo')
+       -- is excluded HERE exactly as the engine excludes it.
+       dspan AS (
+         SELECT old_symbol, old_name,
+           list_filter(flatten(list_transform(range(1, len(toks)+1), i ->
+             list_transform(range(i, len(toks)+1), j ->
+               array_to_string(toks[i:j], ' ')))), s -> length(s) > 3) AS old_spans
+         FROM (SELECT old_symbol, old_name,
+                 regexp_split_to_array(trim(old_name), ' +') AS toks FROM deleted)),
+       aspan AS (
+         SELECT new_symbol, new_name,
+           list_filter(flatten(list_transform(range(1, len(toks)+1), i ->
+             list_transform(range(i, len(toks)+1), j ->
+               array_to_string(toks[i:j], ' ')))), s -> length(s) > 3) AS new_spans
+         FROM (SELECT new_symbol, new_name,
+                 regexp_split_to_array(trim(new_name), ' +') AS toks FROM added)),
        cand AS (
          SELECT old_symbol, old_name, new_symbol, new_name
-         FROM deleted, added
-         WHERE instr(new_name, old_name) > 0 OR instr(old_name, new_name) > 0
+         FROM dspan, aspan
+         WHERE len(list_intersect(old_spans, new_spans)) > 0
+           AND (instr(new_name, old_name) > 0 OR instr(old_name, new_name) > 0
             OR (length(old_name) > 10 AND length(new_name) > 10 AND
                 len(list_filter(str_split(old_name, ' '),
-                    w -> length(w) > 3 AND instr(new_name, w) > 0)) > 0)),
+                    w -> length(w) > 3 AND instr(new_name, w) > 0)) > 0))),
        ren1 AS (
          SELECT *, row_number() OVER (PARTITION BY old_symbol ORDER BY new_symbol) AS rn_old
          FROM cand),

@@ -199,7 +199,12 @@ object Similarity {
     * any corpus, not a hard-coded fixture range. */
   def ivfTopK(e: org.apache.spark.sql.DataFrame, nCentroids: Int,
               k: Int, nprobe: Int): DataFrame = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val maxRow = e.agg(max(col("vec_id"))).head
+    if (maxRow.isNullAt(0)) // empty corpus: max() is NULL, not a row to index
+      return e.sparkSession.emptyDataFrame // 0 rows in, 0 rows out
+        .select(lit(0L).as("q_id"), lit(0L).as("c_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+    val maxId = maxRow.getLong(0)
     val stride = math.max((maxId + 1) / nCentroids, 1L)
     val centroidIds = (0 until nCentroids).map(_ * stride)
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))

@@ -131,10 +131,17 @@ object Streaming {
                 else OpenSession(open.n + 1, open.startMs, math.max(open.endMs, t), open.total + e.value)
             }
             if (open != null) {
-              state.update(open)
-              // must stay ahead of the current watermark or Spark rejects it
-              state.setTimeoutTimestamp(
-                math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+              if (state.getCurrentWatermarkMs() >= open.endMs + gapMs) {
+                // gap already elapsed in event time: no later event can
+                // extend this session (it would be behind the watermark),
+                // so emit NOW — deferring to a watermark+1 timeout would
+                // strand the tail session forever if no more data arrives
+                closed += emit(open)
+                state.remove()
+              } else {
+                state.update(open)
+                state.setTimeoutTimestamp(open.endMs + gapMs)
+              }
             }
             closed.iterator
           }

@@ -31,6 +31,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(got == Set(("OLD1", "NEW1"), ("OLD2", "NEW2")))
   }
 
+  test("rename detect: glued word-in-word containment is excluded by design (S14 envelope)") {
+    // The raw reference predicate would accept this pair via its token
+    // branch: token 'Steel' of old_name occurs INSIDE the single word
+    // 'PakSteelCo' of new_name (instr substring match, both names >10
+    // chars). The span-blocked engine intentionally excludes non-token-
+    // aligned matches — and the q11/q12 oracle SQL encodes the same
+    // blocked cand semantics, so engine and oracle agree on this case.
+    val deleted = Seq(("OLD1", "Pak Steel Limitd")).toDF("old_symbol", "old_name")
+    val added = Seq(("NEW1", "PakSteelCo Holdings")).toDF("new_symbol", "new_name")
+    // sanity: the literal reference predicate DOES accept the pair
+    val rawPred = deleted.crossJoin(added).filter(
+      expr("instr(new_name, old_name) > 0") ||
+      expr("instr(old_name, new_name) > 0") ||
+      (length(col("old_name")) > 10 && length(col("new_name")) > 10 &&
+        expr("exists(filter(split(old_name, ' '), w -> length(w) > 3), " +
+             "w -> instr(new_name, w) > 0)"))).count()
+    assert(rawPred == 1L, "fixture must trigger the glued token-in-word branch")
+    // ...but the blocked engine (and the oracle's blocked cand CTE) does not
+    assert(Snapshots.detectRenames(deleted, added).isEmpty)
+  }
+
   test("rename detect: ambiguous 1:2 resolves deterministically (§7.4.1)") {
     val deleted = Seq(("OLD1", "Acme Holdings Ltd")).toDF("old_symbol", "old_name")
     val added = Seq(("NEWB", "Acme Holdings Ltd B"), ("NEWA", "Acme Holdings Ltd A"))

@@ -181,4 +181,29 @@ class StreamingSpec extends SparkSpec {
     assert(u7.exists(r => r.getAs[Int]("n_events") == 1 &&
       r.getAs[Double]("total_value") == 8.0))
   }
+
+  test("sessionize gap-0 sessions terminate at the exact end+gap watermark") {
+    // gap = 0 is the tightest close contract: the timeout is armed at
+    // exactly end (+0), so the session must emit as soon as the
+    // watermark passes `end` — no wm+1 deferral, no stranded tail.
+    // (Events at ts == wm are dropped by Spark's late-row filter, which
+    // is why the in-closure "wm already >= end+gap ⇒ emit now" branch is
+    // defense-in-depth rather than a reachable data path.)
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(mem.toDS(), 0)
+      .writeStream.format("memory").queryName("sess0").outputMode("append").start()
+    mem.addData(Streaming.Event(1, t("2024-01-01 10:00:00"), 7, "view", 1.0))
+    q.processAllAvailable() // advances watermark to 10:00
+    mem.addData(Streaming.Event(2, t("2024-01-01 10:00:01"), 8, "view", 1.0))
+    q.processAllAvailable() // wm -> 10:00:01 > end+gap, timeout fires
+    mem.addData(Streaming.Event(3, t("2024-01-01 10:00:02"), 8, "view", 1.0))
+    q.processAllAvailable() // drain the trigger where the timeout emits
+    val rows = spark.table("sess0").collect()
+    q.stop()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 1 && u7.head.getAs[Int]("n_events") == 1,
+      s"gap-0 session must close once wm passes end, got:\n${rows.mkString("\n")}")
+  }
 }

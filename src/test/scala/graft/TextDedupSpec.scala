@@ -57,6 +57,19 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 1L) && labels.length == 9)
   }
 
+  test("components: pointer jumping converges in O(log diameter) rounds and never lies") {
+    // a 60-link chain needs ~59 rounds under plain neighbor-min
+    // propagation; with pointer jumping it must finish well inside 10
+    val chain = (1L until 61L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.components(chain, maxIter = 10).as[(Long, Long)].collect()
+    assert(labels.length == 61 && labels.forall(_._2 == 1L))
+    // and an impossible budget must THROW, not return partial clusters
+    // (silent unconverged labels would hash-mismatch the q49 oracle)
+    intercept[IllegalStateException] {
+      Dedup.components(chain, maxIter = 2).count()
+    }
+  }
+
   test("shingles: distinct character n-grams") {
     val sh = Seq("abcab").toDF("text")
       .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
