@@ -103,6 +103,86 @@ object Analytics {
         .withColumn("rel_err",
           abs(col("approx_custs") - col("exact_custs")).cast("double") / col("exact_custs"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Exact order statistics: interpolated percentiles per group. Cross-
+    // engine-exact by construction: l_quantity is integer-valued and the
+    // probes are dyadic (0.25/0.5/0.75), so position = p·(n-1) and the
+    // linear interpolation are both exact IEEE arithmetic in either
+    // engine (no rounding to diverge on). One sort-based aggregate —
+    // at scale the same shape as any per-group sort (shuffle on the
+    // group key); approx_percentile is the sketch path when exactness
+    // isn't contractual.
+    "q50_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Reshape wide: pivot on a LOW-CARDINALITY key with the value list
+    // PINNED (Seq("F","O")) — an unpinned pivot runs a distinct scan
+    // first AND makes the output schema data-dependent; pinning keeps
+    // it one hash aggregate with a static schema (the only sane shape
+    // at 100 TB).
+    "q51_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsumd(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        // empty cells → 0.0, not NULL: the driver canonicalizes NULL
+        // doubles differently across its pandas/pyarrow read paths
+        .na.fill(0.0, Seq("qty_f", "qty_o"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Reshape long: unpivot (melt) a per-nation stats row into
+    // (nation, metric, value) — pure projection+explode, no shuffle
+    // beyond the source aggregate.
+    "q52_unpivot" -> ((s, dir) => {
+      val statsDf = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_cust"),
+          dsumd(col("c_acctbal")).as("total_bal"),
+          dmean(col("c_acctbal")).as("avg_bal"))
+      statsDf.unpivot(Array(col("c_nationkey")),
+          Array(col("n_cust"), col("total_bal"), col("avg_bal")),
+          "metric", "value")
+        .orderBy("c_nationkey", "metric")
+    }),
+
+    // Fixed-width histogram: bucket = floor(x / width) — one division
+    // and one floor, the identical IEEE ops in both engines, then a
+    // hash aggregate on the bucket id. The binning is a plain column
+    // expression, so it pushes through codegen and the aggregate gets
+    // map-side partials (the scale shape for 100 TB histograms).
+    "q53_histogram" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") / lit(5000.0)).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Semi-structured JSON extraction (§2.2 scalar/JSON): pull a typed
+    // field out of the events.props JSON string and aggregate it —
+    // get_json_object is a codegen'd path expression, no UDF.
+    "q54_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
     })
   )
 
@@ -159,6 +239,43 @@ object Analytics {
            SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
            EXCEPT
            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+    "q50_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q51_pivot" ->
+      """SELECT l_returnflag,
+           COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_f,
+           COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q52_unpivot" ->
+      """WITH stats AS (
+           SELECT c_nationkey,
+             CAST(COUNT(*) AS DOUBLE) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+           FROM customer GROUP BY c_nationkey)
+         SELECT c_nationkey, metric, value FROM (
+           SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM stats
+           UNION ALL
+           SELECT c_nationkey, 'total_bal' AS metric, total_bal AS value FROM stats
+           UNION ALL
+           SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS value FROM stats)
+         ORDER BY c_nationkey, metric""",
+    "q53_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q54_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

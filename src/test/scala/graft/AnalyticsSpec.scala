@@ -55,4 +55,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.nonEmpty)
     r.foreach(row => assert(row.getAs[Double]("rel_err") < 0.1))
   }
+
+  test("percentiles: exact interpolation on a known sequence (q50 mechanism)") {
+    // 1..5: p25 = 2, p50 = 3, p75 = 4 (position p·(n-1) lands on elements)
+    val r = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+      .agg(percentile($"x", lit(0.25)).as("p25"), percentile($"x", lit(0.5)).as("p50"),
+        percentile($"x", lit(0.75)).as("p75")).head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0 && r.getDouble(2) == 4.0)
+    // even count interpolates exactly: median of 1..4 = 2.5
+    val m = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").agg(percentile($"x", lit(0.5))).head.getDouble(0)
+    assert(m == 2.5)
+    // ordered percentiles hold on the real query
+    val q = SparkEntry.queries("q50_percentiles")(spark, sf).collect()
+    q.foreach { row =>
+      assert(row.getAs[Double]("p25") <= row.getAs[Double]("p50") &&
+        row.getAs[Double]("p50") <= row.getAs[Double]("p75"))
+    }
+  }
+
+  test("pivot cells sum back to the unpivoted total (q51 law)") {
+    val piv = SparkEntry.queries("q51_pivot")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    piv.foreach { row =>
+      val flag = row.getAs[String]("l_returnflag")
+      val total = li.filter($"l_returnflag" === flag)
+        .agg(graft.functions.Exact.dsumd($"l_quantity")).head.getDouble(0)
+      // cells are exact decimals individually, but each is cast to
+      // double before this re-addition — allow the one-ulp of that sum
+      assert(math.abs(row.getAs[Double]("qty_f") + row.getAs[Double]("qty_o") - total)
+        <= math.ulp(total) * 4, s"pivot cells for $flag must partition the group total")
+    }
+  }
+
+  test("unpivot emits one (metric,value) row per wide column (q52 law)") {
+    val long = SparkEntry.queries("q52_unpivot")(spark, sf).collect()
+    val nNations = Tables.customer(spark, sf).select("c_nationkey").distinct().count()
+    assert(long.length == 3 * nNations)
+    assert(long.map(_.getAs[String]("metric")).toSet ==
+      Set("n_cust", "total_bal", "avg_bal"))
+  }
+
+  test("histogram buckets partition the rows and bound their values (q53 law)") {
+    val r = SparkEntry.queries("q53_histogram")(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket")
+      assert(row.getAs[Double]("lo") >= b * 5000.0 &&
+        row.getAs[Double]("hi") < (b + 1) * 5000.0)
+    }
+  }
+
+  test("json extraction recovers the typed field (q54)") {
+    val r = SparkEntry.queries("q54_json_extract")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("min_k") <= row.getAs[Long]("max_k"))
+      assert(row.getAs[Long]("sum_k") >= row.getAs[Long]("n") * row.getAs[Long]("min_k"))
+    }
+  }
 }
