@@ -214,12 +214,17 @@ object Dedup {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("mid_label"))
-      // pointer jump: my new label ← label of the node my label points to
-      val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
-      val updated = stepped.join(parents, stepped("mid_label") === parents("p_id"), "left")
-        .select(col("id"), col("label"),
-          least(col("mid_label"), coalesce(col("p_label"), col("mid_label"))).as("new_label"))
-        .localCheckpoint()
+      // pointer jump: my new label ← label of the node my label points
+      // to. Skipped in round 1, where labels are still the identity map
+      // and the join would be a no-op shuffle.
+      val updated = (if (iter == 0) stepped.select(col("id"), col("label"),
+          col("mid_label").as("new_label"))
+        else {
+          val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
+          stepped.join(parents, stepped("mid_label") === parents("p_id"), "left")
+            .select(col("id"), col("label"),
+              least(col("mid_label"), coalesce(col("p_label"), col("mid_label"))).as("new_label"))
+        }).localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
