@@ -94,29 +94,46 @@ object Dedup {
     * The corpus has high background similarity (avg 3-gram Jaccard
     * ≈ 0.45), so banding alone admits millions of weak candidates; the
     * estimate Σ[sig_i(a)=sig_i(b)]/k is a pure codegen'd column compare
-    * (no arrays, no HOFs) that kills ~all of them before the expensive
-    * shingle-set intersection runs on the survivors. Estimate cutoff is
-    * threshold−0.15 (≈2σ at k=32), so true pairs survive. */
+    * (no arrays, no HOFs) that kills ~all of them. Estimate cutoff is
+    * threshold−0.15 (≈2σ at k=32), so true pairs survive.
+    *
+    * Plan shape: signatures ride ALONG through the band self-join
+    * (k longs per melted row — a few MB of extra shuffle at any corpus
+    * size worth banding), so the prefilter runs streaming ON the join
+    * output, BEFORE any materialization. The alternative — distinct the
+    * raw pair stream, then re-attach signatures with two joins — pays a
+    * full shuffle of millions of weak pairs plus two more probes per
+    * pair just to throw ~all of them away; fused, the distinct only
+    * ever sees prefilter survivors (~1000× fewer rows here). Per-doc
+    * hub skew in the raw collision stream is a non-issue: the filter is
+    * map-side, evaluated where the join emits. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
-    val cand = lshCandidates(sigs, bands, k / bands)
-    // Candidate pairs are heavily skewed per doc (hub documents sit in
-    // thousands of pairs), so attaching signatures via a shuffle join
-    // puts whole hot keys on single tasks. The signature table is
-    // corpus-count × k longs — a dimension next to the pair fact —
-    // broadcast it. (At cluster scale with corpora too large to
-    // broadcast signatures, the same join runs shuffled with AQE skew
-    // splitting + salting; the pair fact stays evenly hash-partitioned.)
-    val sa = broadcast(sigs.select(col("doc_id").as("a_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*))
-    val sb = broadcast(sigs.select(col("doc_id").as("b_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*))
+    val rows = k / bands
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * rows until (j + 1) * rows).map(i => col(s"s$i")): _*).as("key"))
+    }
+    val melted = graft.Caches.cached(
+      sigs.select(col("doc_id") +: explode(array(bandCols: _*)).as("bk") +:
+          (0 until k).map(i => col(s"s$i")): _*)
+        .select(col("doc_id") +: col("bk.band").as("band") +: col("bk.key").as("key") +:
+          (0 until k).map(i => col(s"s$i")): _*))
+    val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
     val agree = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    val survivors = cand.join(sa, "a_id").join(sb, "b_id")
+    val survivors = xs.join(ys, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("est", agree / lit(k.toDouble))
       .filter(col("est") >= threshold - 0.15)
       .select("a_id", "b_id")
+      .distinct()
+    // fanOut: survivors are few in bytes but each costs a verify below;
+    // AQE's byte-based coalescing would serialize them on 1-2 cores
+    val fanned = Tables.fanOut(survivors)
     // exact verify: SORTED shingle arrays are computed ONCE per doc and
     // joined in; per-pair intersection is the codegen'd two-pointer
     // merge (graft.plans.SortedIntersectCount) — Spark's ArrayIntersect
@@ -125,7 +142,7 @@ object Dedup {
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
       .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")))
-    val withSh = survivors
+    val withSh = fanned
       .join(broadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
       .join(broadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.Tables
+
+/** Dev-only stage timer for the q37 pipeline (not part of the driver
+  * contract; run via `runMain graft.tools.DevTime <sfDir>`). */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    println("docs = " + docs.count())
+    val sigs = graft.Caches.cached(Dedup.minhashSignatures(docs, 3, 32))
+    time("signatures")(sigs.count())
+    val cand = Dedup.lshCandidates(sigs, 8, 4)
+    println("candidates = " + time("candidates")(cand.count()))
+    time("full_pipeline_cold") {
+      graft.Caches.releaseAll()
+      Dedup.minhashNearDups(docs, 3, 32, 8, 0.7).count()
+    }
+    graft.Caches.releaseAll()
+    spark.stop()
+  }
+}
