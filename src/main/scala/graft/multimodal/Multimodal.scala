@@ -121,6 +121,23 @@ object Multimodal {
           graft.functions.Exact.dsumd(col("mean_byte")).as("sum_mean_byte"),
           countDistinct(col("head_sig")).as("n_head_sigs"))
         .orderBy("kind")
+    }),
+
+    // Frame sampling over the video-kind rows: fixed-stride full frames
+    // (256 B every 512 B), rolled up per media with position and content
+    // checks the oracle replays byte-for-byte (ASCII corpus ⇒ byte ==
+    // code unit, same equivalence q42 relies on). The sampler itself is
+    // a narrow flatMap — blobs never shuffle; only (id, offset, frame)
+    // rows move, and here only their aggregates.
+    "q55_frame_sample" -> ((s, dir) => {
+      val frames = sampleFrames(syntheticMedia(s, dir), frameSize = 256, stride = 512)
+      frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_offset").cast("long")).as("sum_offsets"),
+          sum(length(col("frame")).cast("long")).as("total_frame_bytes"),
+          sum(expr("ascii(substring(CAST(frame AS STRING), 1, 1))").cast("long"))
+            .as("sum_first_bytes"))
+        .orderBy("media_id")
     })
   )
 
@@ -147,6 +164,20 @@ object Multimodal {
                 CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
                 CAST(SUM(CAST(mean_byte AS DECIMAL(18,4))) AS DOUBLE) AS sum_mean_byte,
                 COUNT(DISTINCT head_sig) AS n_head_sigs
-         FROM feats GROUP BY kind ORDER BY kind"""
+         FROM feats GROUP BY kind ORDER BY kind""",
+    "q55_frame_sample" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND length(text) >= 256),
+         f AS (
+           SELECT media_id, text,
+                  unnest(generate_series(0, length(text) - 256, 512)) AS off
+           FROM media)
+         SELECT media_id, COUNT(*) AS n_frames,
+                CAST(SUM(off) AS BIGINT) AS sum_offsets,
+                CAST(COUNT(*) * 256 AS BIGINT) AS total_frame_bytes,
+                CAST(SUM(unicode(substr(text, CAST(off + 1 AS INT), 1))) AS BIGINT)
+                  AS sum_first_bytes
+         FROM f GROUP BY media_id ORDER BY media_id"""
   )
 }

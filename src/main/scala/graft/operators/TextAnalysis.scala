@@ -160,6 +160,33 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // End-to-end curation pipeline — the composition a training-data
+    // run actually executes: language-ID + quality signals computed in
+    // ONE scan, low-quality docs filtered, exact dedup keeps the
+    // min-id representative per fingerprint, survivors rolled up by
+    // (predicted lang, source). Still just two shuffles total (dedup
+    // window on fp, final aggregate) because every per-doc signal is a
+    // codegen'd column expression, not a pass of its own.
+    "q57_curation_pipeline" -> ((s, dir) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nStop = size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
+      // fanOut: lang-ID + tokenization + md5 are the CPU of this query,
+      // and the single-file documents scan would otherwise run them on
+      // one core (AQE coalesces by bytes, not by expression cost)
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("pred_lang", langId(col("text")))
+        .withColumn("stop_ratio", nStop.cast("double") / nTok)
+        .filter(length(col("text")) >= 100 && col("stop_ratio") >= 0.05)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("pred_lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("pred_lang", "source")
+    }),
+
     // Winnowing fingerprints (rolling-hash document signatures), bounded
     // slice — the content-overlap-robust counterpart of q34's identity
     // fingerprint.
@@ -214,6 +241,24 @@ object TextAnalysis {
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
          FROM documents GROUP BY source ORDER BY source""",
+    "q57_curation_pipeline" ->
+      s"""WITH scored AS (
+            SELECT doc_id, source, text,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              $langIdSql AS pred_lang,
+              CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
+                                   t -> t IN ($stopList))) AS DOUBLE)
+                / len(str_split_regex(trim(text), '\\s+')) AS stop_ratio
+            FROM documents),
+          filtered AS (
+            SELECT * FROM scored WHERE length(text) >= 100 AND stop_ratio >= 0.05),
+          kept AS (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM filtered) WHERE rn = 1)
+          SELECT pred_lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(length(text)) AS BIGINT) AS total_chars
+          FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
     "q46_winnow_fingerprint" ->
       """WITH h AS (
            SELECT doc_id,

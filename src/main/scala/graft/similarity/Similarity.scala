@@ -183,6 +183,23 @@ object Similarity {
           cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("a_id", "b_id")
+    }),
+
+    // Per-cluster centroid computation — the k-means update step an IVF
+    // index trains with, as one exact distributed aggregate: posexplode
+    // the vectors, scaled-long sum per (cluster, dim) (order-independent
+    // ⇒ cross-engine exact), divide once. One shuffle on (cluster, dim)
+    // with map-side partials; at 100 TB this is THE shape for centroid
+    // updates — no driver-side vector math, no collect.
+    "q56_embedding_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select((col("vec_id") % 8).as("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), (col("pos") + 1).as("dim"))
+        .agg(count(lit(1)).as("n"),
+          ((sum(floor(col("v").cast("double") * lit(FP)).cast("long")).cast("double") / FP)
+            / count(lit(1))).as("centroid"))
+        .orderBy("cluster", "dim")
     })
   )
 
@@ -268,6 +285,13 @@ object Similarity {
              row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
            FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank"""),
     "q39_embedding_neardup" -> (cosSql("WHERE vec_id < 300", "WHERE vec_id < 300", "a.vec_id < b.vec_id") +
-      """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id""")
+      """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id"""),
+    "q56_embedding_centroid" ->
+      """SELECT vec_id % 8 AS cluster, CAST(i AS INT) AS dim, COUNT(*) AS n,
+           (CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e14)
+                          AS BIGINT)) AS DOUBLE) / 1e14) / COUNT(*) AS centroid
+         FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

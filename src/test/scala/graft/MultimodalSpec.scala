@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head._3.toSeq == Seq[Byte](0, 1, 2, 3))
   }
 
+  test("q55 frame counts follow the stride arithmetic exactly") {
+    val rows = SparkEntry.queries("q55_frame_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 2 && length($"text") >= 256)
+      .select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    assert(rows.length == lens.size)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_frames")
+      val len = lens(r.getAs[Long]("media_id"))
+      assert(n == (len - 256) / 512 + 1, s"frame count for len=$len")
+      assert(r.getAs[Long]("total_frame_bytes") == n * 256)
+      // offsets 0, 512, ... (n-1)*512 sum to 512 * n(n-1)/2
+      assert(r.getAs[Long]("sum_offsets") == 512 * n * (n - 1) / 2)
+    }
+  }
+
   test("q42 aggregates cover every kind with exact totals") {
     val rows = SparkEntry.queries("q42_multimodal_features")(spark, sf).collect()
     assert(rows.length == 3)

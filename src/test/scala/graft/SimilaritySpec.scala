@@ -25,6 +25,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroids match a driver-side recomputation exactly (q56)") {
+    val got = SparkEntry.queries("q56_embedding_centroid")(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val dims = vecs.head._2.length
+    assert(got.length == 8 * dims)
+    got.foreach { r =>
+      val (cl, dim) = (r.getAs[Long]("cluster"), r.getAs[Int]("dim"))
+      val members = vecs.filter(_._1 % 8 == cl)
+      val scaled = members.map(v => math.floor(v._2(dim - 1).toDouble * 1e14).toLong).sum
+      val expect = (scaled.toDouble / 1e14) / members.length
+      assert(r.getAs[Long]("n") == members.length)
+      assert(r.getAs[Double]("centroid") == expect,
+        s"centroid($cl,$dim) must be the exact scaled-long mean")
+    }
+  }
+
   test("LSH ANN: results are true cosines and rank-consistent with exact") {
     val exact = SparkEntry.queries("q38_cosine_topk")(spark, sf)
       .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()

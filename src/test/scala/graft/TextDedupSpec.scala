@@ -70,6 +70,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: survivors = distinct fingerprints of quality docs (q57 law)") {
+    val got = SparkEntry.queries("q57_curation_pipeline")(spark, sf).collect()
+    val nKept = got.map(_.getAs[Long]("n_docs")).sum
+    // recompute the filter + dedup independently: survivors must equal
+    // the number of DISTINCT fingerprints among quality-passing docs
+    val stopList = Seq("the", "a", "and", "of", "to", "in").map(w => s"'$w'").mkString(", ")
+    val expected = Tables.documents(spark, sf)
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))")).cast("double")
+          / size(split(trim(col("text")), "\\s+")))
+      .filter(length(col("text")) >= 100 && col("stop_ratio") >= 0.05)
+      .select("fp").distinct().count()
+    assert(nKept == expected, s"pipeline kept $nKept, expected $expected distinct survivors")
+  }
+
   test("shingles: distinct character n-grams") {
     val sh = Seq("abcab").toDF("text")
       .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
