@@ -215,10 +215,22 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage (cluster
     * deployments would use checkpoint(dir)). */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sess = pairs.sparkSession
     val edges = graft.Caches.cached(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .distinct())
+    // Size the iterative shuffle to the GRAPH, not the session default:
+    // near-dup pair graphs are orders of magnitude smaller than the
+    // corpus, and every round pays per-task scheduling on every shuffle
+    // partition (localCheckpoint pins the static plan, so AQE cannot
+    // coalesce the empty ones). The edge count is the loop's bounded
+    // driver aggregate anyway — reuse it. ~1M edges per partition.
+    val nEdges = edges.count()
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      math.max(2L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -251,6 +263,7 @@ object Dedup {
         s"components() did not converge after $maxIter rounds ($changed labels still " +
           "moving) — component diameter exceeds 2^rounds; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val queries: Map[String, Q] = Map(

@@ -29,6 +29,13 @@ object DevTime {
       Dedup.minhashNearDups(docs, 3, 32, 8, 0.7).count()
     }
     graft.Caches.releaseAll()
+    // q49 breakdown
+    val slice = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+    val pairs = Dedup.jaccardPairs(slice, 3)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.7)
+    println("pairs = " + time("q49_jaccard_pairs")(pairs.count()))
+    time("q49_components")(Dedup.components(pairs).count())
+    graft.Caches.releaseAll()
     spark.stop()
   }
 }
