@@ -94,7 +94,11 @@ object Analytics {
     }),
 
     // HLL approximate distinct vs exact — sketch path for cardinality
-    // at scale. Approximate values are engine-specific ⇒ rows-only.
+    // at scale. The raw HLL estimate is engine-specific, so the FINAL
+    // output encodes it as a tolerance check (deterministic: Spark's
+    // HLL registers are order-independent maxes over a fixed hash) next
+    // to the exact count — a hash-matchable oracle surface; the raw
+    // estimate's error bound is asserted in AnalyticsSpec.
     "q29_approx_distinct" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
@@ -102,6 +106,8 @@ object Analytics {
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
         .withColumn("rel_err",
           abs(col("approx_custs") - col("exact_custs")).cast("double") / col("exact_custs"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (col("rel_err") < 0.1).as("hll_within_10pct"))
         .orderBy("o_orderstatus")
     }),
 
@@ -172,6 +178,23 @@ object Analytics {
         .orderBy("bucket")
     }),
 
+    // Array aggregation (§2.2 array/map functions): collect, sort and
+    // join per-group values into a deterministic STRING surface —
+    // collect_list order is partition-dependent, so sort_array is what
+    // makes the aggregate well-defined (and hash-matchable). Top-3 via
+    // window keeps the collected arrays bounded regardless of group
+    // size — the 100 TB guard for any collect_list.
+    "q58_array_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_top"),
+          array_join(sort_array(collect_list(col("c_name"))), ",").as("top_names"))
+        .orderBy("c_nationkey")
+    }),
+
     // Semi-structured JSON extraction (§2.2 scalar/JSON): pull a typed
     // field out of the events.props JSON string and aggregate it —
     // get_json_object is a codegen'd path expression, no UDF.
@@ -240,6 +263,20 @@ object Analytics {
            EXCEPT
            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
          ORDER BY o_custkey""",
+    "q29_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS hll_within_10pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q58_array_agg" ->
+      """WITH top3 AS (
+           SELECT c_nationkey, c_name FROM (
+             SELECT c_nationkey, c_name,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+             FROM customer) WHERE rn <= 3)
+         SELECT c_nationkey, COUNT(*) AS n_top,
+           array_to_string(list_sort(list(c_name)), ',') AS top_names
+         FROM top3 GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q50_percentiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,
            quantile_cont(l_quantity, 0.25) AS p25,

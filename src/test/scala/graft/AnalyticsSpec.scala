@@ -53,7 +53,16 @@ class AnalyticsSpec extends SparkSpec {
   test("HLL approximate distinct lands within the configured error (q29)") {
     val r = SparkEntry.queries("q29_approx_distinct")(spark, sf).collect()
     assert(r.nonEmpty)
-    r.foreach(row => assert(row.getAs[Double]("rel_err") < 0.1))
+    r.foreach(row => assert(row.getAs[Boolean]("hll_within_10pct")))
+    // the raw estimate (not part of the oracle surface) stays in bound
+    val raw = Tables.orders(spark, sf).groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("exact"),
+        approx_count_distinct($"o_custkey", 0.02).as("approx"))
+      .collect()
+    raw.foreach { row =>
+      val (e, a) = (row.getAs[Long]("exact"), row.getAs[Long]("approx"))
+      assert(math.abs(a - e).toDouble / e < 0.1, s"HLL err for ${row.get(0)}: $a vs $e")
+    }
   }
 
   test("percentiles: exact interpolation on a known sequence (q50 mechanism)") {
