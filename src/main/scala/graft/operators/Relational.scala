@@ -102,6 +102,25 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // S16-shape outer enrichment: customers LEFT JOIN their 1996 order
+    // stats, absent rows defaulted — the merge/enrich join flavor with
+    // explicit null handling. Aggregate-BEFORE-join: the orders side
+    // reduces to one row per customer before the join, so the shuffle
+    // carries aggregates, not the fact table (join-then-aggregate would
+    // shuffle every order row — the wrong shape at 100 TB).
+    "q07_outer_enrich" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsumd(col("o_totalprice")).as("spend"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("cnt"), lit(0L)).as("n_1996"),
+          coalesce(col("spend"), lit(0.0)).as("spend_1996"))
+        .orderBy("c_custkey")
+    }),
+
     // S17 conditional-sum aggregate (update-stats shape: sum(when(...))).
     "q08_conditional_agg" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -192,6 +211,17 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q07_outer_enrich" ->
+      """WITH ostats AS (
+           SELECT o_custkey, COUNT(*) AS cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+           GROUP BY o_custkey)
+         SELECT c_custkey, c_nationkey,
+                COALESCE(cnt, 0) AS n_1996,
+                COALESCE(spend, 0.0) AS spend_1996
+         FROM customer LEFT JOIN ostats ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
     "q08_conditional_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,

@@ -41,6 +41,15 @@ class RelationalSpec extends SparkSpec {
     assert(semi + anti == c)
   }
 
+  test("q07 outer enrichment keeps every customer and conserves order counts") {
+    val r = SparkEntry.queries("q07_outer_enrich")(spark, sf)
+    assert(r.count() == Tables.customer(spark, sf).count()) // left join loses no one
+    val totalOrders = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1996).count()
+    assert(r.agg(sum($"n_1996")).as[Long].head() == totalOrders)
+    assert(r.filter($"n_1996" === 0 && $"spend_1996" =!= 0.0).isEmpty)
+  }
+
   test("all registered queries return rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, q) =>
       assert(q(spark, sf).count() > 0, s"$name returned 0 rows")
