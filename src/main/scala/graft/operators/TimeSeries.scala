@@ -117,6 +117,30 @@ object TimeSeries {
         .orderBy("event_type", "day")
     }),
 
+    // P4-adjacent backfill: calendar resample + fill-forward (last
+    // observation carried forward) — the README's missing-data
+    // treatment for daily bars. Sparse bars (value > 200 keeps ~10% of
+    // (type, day) cells at small SF) left-joined onto the full
+    // type × calendar grid; one window pass fills gaps; days before the
+    // first observation surface 0.0 (NULL doubles can't cross the
+    // driver's canonicalization). One broadcast grid + one window
+    // shuffle on the series key.
+    "q59_fill_forward" -> ((s, dir) => {
+      val bars = ohlcDaily(Tables.events(s, dir).filter(col("value") > 200),
+          "event_type", "ts", "value", "event_id")
+        .select(col("event_type"), col("day"), col("close"))
+      val types = Tables.events(s, dir).select("event_type").distinct()
+      val days = calendar(s, "2024-01-01", "2024-01-30")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      types.crossJoin(broadcast(days))
+        .join(bars, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          col("close").isNull.cast("int").as("filled"),
+          coalesce(last(col("close"), ignoreNulls = true).over(w), lit(0.0)).as("close_ff"))
+        .orderBy("event_type", "day")
+    }),
+
     // Engine extension: as-of join — for each purchase, the most recent
     // view at-or-before it by the same user (union + last ignore-nulls:
     // one shuffle on user, no range cross product).
@@ -202,6 +226,27 @@ object TimeSeries {
       """SELECT event_type, day, close,
            close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS ret
          FROM bars ORDER BY event_type, day"""),
+    "q59_fill_forward" ->
+      """WITH bars AS (
+           SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             last_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+           FROM events WHERE value > 200),
+         types AS (SELECT DISTINCT event_type FROM events),
+         days AS (SELECT CAST(d AS DATE) AS day
+                  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                       INTERVAL '1 day') t(d)),
+         j AS (
+           SELECT g.event_type, g.day, b.close
+           FROM (SELECT event_type, day FROM types, days) g
+           LEFT JOIN bars b ON g.event_type = b.event_type AND g.day = b.day)
+         SELECT event_type, day,
+           CAST(close IS NULL AS INT) AS filled,
+           COALESCE(last_value(close IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS close_ff
+         FROM j ORDER BY event_type, day""",
     "q22_asof_join" ->
       """WITH u AS (
            SELECT event_id, ts, user_id, value,

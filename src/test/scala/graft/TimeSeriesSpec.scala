@@ -41,6 +41,24 @@ class TimeSeriesSpec extends SparkSpec {
       x1.getDouble(4) == 7.0 && x1.getDouble(5) == 7.0 && x1.getLong(6) == 3L)
   }
 
+  test("fill-forward carries the last close across gaps, zero before first (q59)") {
+    val r = SparkEntry.queries("q59_fill_forward")(spark, sf).collect()
+    // grid is complete: every (type, day) cell present
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(r.length == types * 30)
+    assert(r.exists(_.getAs[Int]("filled") == 1), "fixture must contain gaps")
+    r.groupBy(_.getAs[String]("event_type")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Date]("day").toString)
+      var lastObserved = 0.0
+      sorted.foreach { row =>
+        if (row.getAs[Int]("filled") == 1)
+          assert(row.getAs[Double]("close_ff") == lastObserved,
+            s"filled day must carry the previous close")
+        else lastObserved = row.getAs[Double]("close_ff")
+      }
+    }
+  }
+
   test("incremental append never duplicates and never loses (P2)") {
     val out = SparkEntry.queries("q18_incremental_append")(spark, sf)
       .agg(sum($"n_events")).as[Long].head()
