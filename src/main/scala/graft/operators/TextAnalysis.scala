@@ -187,6 +187,23 @@ object TextAnalysis {
         .orderBy("pred_lang", "source")
     }),
 
+    // Reproducible hash-based sampling — how a training pipeline takes
+    // a deterministic, rerun-stable, scale-independent subsample: keep
+    // a doc iff the first md5 byte of its KEY falls under the rate
+    // (here 0x20/0x100 = 12.5%). No RNG, no seed drift across engines
+    // or partitionings; the same doc is in or out forever. Pure
+    // codegen'd predicate ⇒ pushes into the scan stage.
+    "q60_hash_sample" -> ((s, dir) => {
+      val inSample =
+        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("20")
+      Tables.documents(s, dir)
+        .filter(inSample)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sampled_chars"))
+        .orderBy("source")
+    }),
+
     // Winnowing fingerprints (rolling-hash document signatures), bounded
     // slice — the content-overlap-robust counterpart of q34's identity
     // fingerprint.
@@ -241,6 +258,12 @@ object TextAnalysis {
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
          FROM documents GROUP BY source ORDER BY source""",
+    "q60_hash_sample" ->
+      """SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+         GROUP BY source ORDER BY source""",
     "q57_curation_pipeline" ->
       s"""WITH scored AS (
             SELECT doc_id, source, text,

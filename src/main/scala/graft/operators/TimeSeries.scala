@@ -141,6 +141,30 @@ object TimeSeries {
         .orderBy("event_type", "day")
     }),
 
+    // Batch sessionization — the batch twin of Streaming.sessionize and
+    // the classic lag/cumsum formulation: a session breaks where the
+    // event-time gap to the previous event exceeds 30 min; session_id is
+    // the running count of breaks; one window shuffle on user_id then a
+    // hash aggregate. TimeSeriesSpec cross-checks this against Spark's
+    // built-in session_window aggregate on the same data.
+    "q61_batch_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("gap_ms",
+          unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
+        .withColumn("new_sess",
+          (col("gap_ms").isNull || col("gap_ms") > lit(30 * 60 * 1000L)).cast("int"))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsumd(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Engine extension: as-of join — for each purchase, the most recent
     // view at-or-before it by the same user (union + last ignore-nulls:
     // one shuffle on user, no range cross product).
@@ -226,6 +250,23 @@ object TimeSeries {
       """SELECT event_type, day, close,
            close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS ret
          FROM bars ORDER BY event_type, day"""),
+    "q61_batch_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) AS gap_ms
+           FROM events),
+         sess AS (
+           SELECT *, SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                              THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM e)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "q59_fill_forward" ->
       """WITH bars AS (
            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,

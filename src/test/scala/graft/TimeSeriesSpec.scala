@@ -59,6 +59,19 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("batch sessionize agrees with Spark's built-in session_window (q61 law)") {
+    val got = SparkEntry.queries("q61_batch_sessionize")(spark, sf)
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    val builtin = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.dsumd($"value").as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(got == builtin, "lag/cumsum sessions must equal session_window sessions")
+  }
+
   test("incremental append never duplicates and never loses (P2)") {
     val out = SparkEntry.queries("q18_incremental_append")(spark, sf)
       .agg(sum($"n_events")).as[Long].head()
