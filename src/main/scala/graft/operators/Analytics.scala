@@ -129,6 +129,23 @@ object Analytics {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable quantile sketch next to the exact answer — the 100 TB
+    // path for percentiles (approx_percentile's sketch merges
+    // associatively; exact percentile buffers per group). Like q29, the
+    // engine-specific estimate surfaces as a tolerance boolean so the
+    // oracle stays hash-matchable; the bound itself is generous (the
+    // sketch at accuracy 10000 is ~0.01% rank error).
+    "q62_approx_quantile_sketch" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("ap") - col("p50_exact")) <= lit(0.1) * col("p50_exact"))
+            .as("sketch_within_10pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // Reshape wide: pivot on a LOW-CARDINALITY key with the value list
     // PINNED (Seq("F","O")) — an unpinned pivot runs a distinct scan
     // first AND makes the output schema data-dependent; pinning keeps
@@ -282,6 +299,10 @@ object Analytics {
            quantile_cont(l_quantity, 0.25) AS p25,
            quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q62_approx_quantile_sketch" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_exact,
+           TRUE AS sketch_within_10pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q51_pivot" ->
       """SELECT l_returnflag,
