@@ -63,8 +63,10 @@ class PlanSpec extends SparkSpec {
     //  q38/q39 — exact-cosine BASELINES (broadcast query/slice side);
     //            their scale paths are q40/q48
     //  q43 — corpus × 16 broadcast centroids (IVF assignment pass)
+    //  q59 — event-type dimension × 30-day calendar grid (fill-forward
+    //        resample target frame, same shape as q17's grid)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
-      "q39_embedding_neardup", "q43_ann_ivf")
+      "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
