@@ -153,11 +153,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from token-hash bit votes — one scan, pure HOFs:
+  /** 64-bit SimHash from token-hash bit votes:
     * votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1);
     * fingerprint bit b set iff votes[b] > 0. `textCol` is a column name
-    * resolvable in the input plan. */
-  def simhash64(textCol: String): Column = expr(
+    * resolvable in the input plan.
+    *
+    * Runs as the codegen'd [[graft.plans.SimHash64Expr]] — the HOF
+    * spelling below is CodegenFallback/interpreted and pays 64 lambda
+    * frames per token; kept as the session-less fallback and the
+    * executable spec the expression is lockstep-tested against
+    * (TextDedupSpec). */
+  def simhash64(textCol: String): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.plans.SimHash64.register(s)
+        call_function(graft.plans.SimHash64.NAME, col(textCol))
+      case None => simhash64Hof(textCol)
+    }
+
+  /** Reference HOF spelling of [[simhash64]] (interpreted). */
+  def simhash64Hof(textCol: String): Column = expr(
     s"""aggregate(
           zip_with(
             aggregate(

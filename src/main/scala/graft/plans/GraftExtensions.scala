@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotScaled.NAME),
       new ExpressionInfo(classOf[DotScaled].getName, DotScaled.NAME),
       (exprs: Seq[Expression]) => DotScaled.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SimHash64.NAME),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, SimHash64.NAME),
+      (exprs: Seq[Expression]) => SimHash64.build(exprs)))
   }
 }

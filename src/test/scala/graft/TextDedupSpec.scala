@@ -86,6 +86,26 @@ class TextDedupSpec extends SparkSpec {
     assert(nKept == expected, s"pipeline kept $nKept, expected $expected distinct survivors")
   }
 
+  test("codegen'd simhash64 is bit-identical to the HOF reference spelling") {
+    // the custom expression replaces the interpreted HOF on the hot
+    // path; every fixture shape must agree bit-for-bit — including the
+    // edge cases the HOF defines (empty text hashes the one empty
+    // token, untrimmed tabs produce leading empty tokens)
+    val docs = Seq("hello world foo", "", "  spaced  out  ", "\tleading tab",
+      "one", "a b c d e f g h i j", "ünïcödé tøkens here")
+      .toDF("text")
+    val rows = docs.select(
+      Dedup.simhash64("text").as("fast"),
+      Dedup.simhash64Hof("text").as("ref"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (f, r) => assert(f == r, f"simhash mismatch: $f%016x vs $r%016x") }
+    // and on real corpus text
+    val real = Tables.documents(spark, sf).limit(50)
+      .select(Dedup.simhash64("text").as("fast"), Dedup.simhash64Hof("text").as("ref"))
+      .as[(Long, Long)].collect()
+    real.foreach { case (f, r) => assert(f == r) }
+  }
+
   test("shingles: distinct character n-grams") {
     val sh = Seq("abcab").toDF("text")
       .select(Dedup.shingles("text", 3).as("s")).as[Seq[String]].head()
