@@ -187,6 +187,29 @@ object TextAnalysis {
         .orderBy("pred_lang", "source")
     }),
 
+    // Document chunking — the sequence-prep step of a training/RAG
+    // pipeline: overlapping token windows (50 tokens, stride 40) per
+    // document, emitted as (doc, chunk) rows. Pure generate: one
+    // explode over a computed chunk-count sequence, window text via
+    // slice + array_join — no shuffle at all until the caller
+    // aggregates; chunk text is fingerprinted (md5) so the compare
+    // surface stays scalar.
+    "q63_chunking" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nChunks = // 1 chunk for n<=50, else ceil((n-50)/40)+1
+        greatest(ceil((size(toks) - 50).cast("double") / 40.0).cast("int"), lit(0)) + 1
+      val start = col("chunk_id") * 40 + 1
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", toks)
+        .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+        .withColumn("chunk", array_join(slice(col("toks"), start, lit(50)), " "))
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("toks"), start, lit(50))).as("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Reproducible hash-based sampling — how a training pipeline takes
     // a deterministic, rerun-stable, scale-independent subsample: keep
     // a doc iff the first md5 byte of its KEY falls under the rate
@@ -258,6 +281,21 @@ object TextAnalysis {
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
          FROM documents GROUP BY source ORDER BY source""",
+    "q63_chunking" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 100),
+         c AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0,
+               GREATEST(CAST(ceil(CAST(len(toks) - 50 AS DOUBLE) / 40.0) AS INT), 0)))
+               AS chunk_id
+           FROM d)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS n_chunk_tokens,
+           md5(array_to_string(toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' '))
+             AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_id""",
     "q60_hash_sample" ->
       """SELECT source, COUNT(*) AS n_sampled,
            CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
