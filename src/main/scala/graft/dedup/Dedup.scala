@@ -54,11 +54,33 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent hash orders via seeded
-    * xxhash64(i, shingle), min-aggregated per doc — k columns of
-    * codegen'd min() over ONE exploded scan. (Seed-mixing instead of
+    * xxhash64(i, shingle), min-taken per doc. (Seed-mixing instead of
     * affine permutations: ANSI mode forbids wrapping multiplies, and
-    * signed-min over any uniform hash family is a valid MinHash order.) */
+    * signed-min over any uniform hash family is a valid MinHash order.)
+    *
+    * Runs as the codegen'd [[graft.plans.MinHashSigsExpr]] — one
+    * sliding-window pass per document, no shingle array, no explode, no
+    * aggregate; the former explode + groupBy(min×k) spelling is kept
+    * below as the executable reference the expression is lockstep-tested
+    * against (TextDedupSpec). The repartition between computing the
+    * signature array and splitting it into s0..s{k-1} columns is a
+    * required optimizer barrier, not just fanOut: without it
+    * CollapseProject inlines the array expression into every getItem and
+    * the kernel runs k times per row. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val session = docs.sparkSession
+    graft.plans.MinHashSigs.register(session)
+    val withArr = Tables.fanOut(
+      docs.select(col("doc_id"),
+          call_function(graft.plans.MinHashSigs.NAME, col("text"), lit(n), lit(k)).as("mh"))
+        .filter(col("mh").isNotNull)) // len < n docs: dropped, like the explode did
+    withArr.select(col("doc_id") +:
+      (0 until k).map(i => col("mh").getItem(i).as(s"s$i")): _*)
+  }
+
+  /** Reference pipeline spelling of [[minhashSignatures]] (explode +
+    * k min-aggregates over the shingle index). */
+  def minhashSignaturesPipeline(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(xxhash64(lit(i), col("g"))).as(s"s$i"))
     shingleIndex(docs, n).groupBy("doc_id").agg(mins.head, mins.tail: _*)

@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.NAME),
       new ExpressionInfo(classOf[SimHash64Expr].getName, SimHash64.NAME),
       (exprs: Seq[Expression]) => SimHash64.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(MinHashSigs.NAME),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName, MinHashSigs.NAME),
+      (exprs: Seq[Expression]) => MinHashSigs.build(exprs)))
   }
 }

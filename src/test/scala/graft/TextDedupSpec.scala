@@ -86,6 +86,23 @@ class TextDedupSpec extends SparkSpec {
     assert(nKept == expected, s"pipeline kept $nKept, expected $expected distinct survivors")
   }
 
+  test("codegen'd minhash_sigs matches the explode+aggregate reference slot-for-slot") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+      .select("doc_id", "text")
+      .unionByName(Seq((9001L, "ab"), (9002L, "abc"), (9003L, ""))
+        .toDF("doc_id", "text")) // below-n docs must drop in BOTH paths
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toSeq).toMap
+    val fast = collect(Dedup.minhashSignatures(docs, 3, 32))
+    val ref = collect(Dedup.minhashSignaturesPipeline(docs, 3, 32))
+    assert(fast.keySet == ref.keySet, "both paths must keep the same docs")
+    assert(!fast.contains(9001L) && fast.contains(9002L))
+    fast.foreach { case (id, sig) =>
+      assert(sig == ref(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("codegen'd simhash64 is bit-identical to the HOF reference spelling") {
     // the custom expression replaces the interpreted HOF on the hot
     // path; every fixture shape must agree bit-for-bit — including the
