@@ -40,12 +40,12 @@ case class MinHashSigsExpr(first: Expression, second: Expression, third: Express
       TypeCheckResult.TypeCheckFailure(s"${MinHashSigs.NAME} arg 2 (n) must be a foldable INT")
     else if (third.dataType != IntegerType || !third.foldable)
       TypeCheckResult.TypeCheckFailure(s"${MinHashSigs.NAME} arg 3 (k) must be a foldable INT")
-    else {
-      val n = second.eval().asInstanceOf[Int]
-      val k = third.eval().asInstanceOf[Int]
-      if (n < 1 || k < 1 || k > 1024)
+    else (second.eval(), third.eval()) match {
+      case (null, _) | (_, null) =>
+        TypeCheckResult.TypeCheckFailure(s"${MinHashSigs.NAME} n/k must be non-NULL")
+      case (n: Int, k: Int) if n < 1 || k < 1 || k > 1024 =>
         TypeCheckResult.TypeCheckFailure(s"${MinHashSigs.NAME} needs n >= 1, 1 <= k <= 1024")
-      else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckSuccess
     }
 
   private lazy val n: Int = second.eval().asInstanceOf[Int]
