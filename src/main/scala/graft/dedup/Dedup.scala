@@ -70,10 +70,16 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val session = docs.sparkSession
     graft.plans.MinHashSigs.register(session)
+    // fanOut BEFORE the kernel (single-file scans arrive as 1 partition)
+    // and pre-filter on cheap length(text) >= n — filtering on the mh
+    // column itself would be pushed below the project and evaluate the
+    // kernel twice per row. The second fanOut is the CollapseProject
+    // barrier documented above.
     val withArr = Tables.fanOut(
-      docs.select(col("doc_id"),
-          call_function(graft.plans.MinHashSigs.NAME, col("text"), lit(n), lit(k)).as("mh"))
-        .filter(col("mh").isNotNull)) // len < n docs: dropped, like the explode did
+      Tables.fanOut(docs)
+        .filter(length(col("text")) >= n) // len < n docs: dropped, like the explode did
+        .select(col("doc_id"),
+          call_function(graft.plans.MinHashSigs.NAME, col("text"), lit(n), lit(k)).as("mh")))
     withArr.select(col("doc_id") +:
       (0 until k).map(i => col("mh").getItem(i).as(s"s$i")): _*)
   }
@@ -86,18 +92,29 @@ object Dedup {
     shingleIndex(docs, n).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: band j key = xxhash64 of its r signature slots;
-    * docs sharing any band key become candidate pairs. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  /** The ONE spelling of the banding scheme: melt a signature table to
+    * (doc_id, band, key, carry...) rows — band j's key is xxhash64 of
+    * its r signature slots. Both candidate paths share this so the band
+    * layout can never silently diverge between them. The result is
+    * cached: the signature pipeline must run once, not once per side of
+    * the self-join. */
+  private def meltedBands(sigs: DataFrame, bands: Int, rows: Int,
+                          carry: Seq[String]): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((j * rows until (j + 1) * rows).map(i => col(s"s$i")): _*).as("key"))
     }
-    // cache: the signature pipeline (explode + k hashes over every
-    // shingle) must run ONCE, not once per side of the self-join.
-    val melted = graft.Caches.cached(
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+    graft.Caches.cached(
+      sigs.select(col("doc_id") +: explode(array(bandCols: _*)).as("bk") +:
+          carry.map(col): _*)
+        .select(col("doc_id") +: col("bk.band").as("band") +: col("bk.key").as("key") +:
+          carry.map(col): _*))
+  }
+
+  /** LSH banding: band j key = xxhash64 of its r signature slots;
+    * docs sharing any band key become candidate pairs. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val melted = meltedBands(sigs, bands, rows, carry = Nil)
     // fanOut after the distinct: the pair stream is tiny in BYTES but
     // huge in downstream CPU (est + verify per pair), and AQE coalesces
     // by bytes — left alone it squeezes millions of pairs into 1-2
@@ -131,16 +148,8 @@ object Dedup {
     * map-side, evaluated where the join emits. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
-    val rows = k / bands
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((j * rows until (j + 1) * rows).map(i => col(s"s$i")): _*).as("key"))
-    }
-    val melted = graft.Caches.cached(
-      sigs.select(col("doc_id") +: explode(array(bandCols: _*)).as("bk") +:
-          (0 until k).map(i => col(s"s$i")): _*)
-        .select(col("doc_id") +: col("bk.band").as("band") +: col("bk.key").as("key") +:
-          (0 until k).map(i => col(s"s$i")): _*))
+    val melted = meltedBands(sigs, bands, k / bands,
+      carry = (0 until k).map(i => s"s$i"))
     val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
       (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
     val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
@@ -295,10 +304,22 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"components() did not converge after $maxIter rounds ($changed labels still " +
-          "moving) — component diameter exceeds 2^rounds; raise maxIter")
+    if (changed > 0) {
+      // the final allowed round may have COMPLETED convergence (changed
+      // counts that round's movement, not the state after it) — accept
+      // iff every edge now has equal labels on both ends, the actual
+      // fixpoint condition; throw only on true non-convergence.
+      val l1 = labels.select(col("id").as("src_id"), col("label").as("src_lbl"))
+      val l2 = labels.select(col("id").as("dst_id"), col("label").as("dst_lbl"))
+      val unsettled = edges
+        .join(l1, edges("src") === l1("src_id"))
+        .join(l2, edges("dst") === l2("dst_id"))
+        .filter(col("src_lbl") =!= col("dst_lbl")).count()
+      if (unsettled > 0)
+        throw new IllegalStateException(
+          s"components() did not converge after $maxIter rounds ($unsettled edges still " +
+            "label-mismatched) — component diameter exceeds 2^rounds; raise maxIter")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
