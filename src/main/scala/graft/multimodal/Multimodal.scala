@@ -123,6 +123,22 @@ object Multimodal {
         .orderBy("kind")
     }),
 
+    // Downsample ("resize") over image-kind rows: keep every 4th byte
+    // of the payload — the shape-preserving stand-in for pixel
+    // resampling — rolled up per media with a content checksum the
+    // oracle replays (ASCII corpus ⇒ byte == code unit). Narrow
+    // mapPartitions; blobs never shuffle.
+    "q64_downsample" -> ((s, dir) => {
+      val media = syntheticMedia(s, dir).filter(col("kind") === "image")
+      downsample(media, 4)
+        .select(col("media_id"),
+          length(col("payload_small")).as("n_small_bytes"),
+          expr("aggregate(transform(sequence(1, length(CAST(payload_small AS STRING))), " +
+            "i -> ascii(substring(CAST(payload_small AS STRING), i, 1))), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)").as("byte_sum"))
+        .orderBy("media_id")
+    }),
+
     // Frame sampling over the video-kind rows: fixed-stride full frames
     // (256 B every 512 B), rolled up per media with position and content
     // checks the oracle replays byte-for-byte (ASCII corpus ⇒ byte ==
@@ -165,6 +181,20 @@ object Multimodal {
                 CAST(SUM(CAST(mean_byte AS DECIMAL(18,4))) AS DOUBLE) AS sum_mean_byte,
                 COUNT(DISTINCT head_sig) AS n_head_sigs
          FROM feats GROUP BY kind ORDER BY kind""",
+    "q64_downsample" ->
+      """WITH small AS (
+           SELECT doc_id AS media_id,
+             array_to_string(list_transform(
+               generate_series(1, length(text), 4),
+               i -> substr(text, CAST(i AS INT), 1)), '') AS payload_small
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT media_id, length(payload_small) AS n_small_bytes,
+           CAST(COALESCE(SUM(unicode(substr(payload_small, CAST(i AS INT), 1))), 0)
+                AS BIGINT) AS byte_sum
+         FROM (SELECT media_id, payload_small,
+                 unnest(generate_series(1, length(payload_small))) AS i
+               FROM small)
+         GROUP BY media_id, payload_small ORDER BY media_id""",
     "q55_frame_sample" ->
       """WITH media AS (
            SELECT doc_id AS media_id, text FROM documents
