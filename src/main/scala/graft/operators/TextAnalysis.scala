@@ -60,6 +60,14 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Whitespace token / stopword counts — the ONE definition shared by
+    * the q32 quality score and the q57 curation filter (both oracles
+    * mirror this exact spelling); a tokenization tweak applied here
+    * cannot diverge the two queries. */
+  private def nTokens: Column = size(split(trim(col("text")), "\\s+"))
+  private def nStopwords: Column =
+    size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
+
   /** md5 fingerprint over lower/trim/whitespace-collapsed text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
@@ -68,7 +76,10 @@ object TextAnalysis {
     * character position — the Rabin-Karp hash family used by winnowing
     * fingerprinting (Schleimer et al., SIGMOD 2003). The window product
     * is unrolled so the whole pipeline is one codegen'd HOF pass and the
-    * oracle spelling is literally identical (ascii ↔ unicode); k is a
+    * oracle spelling is literally identical FOR ASCII INPUT — Spark's
+    * ascii() yields the signed first UTF-8 byte while DuckDB's unicode()
+    * yields the code point, so callers must strip non-ASCII first (q46
+    * normalizes with the same regexp on both sides); k is a
     * constant, so per-position evaluation is O(k)=O(1) per char — the
     * classic O(1) rolling update buys nothing at k=5 and would cost a
     * sequential dependency. */
@@ -109,9 +120,8 @@ object TextAnalysis {
 
     // Quality scoring: length/stopword/token-shape components + composite.
     "q32_quality_score" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val nTok = size(toks)
-      val nStop = size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
+      val nTok = nTokens
+      val nStop = nStopwords
       val noWs = length(regexp_replace(col("text"), " ", ""))
       val avgTokLen = noWs.cast("double") / nTok
       val stopRatio = nStop.cast("double") / nTok
@@ -168,15 +178,13 @@ object TextAnalysis {
     // window on fp, final aggregate) because every per-doc signal is a
     // codegen'd column expression, not a pass of its own.
     "q57_curation_pipeline" -> ((s, dir) => {
-      val nTok = size(split(trim(col("text")), "\\s+"))
-      val nStop = size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
       // fanOut: lang-ID + tokenization + md5 are the CPU of this query,
       // and the single-file documents scan would otherwise run them on
       // one core (AQE coalesces by bytes, not by expression cost)
       val docs = Tables.fanOut(Tables.documents(s, dir))
         .withColumn("fp", fingerprint(col("text")))
         .withColumn("pred_lang", langId(col("text")))
-        .withColumn("stop_ratio", nStop.cast("double") / nTok)
+        .withColumn("stop_ratio", nStopwords.cast("double") / nTokens)
         .filter(length(col("text")) >= 100 && col("stop_ratio") >= 0.05)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
@@ -233,7 +241,10 @@ object TextAnalysis {
     "q46_winnow_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .filter(col("doc_id") < 100)
-        .withColumn("hs", expr(rollingHashesExpr("text")))
+        // ASCII-normalize first: the rolling-hash twin contract is
+        // byte-level and only holds for ASCII (see rollingHashesExpr)
+        .withColumn("t7", regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+        .withColumn("hs", expr(rollingHashesExpr("t7")))
         .withColumn("wfp", expr(winnowExpr("hs")))
         .select(col("doc_id"),
           size(col("hs")).as("n_grams"),
@@ -321,7 +332,10 @@ object TextAnalysis {
                  CAST(SUM(length(text)) AS BIGINT) AS total_chars
           FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
     "q46_winnow_fingerprint" ->
-      """WITH h AS (
+      """WITH d AS (
+           SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+           FROM documents WHERE doc_id < 100),
+         h AS (
            SELECT doc_id,
              CASE WHEN length(text) < 5 THEN CAST([] AS BIGINT[])
              ELSE list_transform(generate_series(1, length(text) - 4), i ->
@@ -330,7 +344,7 @@ object TextAnalysis {
                 unicode(substr(text, CAST(i + 2 AS INT), 1)) * 66049 +
                 unicode(substr(text, CAST(i + 3 AS INT), 1)) * 257 +
                 unicode(substr(text, CAST(i + 4 AS INT), 1))) % 1000000007) END AS hs
-           FROM documents WHERE doc_id < 100),
+           FROM d),
          w AS (
            SELECT doc_id, hs,
              CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])

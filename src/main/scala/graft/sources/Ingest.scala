@@ -65,9 +65,14 @@ object Ingest {
         var attempt = 0
         var out: Option[String] = None
         while (out.isEmpty && attempt < maxRetries) {
-          try out = Some(fetch(k))
-          catch {
-            case _: Exception =>
+          // NonFatal only: InterruptedException must propagate so task
+          // cancellation kills the retry loop instead of being retried
+          try {
+            val payload = fetch(k)
+            if (payload != null) out = Some(payload)
+            else attempt += 1 // null payload = failed attempt, not data
+          } catch {
+            case scala.util.control.NonFatal(_) =>
               attempt += 1
               if (retryDelayMs > 0 && attempt < maxRetries)
                 Thread.sleep(retryDelayMs << (attempt - 1)) // exp backoff

@@ -63,13 +63,26 @@ object TickerStore {
 
   /** S12: latest-snapshot resolution — max partition of EITHER kind
     * (mirroring the reference's glob matching both raw and _updated
-    * files), via partition pruning instead of file mtimes. */
+    * files), via partition pruning instead of file mtimes. When BOTH
+    * kinds exist for the latest date (the reference's normal daily
+    * flow: raw sync then enrichment), only the "updated" rows are
+    * returned — the reference's mtime max picks the later _updated
+    * file; returning both would duplicate every symbol with stale raw
+    * values interleaved. */
   def readLatestSnapshot(s: SparkSession, root: String): DataFrame = {
     val all = s.read.parquet(root)
     // partition values are type-inferred on read (yyyymmdd → int);
     // compare as string so the layout owns the format, not the reader
-    val latest = all.select(max(col("sync_date").cast("string"))).head.getString(0)
-    all.filter(col("sync_date").cast("string") === latest)
-      .drop("sync_date", "kind")
+    val latestRow = all.groupBy()
+      .agg(max(col("sync_date").cast("string")).as("d")).head
+    val latest = latestRow.getString(0)
+    val onDate = all.filter(col("sync_date").cast("string") === latest)
+    val kinds = onDate.select(col("kind").cast("string")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ 2 partition values
+    val preferred =
+      if (kinds.length > 1 && kinds.contains("updated"))
+        onDate.filter(col("kind").cast("string") === "updated")
+      else onDate
+    preferred.drop("sync_date", "kind")
   }
 }

@@ -63,7 +63,11 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
-        val batch = batch0.withColumn("day", to_date(col("ts")))
+        // in-batch dedup FIRST: a re-delivered landing file (at-least-
+        // once ingest) can repeat an event_id inside one micro-batch —
+        // the store anti-join below only guards against PAST batches
+        val batch = batch0.dropDuplicates("event_id")
+          .withColumn("day", to_date(col("ts")))
         val Array(row) = batch.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()
         if (!row.isNullAt(0)) {
           val (lo, hi) = (row.getDate(0), row.getDate(1))
@@ -71,11 +75,12 @@ object Streaming {
             try spark.read.parquet(storeDir)
               .filter(col("day") >= lit(lo) && col("day") <= lit(hi)) // partition-pruned
               .select("event_id")
-            catch { case _: Exception =>
-              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("event_id",
-                    org.apache.spark.sql.types.LongType))))
+            catch {
+              // ONLY the store-not-created-yet case may fall through to
+              // "no stored keys"; an IO/permission/corruption failure
+              // must abort the batch, not silently disable dedup
+              case _: org.apache.spark.sql.AnalysisException =>
+                batch.select("event_id").limit(0) // schema-correct empty
             }
           batch.join(storedKeys, Seq("event_id"), "left_anti")
             .write.mode("append").partitionBy("day").parquet(storeDir)
@@ -128,10 +133,13 @@ object Streaming {
               open =
                 if (open == null) OpenSession(1, t, t, e.value)
                 else if (t - open.endMs > gapMs) { closed += emit(open); OpenSession(1, t, t, e.value) }
-                else OpenSession(open.n + 1, open.startMs, math.max(open.endMs, t), open.total + e.value)
+                else OpenSession(open.n + 1, math.min(open.startMs, t), // non-late out-of-order event may PRECEDE the open start
+                  math.max(open.endMs, t), open.total + e.value)
             }
             if (open != null) {
-              if (state.getCurrentWatermarkMs() >= open.endMs + gapMs) {
+              // strict >: at watermark == end+gap an on-time boundary
+              // event (t - end == gap, not > gap) could still merge
+              if (state.getCurrentWatermarkMs() > open.endMs + gapMs) {
                 // gap already elapsed in event time: no later event can
                 // extend this session (it would be behind the watermark),
                 // so emit NOW — deferring to a watermark+1 timeout would
@@ -140,7 +148,11 @@ object Streaming {
                 state.remove()
               } else {
                 state.update(open)
-                state.setTimeoutTimestamp(open.endMs + gapMs)
+                // wm may EQUAL end+gap here (strict > above): a boundary
+                // event could still merge, so keep the session open and
+                // arm the timeout just past the watermark in that case
+                state.setTimeoutTimestamp(
+                  math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
               }
             }
             closed.iterator

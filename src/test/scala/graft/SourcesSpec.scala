@@ -118,6 +118,19 @@ class SourcesSpec extends SparkSpec {
     assert(latest.filter($"symbol" === "HBL").head().getString(1) == "HABIB BANK LIMITED")
   }
 
+  test("same-day raw + updated snapshots resolve to the updated rows only (S12)") {
+    // the reference's normal daily flow: raw sync then enrichment, SAME
+    // date — its mtime max picks the later _updated file; returning
+    // both kinds would duplicate every symbol with stale raw values
+    val root = tmp("store2")
+    val t = Ingest.mockTickerTable(spark).toDF()
+    TickerStore.writeSnapshot(t, root, "20250105", "raw")
+    TickerStore.writeSnapshot(t.withColumn("name", upper($"name")), root, "20250105", "updated")
+    val latest = TickerStore.readLatestSnapshot(spark, root)
+    assert(latest.count() == 22, "one row per symbol, not raw+updated interleaved")
+    assert(latest.filter($"symbol" === "HBL").head().getString(1) == "HABIB BANK LIMITED")
+  }
+
   test("delisted archive keeps only departing symbols, partitioned by date (P5)") {
     val root = tmp("archive")
     val snap = Ingest.mockTickerTable(spark).toDF()

@@ -71,6 +71,21 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(store).listFiles().exists(_.getName.startsWith("day=")))
   }
 
+  test("incremental append dedups WITHIN a micro-batch (at-least-once redelivery)") {
+    val landing = tmp("landing3")
+    val store = tmp("store3")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the same event_id delivered twice inside one batch (replayed file)
+    Seq((1L, t("2024-07-01 10:00:00"), 1.0), (1L, t("2024-07-01 10:00:00"), 1.0),
+        (2L, t("2024-07-01 11:00:00"), 2.0))
+      .toDF("event_id", "ts", "value").write.mode("overwrite").parquet(landing)
+    Streaming.incrementalAppend(spark, landing, store, tmp("ckpt3"),
+      spark.read.parquet(landing).schema)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == 2, "in-batch duplicate must not reach the store")
+    assert(stored.select("event_id").distinct().count() == 2)
+  }
+
   test("incremental append reads only store partitions overlapping the batch (P2 scale)") {
     val landing = tmp("landing")
     val store = tmp("store")
