@@ -39,7 +39,10 @@ object Multimodal {
     * doc fields. Lets every sf dir double as a media corpus. */
   def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     val kinds = Seq("image", "audio", "video")
-    Tables.documents(s, dir).select(
+    // empty payloads are excluded by contract: the DuckDB oracles replay
+    // byte math via unnest(generate_series(1, length(text))), which
+    // drops zero-length groups the Spark side would keep
+    Tables.documents(s, dir).filter(length(col("text")) > 0).select(
       col("doc_id").as("media_id"),
       element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       concat(lit("application/x-fake-"),
@@ -89,7 +92,7 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        (id, bytes.zipWithIndex.collect { case (b, i) if i % k == 0 => b })
+        (id, Iterator.range(0, bytes.length, k).map(bytes(_)).toArray)
       })
       .toDF("media_id", "payload_small")
   }
@@ -130,7 +133,7 @@ object Multimodal {
     // mapPartitions; blobs never shuffle.
     "q64_downsample" -> ((s, dir) => {
       val media = syntheticMedia(s, dir).filter(col("kind") === "image")
-      downsample(media, 4)
+      downsample(graft.Tables.fanOut(media), 4) // single-file scan = 1 partition
         .select(col("media_id"),
           length(col("payload_small")).as("n_small_bytes"),
           expr("aggregate(transform(sequence(1, length(CAST(payload_small AS STRING))), " +
@@ -146,7 +149,8 @@ object Multimodal {
     // a narrow flatMap — blobs never shuffle; only (id, offset, frame)
     // rows move, and here only their aggregates.
     "q55_frame_sample" -> ((s, dir) => {
-      val frames = sampleFrames(syntheticMedia(s, dir), frameSize = 256, stride = 512)
+      val frames = sampleFrames(graft.Tables.fanOut(syntheticMedia(s, dir)),
+        frameSize = 256, stride = 512) // single-file scan = 1 partition
       frames.groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(col("frame_offset").cast("long")).as("sum_offsets"),
@@ -165,7 +169,7 @@ object Multimodal {
       """WITH media AS (
            SELECT doc_id AS media_id,
                   ['image','audio','video'][(CAST(doc_id % 3 AS INT)) + 1] AS kind,
-                  text FROM documents),
+                  text FROM documents WHERE length(text) > 0),
          feats AS (
            SELECT media_id, kind,
                   length(text) AS n_bytes,
@@ -187,10 +191,9 @@ object Multimodal {
              array_to_string(list_transform(
                generate_series(1, length(text), 4),
                i -> substr(text, CAST(i AS INT), 1)), '') AS payload_small
-           FROM documents WHERE doc_id % 3 = 0)
+           FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
          SELECT media_id, length(payload_small) AS n_small_bytes,
-           CAST(COALESCE(SUM(unicode(substr(payload_small, CAST(i AS INT), 1))), 0)
-                AS BIGINT) AS byte_sum
+           CAST(SUM(unicode(substr(payload_small, CAST(i AS INT), 1))) AS BIGINT) AS byte_sum
          FROM (SELECT media_id, payload_small,
                  unnest(generate_series(1, length(payload_small))) AS i
                FROM small)

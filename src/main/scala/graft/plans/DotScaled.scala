@@ -30,7 +30,10 @@ case class DotScaled(left: Expression, right: Expression) extends BinaryExpressi
   override def nullable: Boolean = true
 
   private def elemOk(t: DataType) = t match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    // NullType: the empty array() literal (and array(NULL), whose null
+    // elements poison to NULL below) — keeps HOF-spelling parity, where
+    // dotScaled(array(), array()) = 0
+    case ArrayType(FloatType | DoubleType | org.apache.spark.sql.types.NullType, _) => true
     case _ => false
   }
 

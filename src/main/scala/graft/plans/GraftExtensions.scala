@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(MinHashSigs.NAME),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, MinHashSigs.NAME),
       (exprs: Seq[Expression]) => MinHashSigs.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SignLsh.NAME),
+      new ExpressionInfo(classOf[SignLshExpr].getName, SignLsh.NAME),
+      (exprs: Seq[Expression]) => SignLsh.build(exprs)))
   }
 }

@@ -43,11 +43,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0
     while (i < a.numElements() && j < b.numElements()) {
+      // null element poisons the result (sortedness is undefined with
+      // nulls) — return NULL, never NPE; DotScaled convention
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -64,6 +69,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          int $i = 0, $j = 0;
          ${ev.value} = 0;
          while ($i < $a.numElements() && $j < $b.numElements()) {
+           if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
            int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
            if ($c == 0) { ${ev.value}++; $i++; $j++; }
            else if ($c < 0) { $i++; } else { $j++; }

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: the exact path broadcasts the (small) query set and
   * streams the corpus once — O(|Q|·N·d) with no corpus self-join. The
-  * LSH path computes a 16-bit signature per vector (one pass), then
-  * joins on the bucket id, so candidate generation is equi-join
+  * LSH path computes per-table sign-bucket signatures in one compiled
+  * pass (graft.plans.SignLsh), then joins on (table, bucket), so
+  * candidate generation is equi-join
   * shuffle-partitioned by bucket — no cross product anywhere. All
   * arithmetic is decimal-pinned where the oracle compares values
   * (see graft.functions.Exact).
@@ -60,13 +61,16 @@ object Similarity {
 
   private def fanOut(df: DataFrame): DataFrame = Tables.fanOut(df)
 
-  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits, dim)(rnd.nextGaussian())
-  }
+  /** Deterministic random hyperplanes (seeded) for sign-LSH —
+    * delegates to the one canonical generator shared with the codegen'd
+    * sign_lsh kernel. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    graft.plans.SignLsh.hyperplanes(bits, dim, seed)
 
-  /** 16-bit sign signature of an embedding column under fixed planes. */
+  /** Sign signature of an embedding under the given planes (bit i =
+    * sign of v · planes(i)) — the interpreted REFERENCE spelling of the
+    * codegen'd sign_lsh kernel; SimilaritySpec pins their lockstep.
+    * Bucket width = planes.length (callers use 6-bit tables). */
   def signature(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
@@ -122,16 +126,11 @@ object Similarity {
     // 0.1 — 8 tables lift recall to ~0.5 while each table's buckets
     // still cut the candidate set to ~1/64 of the corpus per table.
     "q40_ann_lsh" -> ((s, dir) => {
-      val all = hyperplanes(48, 64)
-      val tables = (0 until 8).map(t => all.slice(t * 6, t * 6 + 6))
-      val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
-        struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
-      }: _*)
+      graft.plans.SignLsh.register(s)
       val e = fanOut(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          explode(bucketArr).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+          posexplode(call_function(graft.plans.SignLsh.NAME,
+            col("embedding"), lit(8), lit(6))).as(Seq("t", "bucket")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_norm"), col("t"), col("bucket"))
@@ -151,7 +150,8 @@ object Similarity {
     // centroids, 2-cell probe, exact re-rank. (Approximate ⇒ rows-only.)
     "q43_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      ivfTopK(e, nCentroids = 16, k = 5, nprobe = 2).orderBy("q_id", "rank")
+      ivfTopK(e, e.filter(col("vec_id") < 10), nCentroids = 16, k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")
     }),
 
     // Scale path for q39's threshold near-dup: sign-LSH bucket collision
@@ -161,16 +161,11 @@ object Similarity {
     // construction — SimilaritySpec asserts q48 ⊆ q39); candidate recall
     // is probabilistic, floored in the spec. (Approximate ⇒ rows-only.)
     "q48_embedding_neardup_lsh" -> ((s, dir) => {
-      val all = hyperplanes(48, 64)
-      val tables = (0 until 8).map(t => all.slice(t * 6, t * 6 + 6))
-      val bucketArr = array(tables.zipWithIndex.map { case (p, t) =>
-        struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
-      }: _*)
+      graft.plans.SignLsh.register(s)
       val e = fanOut(Tables.embeddings(s, dir).filter(col("vec_id") < 300))
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          explode(bucketArr).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+          posexplode(call_function(graft.plans.SignLsh.NAME,
+            col("embedding"), lit(8), lit(6))).as(Seq("t", "bucket")))
       val a = e.select(col("t"), col("bucket"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_n"))
       val b = e.select(col("t"), col("bucket"), col("vec_id").as("b_id"),
@@ -204,7 +199,8 @@ object Similarity {
   )
 
   /** IVF (inverted-file) ANN: deterministic coarse centroids, cell
-    * assignment by max cosine, 2-cell probe + exact re-rank. The cell
+    * assignment by max cosine, nprobe-cell probe + exact re-rank; the
+    * query set is caller-chosen (a vec_id DataFrame), like [[topK]]. The cell
     * assignment is one broadcast pass (corpus × C centroids); queries
     * only scan their 2 nearest cells — at scale each cell is a
     * partition-pruned slice, so probe cost is corpus/C × nprobe.
@@ -214,8 +210,8 @@ object Similarity {
     * the max(vec_id) lookup is a 1-value driver action on an aggregated
     * row (the documented bounded-collect pattern), so centroids cover
     * any corpus, not a hard-coded fixture range. */
-  def ivfTopK(e: org.apache.spark.sql.DataFrame, nCentroids: Int,
-              k: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(e: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
+              nCentroids: Int, k: Int, nprobe: Int): DataFrame = {
     val maxRow = e.agg(max(col("vec_id"))).head
     if (maxRow.isNullAt(0)) // empty corpus: max() is NULL, not a row to index
       return e.sparkSession.emptyDataFrame // 0 rows in, 0 rows out
@@ -239,7 +235,9 @@ object Similarity {
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_norm"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nprobe)
+    val probes = ranked
+      .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cent_id").as("cell"))
     val cand = assigned.join(broadcast(probes), Seq("cell"))

@@ -25,6 +25,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen'd sign_lsh buckets match the signature() reference spelling") {
+    graft.plans.SignLsh.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(40).select("vec_id", "embedding")
+    val all = Similarity.hyperplanes(48, 64)
+    val tables = (0 until 8).map(t => all.slice(t * 6, t * 6 + 6))
+    val ref = e.select(col("vec_id") +: tables.zipWithIndex.map { case (p, t) =>
+        Similarity.signature(col("embedding"), p).as(s"b$t") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val fast = e.select(col("vec_id"),
+        call_function(graft.plans.SignLsh.NAME, col("embedding"), lit(8), lit(6)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (id, b) => assert(b == ref(id), s"bucket mismatch for vec $id") }
+  }
+
   test("centroids match a driver-side recomputation exactly (q56)") {
     val got = SparkEntry.queries("q56_embedding_centroid")(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)
