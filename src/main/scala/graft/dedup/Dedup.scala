@@ -349,13 +349,42 @@ object Dedup {
       simhashNearDups(docs, maxDist = 7).orderBy("a_id", "b_id")
     }),
 
+    // CAPSTONE: the full corpus-scale dedup pipeline in one query —
+    // MinHash+LSH candidates → exact-Jaccard verify → connected
+    // components → keep the min-id representative per cluster → per-
+    // source survivor accounting. This is the composition a 100 TB
+    // dedup run actually executes end-to-end; every stage is the
+    // bucketed/verified shape (never corpus²). LSH candidate recall is
+    // probabilistic ⇒ rows-only + TextDedupSpec laws (canonical = min
+    // member; survivors + removed = corpus).
+    "q65_canonical_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // cache: components() symmetrizes pairs with a self-union — an
+      // uncached pair set would run the whole LSH+verify pipeline once
+      // per union branch
+      val pairs = graft.Caches.cached(minhashNearDups(docs.select("doc_id", "text"),
+        n = 3, k = 32, bands = 8, threshold = 0.7))
+      val clustered = components(pairs) // (doc_id, canonical_id)
+      val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id")
+      docs.join(removed, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_survivors"),
+          (col("n_docs") - col("n_survivors")).as("n_removed"))
+        .orderBy("source")
+    }),
+
     // Near-dup clustering: connected components over the exact Jaccard
     // pair set → (doc, canonical representative) — the "keep one per
     // cluster" step. Oracle = DuckDB recursive CTE transitive closure.
     "q49_neardup_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select("doc_id", "text")
-      val pairs = jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7)
+      // cached for the same union-branch reason as q65
+      val pairs = graft.Caches.cached(
+        jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7))
       components(pairs).orderBy("doc_id")
     })
   )

@@ -70,6 +70,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("canonical dedup accounting is conservative and consistent (q65 laws)") {
+    val r = SparkEntry.queries("q65_canonical_dedup")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == total, "per-source counts cover the corpus")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_survivors") + row.getAs[Long]("n_removed")
+        == row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("n_survivors") >= 1)
+    }
+    // removed docs are exactly the non-canonical cluster members
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, 3, 32, 8, 0.7)
+    val clustered = Dedup.components(pairs).collect()
+    val byCluster = clustered.groupBy(_.getLong(1))
+    byCluster.foreach { case (canon, members) =>
+      assert(members.map(_.getLong(0)).min == canon, "canonical must be the min member")
+    }
+    val removed = clustered.count(r2 => r2.getLong(0) != r2.getLong(1))
+    assert(r.map(_.getAs[Long]("n_removed")).sum == removed)
+  }
+
   test("curation pipeline: survivors = distinct fingerprints of quality docs (q57 law)") {
     val got = SparkEntry.queries("q57_curation_pipeline")(spark, sf).collect()
     val nKept = got.map(_.getAs[Long]("n_docs")).sum
