@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix):
+// Bench/Verify print machine-readable JSON lines that downstream
+// parsers read from captured stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark sessions are process-global (getOrCreate + active/default
 // registries): suites running concurrently in the forked JVM race
 // ExtensionsSpec's clear-and-rebuild of the session. Run sequentially.
