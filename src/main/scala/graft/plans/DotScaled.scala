@@ -102,6 +102,5 @@ object DotScaled {
 
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, build, "scala_udf")
+    Registration.tempFunction(spark, NAME, build)
 }

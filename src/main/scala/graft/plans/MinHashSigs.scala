@@ -121,6 +121,5 @@ object MinHashSigs {
 
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, build, "scala_udf")
+    Registration.tempFunction(spark, NAME, build)
 }

@@ -124,6 +124,5 @@ object SignLsh {
 
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, build, "scala_udf")
+    Registration.tempFunction(spark, NAME, build)
 }

@@ -78,6 +78,5 @@ object SimHash64 {
 
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, build, "scala_udf")
+    Registration.tempFunction(spark, NAME, build)
 }

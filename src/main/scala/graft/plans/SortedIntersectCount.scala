@@ -96,6 +96,5 @@ object SortedIntersectCount {
   /** Idempotent per-session SQL registration; afterwards the expression
     * is reachable from any plan via expr("sorted_intersect_count(a,b)"). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NAME, build, "scala_udf")
+    Registration.tempFunction(spark, NAME, build)
 }
