@@ -235,6 +235,71 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // Benchmark decontamination — flag training docs sharing any token
+    // 13-gram with a held-out eval set (the standard n-gram-overlap
+    // decontamination check). Held-out set = doc_id % 20 == 0, chosen
+    // deterministically so both engines agree. Scale shape: the eval
+    // gram set is tiny relative to the corpus (distinct + broadcast),
+    // corpus grams are generated by explode (never materialized fully),
+    // and the semi-join marks a doc contaminated on first gram hit —
+    // no corpus² anywhere, one distinct shuffle keyed by doc.
+    "q66_decontaminate" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+      val grams = docs
+        // Spark's sequence(1, hi) DESCENDS when hi < 1 (DuckDB's
+        // generate_series is empty) — filter short docs instead of
+        // clamping, same row semantics on both engines
+        .filter(size(col("toks")) >= 13)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram"))
+      val benchGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select("gram").distinct()
+      val contaminated = grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select("doc_id", "source").distinct()
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val cont = contaminated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated"))
+      base.join(cont, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
+        .orderBy("source")
+    }),
+
+    // Within-document repetition signals (the Gopher-style quality
+    // rules): duplicate-token fraction and most-frequent-bigram mass.
+    // Distinct-token count is a codegen'd array op in the scan stage;
+    // the bigram mode needs a per-(doc,bigram) count — two hash
+    // aggregates keyed by doc, map-side partials absorb the fan-in.
+    "q67_repetition" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), toks.as("toks"))
+      val bigrams = base
+        .filter(size(col("toks")) >= 2) // sequence(1,0) descends in Spark
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), col("i"), lit(2)), " ").as("bigram"))
+      val per = bigrams.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+      base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .join(per, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+            .as("dup_token_frac"),
+          (col("top_c").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document signatures), bounded
     // slice — the content-overlap-robust counterpart of q34's identity
     // fingerprint.
@@ -331,6 +396,50 @@ object TextAnalysis {
           SELECT pred_lang, source, COUNT(*) AS n_docs,
                  CAST(SUM(length(text)) AS BIGINT) AS total_chars
           FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q66_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, source, toks,
+             unnest(generate_series(1, len(toks) - 12)) AS i
+           FROM d WHERE len(toks) >= 13),
+         grams AS (
+           SELECT doc_id, source,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')) AS gram
+           FROM g),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+         contaminated AS (
+           SELECT DISTINCT doc_id, source FROM grams
+           WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)),
+         base AS (
+           SELECT source, COUNT(*) AS n_docs FROM documents
+           WHERE doc_id % 20 <> 0 GROUP BY source),
+         cont AS (
+           SELECT source, COUNT(*) AS n_contaminated FROM contaminated GROUP BY source)
+         SELECT base.source, n_docs,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           n_docs - COALESCE(n_contaminated, 0) AS n_clean
+         FROM base LEFT JOIN cont USING (source) ORDER BY source""",
+    "q67_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         b AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM d WHERE len(toks) >= 2),
+         bg AS (
+           SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bigram
+           FROM b),
+         c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         p AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM c GROUP BY 1)
+         SELECT d.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+           CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+         FROM d JOIN p USING (doc_id) ORDER BY doc_id""",
     "q46_winnow_fingerprint" ->
       """WITH d AS (
            SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
