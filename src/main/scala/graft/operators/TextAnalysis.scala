@@ -300,6 +300,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Exact per-source vocabulary heavy hitters — the corpus report a
+    // data-curation run prints (top tokens per slice). Deterministic
+    // tie-break (count desc, token asc) keeps it oracle-exact. Token
+    // counting is one hash aggregate keyed (source, token) — map-side
+    // partials absorb the explode fan-out — and the top-5 is a per-
+    // source window over the (small) distinct-token aggregate, not the
+    // token stream.
+    "q68_top_terms" -> ((s, dir) => {
+      val counts = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("token"), col("cnt"))
+        .orderBy("source", "rank")
+    }),
+
     // Winnowing fingerprints (rolling-hash document signatures), bounded
     // slice — the content-overlap-robust counterpart of q34's identity
     // fingerprint.
@@ -440,6 +462,18 @@ object TextAnalysis {
              / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
            CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
          FROM d JOIN p USING (doc_id) ORDER BY doc_id""",
+    "q68_top_terms" ->
+      """WITH t AS (
+           SELECT source, unnest(str_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT source, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT source, token, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC)
+               AS rank
+           FROM c)
+         SELECT source, CAST(rank AS INT) AS rank, token, cnt
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
     "q46_winnow_fingerprint" ->
       """WITH d AS (
            SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
