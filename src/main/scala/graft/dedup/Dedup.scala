@@ -367,12 +367,16 @@ object Dedup {
       val clustered = components(pairs) // (doc_id, canonical_id)
       val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
         .select("doc_id")
-      docs.join(removed, Seq("doc_id"), "left_anti")
+      val survivors = docs.join(removed, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_survivors"))
-        .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_survivors"),
-          (col("n_docs") - col("n_survivors")).as("n_removed"))
+      // totals are the base side: a source whose every doc is removed
+      // must still report n_survivors = 0, not vanish from the output
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(survivors, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          (col("n_docs") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
         .orderBy("source")
     }),
 

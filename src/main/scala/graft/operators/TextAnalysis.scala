@@ -64,7 +64,8 @@ object TextAnalysis {
     * the q32 quality score and the q57 curation filter (both oracles
     * mirror this exact spelling); a tokenization tweak applied here
     * cannot diverge the two queries. */
-  private def nTokens: Column = size(split(trim(col("text")), "\\s+"))
+  private def wsToks: Column = split(trim(col("text")), "\\s+")
+  private def nTokens: Column = size(wsToks)
   private def nStopwords: Column =
     size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
 
@@ -203,7 +204,7 @@ object TextAnalysis {
     // aggregates; chunk text is fingerprinted (md5) so the compare
     // surface stays scalar.
     "q63_chunking" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = wsToks
       val nChunks = // 1 chunk for n<=50, else ceil((n-50)/40)+1
         greatest(ceil((size(toks) - 50).cast("double") / 40.0).cast("int"), lit(0)) + 1
       val start = col("chunk_id") * 40 + 1
@@ -244,9 +245,8 @@ object TextAnalysis {
     // and the semi-join marks a doc contaminated on first gram hit —
     // no corpus² anywhere, one distinct shuffle keyed by doc.
     "q66_decontaminate" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
       val docs = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), toks.as("toks"))
+        .select(col("doc_id"), col("source"), wsToks.as("toks"))
       val grams = docs
         // Spark's sequence(1, hi) DESCENDS when hi < 1 (DuckDB's
         // generate_series is empty) — filter short docs instead of
@@ -257,8 +257,12 @@ object TextAnalysis {
           md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram"))
       val benchGrams = grams.filter(col("doc_id") % 20 === 0)
         .select("gram").distinct()
+      // no broadcast() hint: the eval gram set grows linearly with the
+      // corpus (5% of token positions), so at cluster scale AQE must be
+      // free to fall back to a shuffled semi-join past the 8 GB
+      // broadcast limit; locally it broadcasts anyway
       val contaminated = grams.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .join(benchGrams, Seq("gram"), "left_semi")
         .select("doc_id", "source").distinct()
       val base = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -277,9 +281,8 @@ object TextAnalysis {
     // the bigram mode needs a per-(doc,bigram) count — two hash
     // aggregates keyed by doc, map-side partials absorb the fan-in.
     "q67_repetition" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
       val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), wsToks.as("toks"))
       val bigrams = base
         .filter(size(col("toks")) >= 2) // sequence(1,0) descends in Spark
         .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
@@ -309,8 +312,7 @@ object TextAnalysis {
     // token stream.
     "q68_top_terms" -> ((s, dir) => {
       val counts = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("source"),
-          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .select(col("source"), explode(wsToks).as("token"))
         .groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window

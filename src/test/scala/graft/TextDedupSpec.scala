@@ -77,7 +77,9 @@ class TextDedupSpec extends SparkSpec {
     r.foreach { row =>
       assert(row.getAs[Long]("n_survivors") + row.getAs[Long]("n_removed")
         == row.getAs[Long]("n_docs"))
-      assert(row.getAs[Long]("n_survivors") >= 1)
+      // NOT asserting n_survivors >= 1: a source made entirely of
+      // near-dups of lower-id docs elsewhere legitimately keeps none
+      assert(row.getAs[Long]("n_survivors") >= 0)
     }
     // removed docs are exactly the non-canonical cluster members
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
