@@ -195,6 +195,30 @@ object Similarity {
           ((sum(floor(col("v").cast("double") * lit(FP)).cast("long")).cast("double") / FP)
             / count(lit(1))).as("centroid"))
         .orderBy("cluster", "dim")
+    }),
+
+    // Symmetric int8 quantization — the vector-compression step an
+    // embedding store applies before ANN serving (per-vector scale =
+    // 127/max|x|, round-half-up). Pure per-row array math, no shuffle;
+    // the compare surface is integer checksums (sum/min/max of the
+    // quantized codes), exact on both engines because every step is
+    // the same IEEE double formula. Zero vectors quantize to all-zero
+    // codes rather than dividing by zero.
+    "q69_quantize" -> ((s, dir) => {
+      val mx = expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+      val qArr = expr(
+        """transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxabs + 0.5) AS BIGINT))""")
+      val zeros = expr("transform(embedding, x -> CAST(0 AS BIGINT))")
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .withColumn("mxabs", mx)
+        .withColumn("q", when(col("mxabs") === 0.0, zeros).otherwise(qArr))
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+          col("mxabs").cast("double").as("max_abs"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("CAST(array_min(q) AS INT)").as("q_min"),
+          expr("CAST(array_max(q) AS INT)").as("q_max"))
+        .orderBy("vec_id")
     })
   )
 
@@ -284,6 +308,25 @@ object Similarity {
            FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank"""),
     "q39_embedding_neardup" -> (cosSql("WHERE vec_id < 300", "WHERE vec_id < 300", "a.vec_id < b.vec_id") +
       """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id"""),
+    "q69_quantize" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+               AS max_abs
+           FROM embeddings WHERE vec_id < 200),
+         q AS (
+           SELECT vec_id, max_abs, len(embedding) AS n_dims,
+             CASE WHEN max_abs = 0
+               THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS BIGINT)) END AS q
+           FROM m)
+         SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+           CAST(max_abs AS DOUBLE) AS max_abs,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(q, 'min') AS INT) AS q_min,
+           CAST(list_aggregate(q, 'max') AS INT) AS q_max
+         FROM q ORDER BY vec_id""",
     "q56_embedding_centroid" ->
       """SELECT vec_id % 8 AS cluster, CAST(i AS INT) AS dim, COUNT(*) AS n,
            (CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e14)
