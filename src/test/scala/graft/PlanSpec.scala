@@ -74,6 +74,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantization is per-row math: only the output sort exchanges (q69)") {
+    val p = plan("q69_quantize")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"q69 must not shuffle beyond the deterministic output sort:\n$p")
+  }
+
   test("no operator collects the corpus to the driver") {
     // every query plan must keep its row movement inside Spark: the only
     // driver-side action in the library is TickerStore.readLatestSnapshot's
