@@ -19,6 +19,29 @@ import graft.functions.Exact._
 object Analytics {
 
   val queries: Map[String, Q] = Map(
+    // Sequential funnel: first view → first purchase strictly after it,
+    // per user, rolled up to cohorts. Everything shuffles on user_id —
+    // the two first-event aggregates and the conversion join are
+    // co-partitioned, so the whole funnel is one key's worth of
+    // exchanges; conversion delay sums exact integer micros (no double
+    // drift in the compare surface).
+    "q70_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      firstView.join(conv, Seq("user_id"), "left")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("p_ts")).as("n_converted"),
+          coalesce(sum(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))), lit(0L))
+            .as("sum_conv_micros"))
+        .orderBy("cohort")
+    }),
+
     // Hierarchical rollup: year → priority with grouping flags.
     "q23_rollup" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -227,6 +250,21 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_funnel" ->
+      """WITH fv AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         cv AS (
+           SELECT e.user_id, MIN(e.ts) AS p_ts
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+           GROUP BY 1)
+         SELECT fv.user_id % 10 AS cohort, COUNT(*) AS n_viewers,
+           COUNT(p_ts) AS n_converted,
+           CAST(COALESCE(SUM(epoch_us(p_ts) - epoch_us(v_ts)), 0) AS BIGINT)
+             AS sum_conv_micros
+         FROM fv LEFT JOIN cv USING (user_id)
+         GROUP BY 1 ORDER BY 1""",
     "q23_rollup" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, o_orderpriority,
          COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

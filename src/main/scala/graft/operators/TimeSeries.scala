@@ -145,6 +145,23 @@ object TimeSeries {
     // the classic lag/cumsum formulation: a session breaks where the
     // event-time gap to the previous event exceeds 30 min; session_id is
     // the running count of breaks; one window shuffle on user_id then a
+    // P1 extension: weekly OHLC resample — coarser-grain bars from the
+    // daily frame (ISO Monday weeks on both engines). min_by/max_by
+    // pick open/close by day inside one hash aggregate — no window
+    // pass, no second shuffle beyond the grain change; high/low/volume
+    // are plain min/max/sum so every output is exact.
+    "q71_weekly_bars" -> ((s, dir) => {
+      dailyClose(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(min_by(col("open"), col("day")).as("open"),
+          max(col("high")).as("high"), min(col("low")).as("low"),
+          max_by(col("close"), col("day")).as("close"),
+          sum(col("volume")).as("volume"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type", "week")
+    }),
+
     // hash aggregate. TimeSeriesSpec cross-checks this against Spark's
     // built-in session_window aggregate on the same data.
     "q61_batch_sessionize" -> ((s, dir) => {
@@ -250,6 +267,12 @@ object TimeSeries {
       """SELECT event_type, day, close,
            close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS ret
          FROM bars ORDER BY event_type, day"""),
+    "q71_weekly_bars" -> (barsSql +
+      """SELECT event_type, date_trunc('week', day) AS week,
+           min_by(open, day) AS open, max(high) AS high, min(low) AS low,
+           max_by(close, day) AS close,
+           CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS n_days
+         FROM bars GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q61_batch_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, value,
