@@ -259,8 +259,22 @@ object Dedup {
     * loop-termination aggregate every iterative Spark algorithm needs
     * (a 1-value driver action, not a data collect), and
     * `localCheckpoint` truncates the growing lineage (cluster
-    * deployments would use checkpoint(dir)). */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * deployments would use checkpoint(dir)).
+    *
+    * Small graphs skip the loop entirely: a verified near-dup pair set
+    * is orders of magnitude smaller than its corpus, and the iterative
+    * path pays ~0.5 s of plan-compile + job-schedule PER ROUND no
+    * matter how few edges remain — on a 1k-edge graph that is pure
+    * overhead. When the (exact, already-needed-for-routing) edge count
+    * fits `localBudget`, the closure runs as ONE executor task: edges
+    * repartition(1) into a union-find over a hash map (≈48 B/edge ⇒
+    * the 8M default is ~400 MB of task heap, well inside an executor).
+    * This is NOT a driver collect — no edge ever leaves the executors;
+    * it is the single-task degenerate case of the same shuffle, and at
+    * 100 TB a pair graph that outgrows the budget routes to the loop
+    * automatically. */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+                 localBudget: Long = 8L * 1000 * 1000): DataFrame = {
     val sess = pairs.sparkSession
     val edges = graft.Caches.cached(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -273,6 +287,7 @@ object Dedup {
     // coalesce the empty ones). The edge count is the loop's bounded
     // driver aggregate anyway — reuse it. ~1M edges per partition.
     val nEdges = edges.count()
+    if (nEdges <= localBudget) return componentsSingleTask(edges)
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions",
       math.max(2L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
@@ -322,6 +337,45 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Single-task exact closure for pair graphs under the budget: plain
+    * union-find with path compression, min member id per root as the
+    * canonical label (identical semantics to the converged loop — the
+    * result is order-independent, so one unordered pass is enough).
+    * Runs ON an executor via mapPartitions, not on the driver. */
+  private def componentsSingleTask(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keysIterator.foreach { id =>
+          val r = find(id)
+          minOfRoot.get(r) match {
+            case Some(m) if m <= id => ()
+            case _ => minOfRoot(r) = math.min(id, minOfRoot.getOrElse(r, id))
+          }
+        }
+        parent.keysIterator.map(id => (id, minOfRoot(find(id))))
+      }
+      .toDF("doc_id", "canonical_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -36,6 +36,12 @@ object DevTime {
     println("pairs = " + time("q49_jaccard_pairs")(pairs.count()))
     time("q49_components")(Dedup.components(pairs).count())
     graft.Caches.releaseAll()
+    // q65 breakdown (threshold 0.7 — far below the corpus's ~0.45
+    // background similarity margin, so candidate volume dominates)
+    val p65 = graft.Caches.cached(Dedup.minhashNearDups(docs, 3, 32, 8, 0.7))
+    println("q65 pairs = " + time("q65_neardups")(p65.count()))
+    time("q65_components")(Dedup.components(p65).count())
+    graft.Caches.releaseAll()
     spark.stop()
   }
 }

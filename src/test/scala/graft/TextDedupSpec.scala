@@ -51,23 +51,39 @@ class TextDedupSpec extends SparkSpec {
     val got = Dedup.components(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
-    // long chain exercises multi-round propagation (diameter > 1 hop)
+    // long chain exercises multi-round propagation (diameter > 1 hop);
+    // localBudget = 0 forces the iterative path
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = Dedup.components(chain).as[(Long, Long)].collect()
+    val labels = Dedup.components(chain, localBudget = 0).as[(Long, Long)].collect()
     assert(labels.forall(_._2 == 1L) && labels.length == 9)
   }
 
   test("components: pointer jumping converges in O(log diameter) rounds and never lies") {
     // a 60-link chain needs ~59 rounds under plain neighbor-min
     // propagation; with pointer jumping it must finish well inside 10
+    // (localBudget = 0 forces the iterative path under test)
     val chain = (1L until 61L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = Dedup.components(chain, maxIter = 10).as[(Long, Long)].collect()
+    val labels = Dedup.components(chain, maxIter = 10, localBudget = 0)
+      .as[(Long, Long)].collect()
     assert(labels.length == 61 && labels.forall(_._2 == 1L))
     // and an impossible budget must THROW, not return partial clusters
     // (silent unconverged labels would hash-mismatch the q49 oracle)
     intercept[IllegalStateException] {
-      Dedup.components(chain, maxIter = 2).count()
+      Dedup.components(chain, maxIter = 2, localBudget = 0).count()
     }
+  }
+
+  test("components: single-task union-find matches the iterative loop exactly") {
+    // deterministic scrambled graph: chains, a clique, isolated pairs
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++        // 40-chain
+      Seq((100L, 103L), (103L, 101L), (101L, 102L), (100L, 102L)) ++ // clique
+      Seq((200L, 201L), (300L, 301L)) ++                        // pairs
+      Seq((41L, 500L), (500L, 20L))).reverse                    // chain re-entry
+    val pairs = edges.toDF("a_id", "b_id")
+    val fast = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val loop = Dedup.components(pairs, localBudget = 0).as[(Long, Long)].collect().toMap
+    assert(fast == loop)
+    assert(fast(500L) == 1L && fast(102L) == 100L && fast(301L) == 300L)
   }
 
   test("canonical dedup accounting is conservative and consistent (q65 laws)") {
