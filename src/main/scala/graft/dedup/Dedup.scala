@@ -148,23 +148,9 @@ object Dedup {
     * map-side, evaluated where the join emits. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
-    val melted = meltedBands(sigs, bands, k / bands,
-      carry = (0 until k).map(i => s"s$i"))
-    val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
-      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
-    val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
-      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
-    val agree = (0 until k).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    val survivors = xs.join(ys, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("est", agree / lit(k.toDouble))
-      .filter(col("est") >= threshold - 0.15)
-      .select("a_id", "b_id")
-      .distinct()
     // fanOut: survivors are few in bytes but each costs a verify below;
     // AQE's byte-based coalescing would serialize them on 1-2 cores
-    val fanned = Tables.fanOut(survivors)
+    val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
     // exact verify: SORTED shingle arrays are computed ONCE per doc and
     // joined in; per-pair intersection is the codegen'd two-pointer
     // merge (graft.plans.SortedIntersectCount) — Spark's ArrayIntersect
@@ -173,7 +159,19 @@ object Dedup {
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
       .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")))
-    val withSh = fanned
+    verifyExactJaccard(fanned, shArr, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair stream against
+    * per-doc SORTED shingle arrays (computed once, broadcast-joined in;
+    * the per-pair intersection is the codegen'd two-pointer merge).
+    * The broadcast is the local choice — at cluster scale where the
+    * shingle-array table outgrows the broadcast limit AQE falls back
+    * to a shuffled join keyed by doc id, which is exactly the shape a
+    * 1000-executor run wants (pairs and arrays co-partition by id). */
+  private def verifyExactJaccard(pairs: DataFrame, shArr: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val withSh = pairs
       .join(broadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
       .join(broadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")
@@ -182,6 +180,91 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Distinct word w-gram shingles of a whitespace-tokenized text
+    * column — the unit of similarity production text dedup actually
+    * uses (token 4/5-grams), in contrast to the character n-grams
+    * above. On a small-vocabulary corpus the distinction is dramatic:
+    * the char-3-gram universe saturates (every doc contains most
+    * shingles, so every pair looks ~0.45 similar and LSH buckets
+    * degenerate), while token w-grams stay discriminative. `toksCol`
+    * must already be the split token array. */
+  def tokenShingles(toksCol: Column, w: Int): Column =
+    array_distinct(when(size(toksCol) < w, expr("CAST(array() AS ARRAY<STRING>)"))
+      .otherwise(transform(sequence(lit(1), size(toksCol) - (w - 1)),
+        i => array_join(slice(toksCol, i, lit(w)), " "))))
+
+  /** Exact pairwise token w-gram Jaccard via the same inverted-index
+    * shape as [[jaccardPairs]] — the ground truth the token LSH
+    * pipeline's recall is audited against. */
+  def jaccardPairsTokens(docs: DataFrame, w: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val idx = graft.Caches.cached(Tables.fanOut(docs)
+      .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g")))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("x").join(idx.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash signatures over token w-grams via the explode + k-min
+    * aggregate pipeline. No custom kernel here (the codegen'd
+    * [[graft.plans.MinHashSigsExpr]] slides over CHARACTERS): a doc
+    * has ~n_tokens gram positions, so the exploded index is ~10× the
+    * doc count in rows — one hash aggregate with map-side partials,
+    * cheap at any scale. Docs with < w tokens drop out, like sub-n
+    * texts do in the char pipeline. */
+  def minhashSignaturesTokens(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val idx = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"s$i"))
+    idx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** [[minhashNearDups]] with token w-gram shingles: the canonical
+    * large-corpus text-dedup configuration (word-gram MinHash + LSH
+    * banding + exact verify). Same band melt, estimate prefilter and
+    * codegen'd verify as the char pipeline — only the shingle unit
+    * differs. */
+  def minhashNearDupsTokens(docs: DataFrame, w: Int, k: Int, bands: Int,
+                            threshold: Double): DataFrame = {
+    val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
+    val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    val toks = split(trim(col("text")), "\\s+")
+    val shArr = graft.Caches.cached(Tables.fanOut(docs)
+      .select(col("doc_id"), array_sort(tokenShingles(toks, w)).as("sh")))
+    verifyExactJaccard(fanned, shArr, threshold)
+  }
+
+  /** Band-collision candidates surviving the signature-agreement
+    * estimate prefilter (est = Σ[sig_i(a)=sig_i(b)]/k ≥ threshold−0.15,
+    * ≈2σ at k=32): the pre-verify pair stream of [[minhashNearDups]],
+    * factored out so stage timings can see it. */
+  def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val k = bands * rows
+    val melted = meltedBands(sigs, bands, rows,
+      carry = (0 until k).map(i => s"s$i"))
+    val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    xs.join(ys, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("est", agree / lit(k.toDouble))
+      .filter(col("est") >= threshold - 0.15)
+      .select("a_id", "b_id")
+      .distinct()
   }
 
   /** 64-bit SimHash from token-hash bit votes:
@@ -415,9 +498,11 @@ object Dedup {
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
       // cache: components() symmetrizes pairs with a self-union — an
       // uncached pair set would run the whole LSH+verify pipeline once
-      // per union branch
-      val pairs = graft.Caches.cached(minhashNearDups(docs.select("doc_id", "text"),
-        n = 3, k = 32, bands = 8, threshold = 0.7))
+      // per union branch. Token 5-grams, not char 3-grams: the
+      // production text-dedup unit, and the discriminative one on this
+      // corpus (see tokenShingles doc).
+      val pairs = graft.Caches.cached(minhashNearDupsTokens(docs.select("doc_id", "text"),
+        w = 5, k = 32, bands = 8, threshold = 0.7))
       val clustered = components(pairs) // (doc_id, canonical_id)
       val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
         .select("doc_id")

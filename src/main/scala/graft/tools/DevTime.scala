@@ -36,11 +36,16 @@ object DevTime {
     println("pairs = " + time("q49_jaccard_pairs")(pairs.count()))
     time("q49_components")(Dedup.components(pairs).count())
     graft.Caches.releaseAll()
-    // q65 breakdown (threshold 0.7 — far below the corpus's ~0.45
-    // background similarity margin, so candidate volume dominates)
-    val p65 = graft.Caches.cached(Dedup.minhashNearDups(docs, 3, 32, 8, 0.7))
-    println("q65 pairs = " + time("q65_neardups")(p65.count()))
+    // q65 breakdown (token-5-gram pipeline)
+    val p65 = graft.Caches.cached(Dedup.minhashNearDupsTokens(docs, 5, 32, 8, 0.7))
+    println("q65 pairs = " + time("q65_neardups_tokens")(p65.count()))
     time("q65_components")(Dedup.components(p65).count())
+    graft.Caches.releaseAll()
+    // token-pipeline internals: survivors of the est prefilter
+    val sigs65 = graft.Caches.cached(Dedup.minhashSignaturesTokens(docs, 5, 32))
+    sigs65.count()
+    val surv = Dedup.lshSurvivors(sigs65, 8, 4, 0.7)
+    println("est survivors = " + time("q65_est_survivors")(surv.count()))
     graft.Caches.releaseAll()
     spark.stop()
   }

@@ -99,7 +99,7 @@ class TextDedupSpec extends SparkSpec {
     }
     // removed docs are exactly the non-canonical cluster members
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    val pairs = Dedup.minhashNearDups(docs, 3, 32, 8, 0.7)
+    val pairs = Dedup.minhashNearDupsTokens(docs, 5, 32, 8, 0.7)
     val clustered = Dedup.components(pairs).collect()
     val byCluster = clustered.groupBy(_.getLong(1))
     byCluster.foreach { case (canon, members) =>
@@ -190,6 +190,24 @@ class TextDedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(lsh),
       s"missed ${(exact -- lsh).size} of ${exact.size} near-dup pairs")
+  }
+
+  test("token-gram minhash LSH recall: finds every strong token near-dup") {
+    // ground truth: exact token-5-gram Jaccard >= 0.9 (well above the
+    // q65 pipeline's 0.7 threshold, so banding + estimate prefilter
+    // must not lose any of them)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val exact = Dedup.jaccardPairsTokens(docs, 5).filter($"jaccard" >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain token-level near-dups")
+    val lsh = Dedup.minhashNearDupsTokens(docs, 5, 32, 8, 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh),
+      s"missed ${(exact -- lsh).size} of ${exact.size} token near-dup pairs")
+    // and everything reported really clears the exact 0.7 threshold
+    val exactLow = Dedup.jaccardPairsTokens(docs, 5).filter($"jaccard" >= 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exactLow), "verify step must reject sub-threshold pairs")
   }
 
   test("simhash: near-identical docs collide, distance respects edits") {
