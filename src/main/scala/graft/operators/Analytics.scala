@@ -42,6 +42,24 @@ object Analytics {
         .orderBy("cohort")
     }),
 
+    // Weekly retention cohorts — the engagement matrix behind every
+    // activity dashboard: users grouped by first-active week, counted
+    // in each later week they return. Scale shape: the (user, week)
+    // de-dup is the only corpus-sized shuffle; the cohort join re-uses
+    // its key (user_id), and the final aggregate is tiny (weeks²).
+    "q76_retention" -> ((s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      weeks.join(cohort, Seq("user_id"))
+        .select(col("cohort_wk").cast("date").as("cohort_week"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Hierarchical rollup: year → priority with grouping flags.
     "q23_rollup" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -265,6 +283,16 @@ object Analytics {
              AS sum_conv_micros
          FROM fv LEFT JOIN cv USING (user_id)
          GROUP BY 1 ORDER BY 1""",
+    "q76_retention" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+         SELECT CAST(cohort_wk AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE)) / 7
+                AS INT) AS week_offset,
+           COUNT(*) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q23_rollup" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, o_orderpriority,
          COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -341,6 +341,111 @@ object TextAnalysis {
           expr("array_min(wfp)").as("fp_min"),
           expr("array_max(wfp)").as("fp_max"))
         .orderBy("doc_id")
+    }),
+
+    // Cross-document duplicated-span fraction (the RefinedWeb-style
+    // "fraction of my 8-gram positions that also occur in another doc"
+    // signal — within-doc repetition is q67, this is ACROSS docs).
+    // Scale shape: grams stream out of a generate (never a materialized
+    // corpus-sized array), one (gram → n_docs) hash aggregate with
+    // map-side partials carries the corpus-wide evidence, and the
+    // per-doc fraction is a doc-keyed aggregate over the gram stream
+    // semi-annotated by that table. Gram-frequency skew (stop-phrase
+    // grams shared by thousands of docs) inflates ONLY the count table,
+    // never a join fan-out: the shared-gram set is joined back to gram
+    // positions by equi-key, row-per-position.
+    "q72_dup_spans" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+        .filter(size(col("toks")) >= 8) // sequence(1,0) descends in Spark
+      val grams = docs
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+      val shared = grams.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("gram")
+      val perDoc = grams.join(shared, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+      docs.select(col("doc_id"), (size(col("toks")) - 7).as("n_pos"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pos").cast("long").as("n_pos"),
+          coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+          (coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+            col("n_pos").cast("double")).as("dup_span_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup — the nightly-batch shape of a training-data
+    // pipeline: docs arriving in tonight's batch are admitted only if
+    // their fingerprint collides with neither the existing corpus nor
+    // an earlier doc of the same batch. The fingerprint is the sorted
+    // distinct token SET (bag-of-words identity — robust to token
+    // order, the coarsest exact-dedup key in the ladder below q34's
+    // normalized-text md5). Accounting per source. Scale shape: the
+    // corpus side reduces to DISTINCT fingerprints (bounded by content
+    // diversity, not corpus size) before the anti-join; within-batch
+    // survivorship is a min-id aggregate, not a self-join.
+    "q73_incremental_dedup" -> ((s, dir) => {
+      val fp = md5(array_join(array_sort(array_distinct(wsToks)), " "))
+      val all = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+      // hash split, decorrelated from doc_id's round-robin source
+      // assignment: ~1/4 of docs are "tonight's batch"
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val corpus = all.filter(!h.isin("0", "1", "2", "3"))
+      val batch = graft.Caches.cached(all.filter(h.isin("0", "1", "2", "3")))
+      val corpusFps = corpus.select("fp").distinct()
+      val vsCorpus = batch.join(corpusFps, Seq("fp"), "left_anti")
+      val firstOfBatch = vsCorpus.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      val kept = vsCorpus.join(firstOfBatch,
+        vsCorpus("fp") === firstOfBatch("fp") &&
+          vsCorpus("doc_id") === firstOfBatch("keep_id"))
+      val base = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+      val keptBySrc = kept.groupBy(vsCorpus("source").as("source"))
+        .agg(count(lit(1)).as("n_admitted"))
+      base.join(keptBySrc, Seq("source"), "left")
+        .select(col("source"), col("n_batch"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          (col("n_batch") - coalesce(col("n_admitted"), lit(0L))).as("n_rejected"))
+        .orderBy("source")
+    }),
+
+    // Stratified deterministic sampling — per-language rates (downsample
+    // the dominant language, keep the rest), keyed by md5(doc_id) so
+    // any engine reproduces the exact sample: the language-rebalancing
+    // step of corpus assembly. Pure scan-side predicate (no RNG, no
+    // shuffle before the accounting aggregate).
+    "q74_stratified_sample" -> ((s, dir) => {
+      // en is downsampled to ~30%: 16-bit hash bucket < 0x4ccc
+      // (= floor(0.30 * 65536)); the 4-hex-char LEXICAL compare equals
+      // the numeric one on lowercase hex, and any engine reproduces it
+      val keep = col("lang") =!= "en" ||
+        substring(md5(col("doc_id").cast("string")), 1, 4) < "4ccc"
+      Tables.documents(s, dir)
+        .withColumn("keep", keep)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // Sensitive-term scrubbing — dictionary-driven token masking with
+    // per-doc accounting and a cleaned-text digest (the PII-redaction
+    // shape; the dictionary stands in for regex detectors, which slot
+    // into the same transform). Pure codegen'd array ops, no shuffle
+    // before the final sort.
+    "q75_scrub_terms" -> ((s, dir) => {
+      val masked = transform(wsToks,
+        t => when(t.isin("customer", "spark", "vector"), lit("[MASKED]")).otherwise(t))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .withColumn("m", masked)
+        .select(col("doc_id"),
+          size(filter(col("m"), t => t === "[MASKED]")).cast("long").as("n_masked"),
+          md5(array_join(col("m"), " ")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -498,6 +603,69 @@ object TextAnalysis {
            FROM h)
          SELECT doc_id, CAST(len(hs) AS INT) AS n_grams, CAST(len(wfp) AS INT) AS n_fp,
                 list_aggregate(wfp, 'min') AS fp_min, list_aggregate(wfp, 'max') AS fp_max
-         FROM w ORDER BY doc_id"""
+         FROM w ORDER BY doc_id""",
+    "q72_dup_spans" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         d8 AS (SELECT * FROM d WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS i
+           FROM d8),
+         grams AS (
+           SELECT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         shared AS (
+           SELECT gram FROM (
+             SELECT gram, COUNT(DISTINCT doc_id) AS c FROM grams GROUP BY 1)
+           WHERE c >= 2),
+         per AS (
+           SELECT doc_id, COUNT(*) AS n_dup_pos FROM grams
+           WHERE gram IN (SELECT gram FROM shared) GROUP BY 1)
+         SELECT d8.doc_id, CAST(len(toks) - 7 AS BIGINT) AS n_pos,
+           COALESCE(n_dup_pos, 0) AS n_dup_pos,
+           CAST(COALESCE(n_dup_pos, 0) AS DOUBLE)
+             / CAST(len(toks) - 7 AS DOUBLE) AS dup_span_frac
+         FROM d8 LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+    "q73_incremental_dedup" ->
+      """WITH all_d AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               str_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+           FROM documents),
+         corpus AS (SELECT DISTINCT fp FROM all_d
+                    WHERE h NOT IN ('0', '1', '2', '3')),
+         batch AS (SELECT * FROM all_d WHERE h IN ('0', '1', '2', '3')),
+         vs AS (SELECT * FROM batch
+                WHERE fp NOT IN (SELECT fp FROM corpus)),
+         firsts AS (SELECT fp, MIN(doc_id) AS keep_id FROM vs GROUP BY 1),
+         kept AS (SELECT vs.* FROM vs JOIN firsts
+                  ON vs.fp = firsts.fp AND vs.doc_id = firsts.keep_id),
+         base AS (SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY 1),
+         k AS (SELECT source, COUNT(*) AS n_admitted FROM kept GROUP BY 1)
+         SELECT base.source, n_batch,
+           COALESCE(n_admitted, 0) AS n_admitted,
+           n_batch - COALESCE(n_admitted, 0) AS n_rejected
+         FROM base LEFT JOIN k USING (source) ORDER BY source""",
+    "q74_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang <> 'en'
+                    OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q75_scrub_terms" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(m, t -> t = '[MASKED]')) AS BIGINT) AS n_masked,
+           md5(array_to_string(m, ' ')) AS clean_md5
+         FROM (
+           SELECT doc_id,
+             list_transform(str_split_regex(trim(text), '\s+'),
+               t -> CASE WHEN t IN ('customer', 'spark', 'vector')
+                    THEN '[MASKED]' ELSE t END) AS m
+           FROM documents WHERE doc_id < 300)
+         ORDER BY doc_id"""
   )
 }
