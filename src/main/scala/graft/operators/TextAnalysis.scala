@@ -431,6 +431,57 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    // Rarity-weighted characteristic terms — tf-idf-shaped keyword
+    // extraction: per (doc, token) term frequency weighted by inverse
+    // document frequency, top 3 per doc. The weight is tf/df (a
+    // DIVISION, not tf·ln(N/df)): IEEE division is bit-exact on every
+    // engine while libm log is not, and for a fixed tf the two rank df
+    // identically — the deviation is documented, not accidental.
+    // Scale shape: one (token → df) aggregate over distinct
+    // (doc, token) pairs joined back by token (broadcast-sized for any
+    // natural vocabulary), one (doc, token) count, one per-doc window.
+    "q77_top_rarity_terms" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(wsToks).as("token"))
+      val tf = docs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("token").asc)
+      tf.join(df, Seq("token"))
+        .withColumn("weight", col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+          col("weight"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Asymmetric containment near-dup — |A∩B| / |A| over token 3-gram
+    // sets (catches a short doc embedded in a long one, which Jaccard
+    // misses because the union is dominated by the long side). Same
+    // inverted-index shape as q36: pairs come from shared grams only,
+    // never a corpus self-join.
+    "q78_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val idx = graft.Caches.cached(Tables.fanOut(docs)
+        .select(col("doc_id"), explode(graft.dedup.Dedup.tokenShingles(toks, 3)).as("g")))
+      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = idx.as("x").join(idx.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") / col("a_n").cast("double")).as("containment"))
+        .filter(col("containment") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Sensitive-term scrubbing — dictionary-driven token masking with
     // per-doc accounting and a cleaned-text digest (the PII-redaction
     // shape; the dictionary stands in for regex detectors, which slot
@@ -656,6 +707,44 @@ object TextAnalysis {
                     OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q77_top_rarity_terms" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE doc_id < 300),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT doc_id, token, tf, df,
+             CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS weight,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, token ASC)
+               AS rank
+           FROM tf JOIN df USING (token))
+         SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, weight
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q78_containment" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 300),
+         d3 AS (SELECT * FROM d WHERE len(toks) >= 3),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM d3),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+           FROM g),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id <> y.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+         FROM inter JOIN sizes ON sizes.doc_id = a_id
+         WHERE CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
+         ORDER BY a_id, b_id""",
     "q75_scrub_terms" ->
       """SELECT doc_id,
            CAST(len(list_filter(m, t -> t = '[MASKED]')) AS BIGINT) AS n_masked,

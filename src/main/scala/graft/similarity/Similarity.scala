@@ -180,6 +180,45 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // One full Lloyd iteration (assign → update → REassign) — q56 is
+    // the update half; this closes the loop, oracle-exactly. Seed
+    // assignment is vec_id % 8; centroids are exact rationals
+    // (scaled-long numerator sums, so the reduction is
+    // order-independent) divided once into doubles; the reassignment
+    // distance is a LEFT-ASSOCIATED 64-term IEEE sum (identical
+    // grouping in both engines ⇒ bit-identical doubles ⇒ identical
+    // argmins, ties broken by cluster id). Scale shape: centroid table
+    // is k×d (tiny, broadcast); reassignment is one map-side pass over
+    // the corpus — the same per-iteration cost profile a production
+    // k-means on 100 TB has, with no driver-side vector math.
+    "q79_kmeans_step" -> ((s, dir) => {
+      val dims = 64
+      val e = Tables.embeddings(s, dir)
+      def x(i: Int): Column =
+        element_at(col("embedding"), i + 1).cast("double")
+      val nums = e
+        .select((col("vec_id") % 8).as("cluster") +: (0 until dims).map(i =>
+          floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), (0 until dims).map(i =>
+          sum(col(s"sx$i")).as(s"s$i")): _*)
+      val cents = nums.select(col("cluster").as("c_cluster") +:
+        (0 until dims).map(i =>
+          ((col(s"s$i").cast("double") / 1e6) / col("n")).as(s"c$i")): _*)
+      val dist = (0 until dims).map(i =>
+        (x(i) - col(s"c$i")) * (x(i) - col(s"c$i"))).reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("c_cluster").asc)
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("c_cluster").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_id"))
+        .orderBy("cluster")
+    }),
+
     // Per-cluster centroid computation — the k-means update step an IVF
     // index trains with, as one exact distributed aggregate: posexplode
     // the vectors, scaled-long sum per (cluster, dim) (order-independent
@@ -333,6 +372,34 @@ object Similarity {
                           AS BIGINT)) AS DOUBLE) / 1e14) / COUNT(*) AS centroid
          FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
                FROM embeddings)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q79_kmeans_step" -> {
+      // generated 64-term spellings; addition stays LEFT-ASSOCIATED to
+      // mirror the Spark reduce exactly (see the query's doc comment)
+      val dims = 64
+      val sumCols = (0 until dims).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centCols = (0 until dims).map(i =>
+        s"(CAST(s$i AS DOUBLE) / 1e6) / n AS c$i").mkString(", ")
+      val distExpr = (0 until dims).map(i =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i) * " +
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i)").mkString(" + ")
+      s"""WITH nums AS (
+           SELECT vec_id % 8 AS cluster, COUNT(*) AS n, $sumCols
+           FROM embeddings GROUP BY 1),
+         cents AS (SELECT cluster AS c_cluster, n, $centCols FROM nums),
+         d AS (
+           SELECT e.vec_id, c.c_cluster, $distExpr AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         r AS (
+           SELECT vec_id, c_cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, c_cluster ASC) AS rk
+           FROM d)
+         SELECT c_cluster AS cluster, COUNT(*) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1"""
+    }
   )
 }
