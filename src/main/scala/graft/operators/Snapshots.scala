@@ -241,11 +241,16 @@ object Snapshots {
 
   private def withDiff(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (g1, g2) = generations(s, dir)
-    val added = diffAdded(g2, g1, "symbol")
-      .select(col("symbol").as("new_symbol"), col("name").as("new_name"))
-    val deleted = diffDeleted(g2, g1, "symbol")
-      .select(col("symbol").as("old_symbol"), col("name").as("old_name"))
-    (added, deleted, detectRenames(deleted, added))
+    // cached: q12 consumes added/deleted twice each (anti-join branch +
+    // rename derivation) and renamed THREE times (two anti sides + the
+    // RENAMED branch) — uncached, the span-blocked rename join would
+    // re-run once per union branch. All three are churn-sized (hundreds
+    // of rows), so the cache is a few KB.
+    val added = graft.Caches.cached(diffAdded(g2, g1, "symbol")
+      .select(col("symbol").as("new_symbol"), col("name").as("new_name")))
+    val deleted = graft.Caches.cached(diffDeleted(g2, g1, "symbol")
+      .select(col("symbol").as("old_symbol"), col("name").as("old_name")))
+    (added, deleted, graft.Caches.cached(detectRenames(deleted, added)))
   }
 
   val queries: Map[String, Q] = Map(

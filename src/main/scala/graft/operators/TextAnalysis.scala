@@ -112,7 +112,10 @@ object TextAnalysis {
 
     // Language distribution + agreement with the labeled lang, full corpus.
     "q31_lang_distribution" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      // fanOut: the single-file scan is 1 partition and langId is the
+      // CPU-dense part of the whole query — without it the corpus pass
+      // runs on one core
+      Tables.fanOut(Tables.documents(s, dir))
         .select(col("lang"), langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
@@ -143,7 +146,8 @@ object TextAnalysis {
     // RE2 oracle and Java regex agree token-for-token).
     "q33_token_count" -> ((s, dir) => {
       val bpePat = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s]+"
-      Tables.documents(s, dir)
+      // fanOut: regex tokenization over the full corpus is CPU-dense
+      Tables.fanOut(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -164,7 +168,7 @@ object TextAnalysis {
 
     // Exact-dedup accounting: distinct fingerprints per source.
     "q35_exact_dedup" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.fanOut(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
              countDistinct(fingerprint(col("text"))).as("n_distinct"))
@@ -389,7 +393,7 @@ object TextAnalysis {
     // survivorship is a min-id aggregate, not a self-join.
     "q73_incremental_dedup" -> ((s, dir) => {
       val fp = md5(array_join(array_sort(array_distinct(wsToks)), " "))
-      val all = Tables.documents(s, dir)
+      val all = Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), fp.as("fp"))
       // hash split, decorrelated from doc_id's round-robin source
       // assignment: ~1/4 of docs are "tonight's batch"

@@ -71,7 +71,13 @@ object TimeSeries {
       val days = calendar(s, "1996-01-01", "1996-02-29")
       val sup = Tables.supplier(s, dir).select("s_suppkey")
       val grid = sup.crossJoin(broadcast(days))
+      // filter to the grid's window BEFORE the distinct: rows outside
+      // it can never match the anti-join key, and without the filter
+      // the distinct shuffles the whole fact table (the filter reaches
+      // the parquet scan as a min/max-prunable predicate)
       val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") <= lit("1996-02-29"))
         .select(col("l_suppkey").as("s_suppkey"), to_date(col("l_shipdate")).as("day"))
         .distinct()
       grid.join(shipped, Seq("s_suppkey", "day"), "left_anti")
