@@ -183,12 +183,16 @@ object Streaming {
         col("v_id"), col("v_ts"), col("v_value"))
   }
 
-  /** Streaming exact dedup: watermark-bounded state, natural-key
-    * dropDuplicates — the streaming twin of the batch anti-join dedup
-    * (state is purged once the watermark passes, so it holds one
-    * watermark-window of keys, not the corpus). */
+  /** Streaming exact dedup: natural-key dedup with watermark-bounded
+    * state — the streaming twin of the batch anti-join dedup. MUST be
+    * dropDuplicatesWithinWatermark, not dropDuplicates: plain
+    * dropDuplicates("event_id") keeps every key it has ever seen even
+    * under a watermark (eviction only happens when the event-time
+    * column is part of the dedup key), so its state grows with the
+    * corpus; the WithinWatermark variant dedups on the key alone and
+    * purges each key once the watermark passes its event time. */
   def dedupStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Event-time session windows (built-in session_window aggregate). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -119,8 +119,19 @@ class StreamingSpec extends SparkSpec {
     mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (3L, t("2024-01-01 10:02:00"), 3.0))
     q.processAllAvailable()
     val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
-    q.stop()
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // replayed id 1 dropped
+    // state must be watermark-BOUNDED (the dropDuplicatesWithinWatermark
+    // contract): advance the watermark two days; the Jan-1 keys' state
+    // (expiry = event time + 1 day delay) must be evicted, leaving only
+    // the two fresh keys — plain dropDuplicates would keep all five.
+    mem.addData((4L, t("2024-01-03 10:00:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((5L, t("2024-01-03 10:05:00"), 5.0)) // watermark → Jan 2 10:05, past every Jan-1 expiry
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 2L,
+      s"expected Jan-1 dedup state evicted (2 live keys), found $stateRows")
   }
 
   test("stream-stream interval join matches views to in-window purchases") {
