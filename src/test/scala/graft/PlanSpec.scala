@@ -65,8 +65,11 @@ class PlanSpec extends SparkSpec {
     //  q43 — corpus × 16 broadcast centroids (IVF assignment pass)
     //  q59 — event-type dimension × 30-day calendar grid (fill-forward
     //        resample target frame, same shape as q17's grid)
+    //  q79 — corpus × 8 broadcast centroids (Lloyd reassignment pass,
+    //        same shape as q43)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
-      "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward")
+      "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
+      "q79_kmeans_step")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -79,6 +82,32 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1,
       s"q69 must not shuffle beyond the deterministic output sort:\n$p")
+  }
+
+  test("gap detection pushes its window filter into the fact scan (q17)") {
+    val p = plan("q17_gap_detect")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"the 60-day window must reach the lineitem scan, not the post-distinct filter:\n$p")
+  }
+
+  test("incremental dedup reduces the corpus side before anti-joining (q73)") {
+    val p = plan("q73_incremental_dedup")
+    assert(p.contains("LeftAnti"), s"corpus collision must be an anti-join:\n$p")
+    // the distinct on corpus fingerprints must sit BELOW the anti-join:
+    // an aggregate appears on the build side of the join subtree
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("cross-doc span counting is aggregate + semi-join, no pair fan-out (q72)") {
+    val p = plan("q72_dup_spans")
+    assert(p.contains("LeftSemi"),
+      s"shared-gram membership must be a semi-join, not an inner fan-out:\n$p")
+  }
+
+  test("Lloyd reassignment broadcasts the centroid table (q79)") {
+    val p = plan("q79_kmeans_step")
+    assert(p.contains("BroadcastExchange"),
+      s"k x d centroids must broadcast; a shuffle here would re-key the corpus:\n$p")
   }
 
   test("no operator collects the corpus to the driver") {
