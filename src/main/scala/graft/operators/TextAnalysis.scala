@@ -486,6 +486,51 @@ object TextAnalysis {
         .orderBy("a_id", "b_id")
     }),
 
+    // Curation funnel with reason attribution — the survival report a
+    // production data-curation run prints: every doc is assigned its
+    // FIRST failing rule (short → repetitive → low-quality → duplicate,
+    // the standard filter-then-dedup order; dedup survivorship is
+    // decided only among docs that passed the content filters, exactly
+    // as a real pipeline would run it). q57 is the composition that
+    // keeps the survivors; this is the accounting of everything else.
+    // Scale shape: one corpus scan computes every feature in codegen,
+    // the fingerprint window shuffles only filter-survivors, and the
+    // output is a source-keyed rollup.
+    "q80_curation_funnel" -> ((s, dir) => {
+      val feat = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          size(wsToks).as("n_tok"),
+          (lit(1.0) - size(array_distinct(wsToks)).cast("double") /
+            size(wsToks).cast("double")).as("dup_frac"),
+          (size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
+            .cast("double") / size(wsToks).cast("double")).as("stop_ratio"),
+          md5(array_join(array_sort(array_distinct(wsToks)), " ")).as("fp"))
+      val passed = col("n_tok") >= 30 && col("dup_frac") <= 0.70 &&
+        col("stop_ratio") >= 0.02
+      // survivor index = running count of PASSED docs in the fp group
+      // (a row_number over the whole group would count filtered-out
+      // docs and mis-attribute the first passing doc as a duplicate)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val reasoned = feat
+        .withColumn("rn", sum(when(passed, 1L).otherwise(0L)).over(w))
+        .withColumn("reason",
+          when(col("n_tok") < 30, "short")
+            .when(col("dup_frac") > 0.70, "repetitive")
+            .when(col("stop_ratio") < 0.02, "low_quality")
+            .when(col("rn") > 1, "duplicate")
+            .otherwise("kept"))
+      reasoned.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("reason") === "short", 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("reason") === "repetitive", 1L).otherwise(0L)).as("n_repetitive"),
+          sum(when(col("reason") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"),
+          sum(when(col("reason") === "duplicate", 1L).otherwise(0L)).as("n_duplicate"),
+          sum(when(col("reason") === "kept", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Sensitive-term scrubbing — dictionary-driven token masking with
     // per-doc accounting and a cleaned-text digest (the PII-redaction
     // shape; the dictionary stands in for regex detectors, which slot
@@ -749,6 +794,41 @@ object TextAnalysis {
          FROM inter JOIN sizes ON sizes.doc_id = a_id
          WHERE CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
          ORDER BY a_id, b_id""",
+    "q80_curation_funnel" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+         feat AS (
+           SELECT doc_id, source,
+             len(toks) AS n_tok,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS dup_frac,
+             CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d),
+         r AS (
+           SELECT *,
+             SUM(CASE WHEN n_tok >= 30 AND dup_frac <= 0.70
+                       AND stop_ratio >= 0.02 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY fp ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+           FROM feat),
+         reasoned AS (
+           SELECT source,
+             CASE WHEN n_tok < 30 THEN 'short'
+                  WHEN dup_frac > 0.70 THEN 'repetitive'
+                  WHEN stop_ratio < 0.02 THEN 'low_quality'
+                  WHEN rn > 1 THEN 'duplicate'
+                  ELSE 'kept' END AS reason
+           FROM r)
+         SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+           CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+           CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM reasoned GROUP BY source ORDER BY source""",
     "q75_scrub_terms" ->
       """SELECT doc_id,
            CAST(len(list_filter(m, t -> t = '[MASKED]')) AS BIGINT) AS n_masked,
