@@ -146,6 +146,27 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN quality evaluation — recall@5 of the sign-LSH index against
+    // the exact top-5, per query: the measurement loop every ANN
+    // deployment runs before trusting an index (tune tables/bits until
+    // this report clears the bar). Composes the two registered queries;
+    // the join is per-(query, neighbor) — no corpus data moves.
+    // (Scores the approximate op ⇒ rows-only; SimilaritySpec pins the
+    // report against an independently computed intersection.)
+    "q81_ann_recall" -> ((s, dir) => {
+      val ex = queries("q38_cosine_topk")(s, dir).select(col("q_id"), col("c_id"))
+      val an = queries("q40_ann_lsh")(s, dir).select(col("q_id"), col("c_id"))
+      val hits = ex.join(an, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      ex.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // Scale path #2: IVF coarse-quantized ANN — 16 deterministic
     // centroids, 2-cell probe, exact re-rank. (Approximate ⇒ rows-only.)
     "q43_ann_ivf" -> ((s, dir) => {

@@ -114,6 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.3, f"IVF recall collapsed: $r%.3f")
   }
 
+  test("q81 recall report agrees with the independently computed intersection") {
+    val exact = SparkEntry.queries("q38_cosine_topk")(spark, sf)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val ann = SparkEntry.queries("q40_ann_lsh")(spark, sf)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val report = SparkEntry.queries("q81_ann_recall")(spark, sf)
+      .select($"q_id", $"n_exact", $"n_hit").as[(Long, Long, Long)].collect()
+    assert(report.length == exact.size, "one report row per query")
+    report.foreach { case (q, nEx, nHit) =>
+      assert(nEx == exact(q).size)
+      assert(nHit == ann.getOrElse(q, Set.empty).intersect(exact(q)).size,
+        s"query $q: reported $nHit hits")
+    }
+  }
+
   test("LSH-bucketed near-dup: perfect precision, floored recall vs exact q39 (q48)") {
     val exact = SparkEntry.queries("q39_embedding_neardup")(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
