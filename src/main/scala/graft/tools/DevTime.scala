@@ -18,6 +18,25 @@ object DevTime {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // warm per-stage timing for the q37 pipeline (stage 2 of 2 reported)
+    if (sys.env.contains("DEVTIME_WARM")) {
+      val d2 = Tables.documents(spark, dir).select("doc_id", "text")
+      (1 to 2).foreach { rep =>
+        graft.Caches.releaseAll()
+        val s0 = System.nanoTime()
+        val sg = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32)); sg.count()
+        val s1 = System.nanoTime()
+        val sv = Dedup.lshSurvivors(sg, 8, 4, 0.9)
+        val nSv = Tables.fanOut(sv).count()
+        val s2 = System.nanoTime()
+        graft.Caches.releaseAll()
+        val full = Dedup.minhashNearDups(d2, 3, 32, 8, 0.9).count()
+        val s3 = System.nanoTime()
+        if (rep == 2) println(f"WARM sigs=${(s1-s0)/1e9}%.2f survivors($nSv)=${(s2-s1)/1e9}%.2f full($full)=${(s3-s2)/1e9}%.2f")
+      }
+      graft.Caches.releaseAll()
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     println("docs = " + docs.count())
     val sigs = graft.Caches.cached(Dedup.minhashSignatures(docs, 3, 32))
