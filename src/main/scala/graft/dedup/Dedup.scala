@@ -39,8 +39,14 @@ object Dedup {
 
   /** Exact pairwise Jaccard over an inverted index: |A∩B| via the
     * shingle join, sizes joined back, no corpus cross product. */
-  def jaccardPairs(docs: DataFrame, n: Int): DataFrame = {
-    val idx = graft.Caches.cached(shingleIndex(docs, n))
+  def jaccardPairs(docs: DataFrame, n: Int): DataFrame =
+    jaccardFromIndex(graft.Caches.cached(shingleIndex(docs, n)))
+
+  /** The ONE inverted-index Jaccard spelling, shared by the char- and
+    * token-shingle ground truths (a skew or cache fix applied here
+    * cannot silently miss one of them). `idx` is a (doc_id, g) index,
+    * cached by the caller (both join sides consume it). */
+  private def jaccardFromIndex(idx: DataFrame): DataFrame = {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("x").join(idx.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -195,23 +201,13 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), size(toksCol) - (w - 1)),
         i => array_join(slice(toksCol, i, lit(w)), " "))))
 
-  /** Exact pairwise token w-gram Jaccard via the same inverted-index
-    * shape as [[jaccardPairs]] — the ground truth the token LSH
-    * pipeline's recall is audited against. */
+  /** Exact pairwise token w-gram Jaccard via [[jaccardFromIndex]] —
+    * the ground truth the token LSH pipeline's recall is audited
+    * against. */
   def jaccardPairsTokens(docs: DataFrame, w: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    val idx = graft.Caches.cached(Tables.fanOut(docs)
-      .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g")))
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = idx.as("x").join(idx.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+    jaccardFromIndex(graft.Caches.cached(Tables.fanOut(docs)
+      .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g"))))
   }
 
   /** MinHash signatures over token w-grams via the explode + k-min
@@ -448,15 +444,10 @@ object Dedup {
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
         }
-        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
-        parent.keysIterator.foreach { id =>
-          val r = find(id)
-          minOfRoot.get(r) match {
-            case Some(m) if m <= id => ()
-            case _ => minOfRoot(r) = math.min(id, minOfRoot.getOrElse(r, id))
-          }
-        }
-        parent.keysIterator.map(id => (id, minOfRoot(find(id))))
+        // every union points the larger root at the smaller, and each
+        // node entered as its own root — so by induction the final root
+        // of a component IS its minimum member id
+        parent.keysIterator.map(id => (id, find(id)))
       }
       .toDF("doc_id", "canonical_id")
   }

@@ -359,13 +359,17 @@ object TextAnalysis {
     // never a join fan-out: the shared-gram set is joined back to gram
     // positions by equi-key, row-per-position.
     "q72_dup_spans" -> ((s, dir) => {
-      val docs = Tables.fanOut(Tables.documents(s, dir))
+      // cached: docs feeds the gram stream (itself consumed by the
+      // shared-gram aggregate AND the per-doc semi-join side) plus the
+      // n_pos projection — uncached, the corpus would be re-tokenized
+      // three times
+      val docs = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), wsToks.as("toks"))
-        .filter(size(col("toks")) >= 8) // sequence(1,0) descends in Spark
-      val grams = docs
+        .filter(size(col("toks")) >= 8)) // sequence(1,0) descends in Spark
+      val grams = graft.Caches.cached(docs
         .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
         .select(col("doc_id"),
-          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram")))
       val shared = grams.select("doc_id", "gram").distinct()
         .groupBy("gram").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
@@ -507,20 +511,23 @@ object TextAnalysis {
           md5(array_join(array_sort(array_distinct(wsToks)), " ")).as("fp"))
       val passed = col("n_tok") >= 30 && col("dup_frac") <= 0.70 &&
         col("stop_ratio") >= 0.02
-      // survivor index = running count of PASSED docs in the fp group
-      // (a row_number over the whole group would count filtered-out
-      // docs and mis-attribute the first passing doc as a duplicate)
+      val featC = graft.Caches.cached(feat.withColumn("passed", passed))
+      // the fingerprint window runs over filter-SURVIVORS only (dedup
+      // is sequenced after the content filters, so failed docs never
+      // join the fp shuffle); failed docs take the reason chain
+      // directly and union back in
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val reasoned = feat
-        .withColumn("rn", sum(when(passed, 1L).otherwise(0L)).over(w))
+      val survivors = featC.filter(col("passed"))
+        .withColumn("reason",
+          when(row_number().over(w) > 1, "duplicate").otherwise("kept"))
+      val failed = featC.filter(!col("passed"))
         .withColumn("reason",
           when(col("n_tok") < 30, "short")
             .when(col("dup_frac") > 0.70, "repetitive")
-            .when(col("stop_ratio") < 0.02, "low_quality")
-            .when(col("rn") > 1, "duplicate")
-            .otherwise("kept"))
+            .otherwise("low_quality"))
+      val reasoned = survivors.select("source", "reason")
+        .unionByName(failed.select("source", "reason"))
       reasoned.groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("reason") === "short", 1L).otherwise(0L)).as("n_short"),

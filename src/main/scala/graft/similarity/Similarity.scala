@@ -154,7 +154,11 @@ object Similarity {
     // (Scores the approximate op ⇒ rows-only; SimilaritySpec pins the
     // report against an independently computed intersection.)
     "q81_ann_recall" -> ((s, dir) => {
-      val ex = queries("q38_cosine_topk")(s, dir).select(col("q_id"), col("c_id"))
+      // cached: ex feeds both the hit semi-join and the n_exact
+      // aggregate — uncached, the whole exact top-k pipeline (the most
+      // expensive subtree here) would execute twice
+      val ex = graft.Caches.cached(
+        queries("q38_cosine_topk")(s, dir).select(col("q_id"), col("c_id")))
       val an = queries("q40_ann_lsh")(s, dir).select(col("q_id"), col("c_id"))
       val hits = ex.join(an, Seq("q_id", "c_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
@@ -209,9 +213,11 @@ object Similarity {
     // distance is a LEFT-ASSOCIATED 64-term IEEE sum (identical
     // grouping in both engines ⇒ bit-identical doubles ⇒ identical
     // argmins, ties broken by cluster id). Scale shape: centroid table
-    // is k×d (tiny, broadcast); reassignment is one map-side pass over
-    // the corpus — the same per-iteration cost profile a production
-    // k-means on 100 TB has, with no driver-side vector math.
+    // is k×d (tiny, broadcast); reassignment scans the corpus once and
+    // map-side-combines the per-vector argmin, so the only exchange
+    // carries one (id, winner) row per vector — the same per-iteration
+    // cost profile a production k-means on 100 TB has, with no
+    // driver-side vector math.
     "q79_kmeans_step" -> ((s, dir) => {
       val dims = 64
       val e = Tables.embeddings(s, dir)
@@ -228,14 +234,16 @@ object Similarity {
           ((col(s"s$i").cast("double") / 1e6) / col("n")).as(s"c$i")): _*)
       val dist = (0 until dims).map(i =>
         (x(i) - col(s"c$i")) * (x(i) - col(s"c$i"))).reduce(_ + _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("c_cluster").asc)
+      // argmin as min(struct(dist, cluster)) — struct ordering compares
+      // dist first, cluster id as the tie-break, identical to the
+      // ORDER BY dist, cluster the oracle uses, and min() aggregates
+      // with MAP-SIDE PARTIALS: a window partitioned by vec_id would
+      // shuffle the full corpus × k cross-join output instead
       e.crossJoin(broadcast(cents))
         .withColumn("dist", dist)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .groupBy(col("c_cluster").as("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_cluster"))).as("m"))
+        .groupBy(col("m.c_cluster").as("cluster"))
         .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_id"))
         .orderBy("cluster")
     }),

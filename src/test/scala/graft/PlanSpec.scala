@@ -67,9 +67,11 @@ class PlanSpec extends SparkSpec {
     //        resample target frame, same shape as q17's grid)
     //  q79 — corpus × 8 broadcast centroids (Lloyd reassignment pass,
     //        same shape as q43)
+    //  q81 — recall evaluation COMPOSES the q38 baseline, so its plan
+    //        embeds q38's documented broadcast cross product
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
-      "q79_kmeans_step")
+      "q79_kmeans_step", "q81_ann_recall")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -91,11 +93,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup reduces the corpus side before anti-joining (q73)") {
-    val p = plan("q73_incremental_dedup")
-    assert(p.contains("LeftAnti"), s"corpus collision must be an anti-join:\n$p")
-    // the distinct on corpus fingerprints must sit BELOW the anti-join:
-    // an aggregate appears on the build side of the join subtree
-    assert(p.contains("HashAggregate"), p.take(2000))
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("q73_incremental_dedup")(spark, sf)
+      .queryExecution.optimizedPlan
+    // the distinct on corpus fingerprints must sit INSIDE the anti-join's
+    // build side — a string-level HashAggregate check would also match
+    // the final source rollup and miss a removed pre-reduction
+    val anti = lp.collectFirst { case j @ Join(_, _, LeftAnti, _, _) => j }
+    assert(anti.isDefined, s"corpus collision must be an anti-join:\n$lp")
+    assert(anti.get.right.collectFirst { case a: Aggregate => a }.isDefined,
+      s"anti-join build side must be the distinct-fingerprint aggregate:\n${anti.get}")
   }
 
   test("cross-doc span counting is aggregate + semi-join, no pair fan-out (q72)") {

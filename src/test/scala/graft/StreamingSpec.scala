@@ -128,10 +128,15 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData((5L, t("2024-01-03 10:05:00"), 5.0)) // watermark → Jan 2 10:05, past every Jan-1 expiry
     q.processAllAvailable()
+    // one more DATA batch so the eviction pass definitely ran under the
+    // Jan-2 10:05 watermark before we read progress — relying on the
+    // trailing no-data micro-batch would be timing-dependent
+    mem.addData((6L, t("2024-01-03 10:06:00"), 6.0))
+    q.processAllAvailable()
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     q.stop()
-    assert(stateRows == 2L,
-      s"expected Jan-1 dedup state evicted (2 live keys), found $stateRows")
+    assert(stateRows == 3L,
+      s"expected Jan-1 dedup state evicted (3 live Jan-3 keys), found $stateRows")
   }
 
   test("stream-stream interval join matches views to in-window purchases") {
