@@ -249,6 +249,18 @@ object Dedup {
     val k = bands * rows
     val melted = meltedBands(sigs, bands, rows,
       carry = (0 until k).map(i => s"s$i"))
+    // Bucket skew note (profiled, then deliberately NOT salted): band
+    // buckets are heavy-tailed — at sf0.1 the top bucket alone emits
+    // 40% of the candidate stream — but locally the melted table
+    // broadcasts, so every PROBE task streams its own slice of the
+    // mega-bucket and emission is already parallel; an experimental
+    // B=8 blocked self-join (y side salted into blocks, x side
+    // replicated across them — identical output pair set) measured
+    // flat. On a cluster where this join shuffles, salting becomes
+    // load-bearing, but replicating the k carried signature columns
+    // B× is the wrong trade — there, salt the NARROW band join
+    // (lshCandidates' shape) and broadcast-attach signatures to the
+    // post-distinct survivors instead.
     val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
       (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
     val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:

@@ -34,6 +34,22 @@ object DevTime {
         val s3 = System.nanoTime()
         if (rep == 2) println(f"WARM sigs=${(s1-s0)/1e9}%.2f survivors($nSv)=${(s2-s1)/1e9}%.2f full($full)=${(s3-s2)/1e9}%.2f")
       }
+      // band-bucket skew profile: pairs emitted per (band,key) bucket
+      val sg2 = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32)); sg2.count()
+      val melted = sg2.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array((0 until 8).map { j =>
+            org.apache.spark.sql.functions.xxhash64(
+              (j * 4 until (j + 1) * 4).map(i =>
+                org.apache.spark.sql.functions.col(s"s$i")): _*).as("key")
+          }: _*)).as("key"))
+      val top = melted.groupBy("key")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("b"))
+        .orderBy(org.apache.spark.sql.functions.col("b").desc)
+        .limit(10).collect()
+      println("TOP BUCKETS: " + top.map(r =>
+        s"${r.getLong(1)} (${r.getLong(1) * (r.getLong(1) - 1) / 2} pairs)").mkString(", "))
       graft.Caches.releaseAll()
       spark.stop(); return
     }
