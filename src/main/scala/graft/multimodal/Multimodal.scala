@@ -111,7 +111,65 @@ object Multimodal {
       .toDF("media_id", "frame_offset", "frame")
   }
 
+  /** 63-bit average-hash perceptual fingerprint: split the (ASCII-
+    * compacted) payload into 63 contiguous segments, set bit s iff
+    * segment s's mean byte exceeds the whole-payload mean. Bit 63 is
+    * deliberately unused — engines disagree on 1<<63 (Spark wraps,
+    * DuckDB throws), and a 63-bit hash loses nothing. The aHash family
+    * is what image-dedup pipelines bucket on after decode; here it runs
+    * on the stand-in blob at the same place a real one would (inside
+    * the partition-batched kernel, after the codec). High bytes are
+    * skipped so the kernel and the oracle's code-point replay agree
+    * byte-for-byte on any input (multi-byte UTF-8 is exactly the
+    * high-byte set); the fixture corpus is pure ASCII, so nothing is
+    * actually dropped. */
+  private def pHash63(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val sums = new Array[Long](63)
+    val cnts = new Array[Long](63)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val seg = (i.toLong * 63 / n).toInt
+      val c = payload(i) & 0xff
+      sums(seg) += c; cnts(seg) += 1; total += c
+      i += 1
+    }
+    val allMean = total.toDouble / n
+    var ph = 0L
+    var s = 0
+    while (s < 63) {
+      if (cnts(s) > 0 && sums(s).toDouble / cnts(s) > allMean) ph |= 1L << s
+      s += 1
+    }
+    ph
+  }
+
+  /** Perceptual-hash extraction over the media table — the bucketing
+    * key for media dedup (pair generation would reuse the 8-chunk
+    * Hamming machinery of [[graft.dedup.Dedup.simhashNearDups]]).
+    * Narrow mapPartitions like every kernel here; blobs never shuffle. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(media.select("media_id", "payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val ascii = p.filter(b => (b & 0xff) < 0x80)
+        (id, ascii.length, if (ascii.length >= 63) pHash63(ascii) else 0L)
+      })
+      .toDF("media_id", "n_bytes", "phash")
+      .filter(col("n_bytes") >= 63)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Perceptual fingerprints of every media payload, oracle-checked:
+    // the DuckDB twin replays the segment/mean byte math over the same
+    // source column (q42's established byte-replay pattern).
+    "q82_media_phash" -> ((s, dir) => {
+      perceptualHash(syntheticMedia(s, dir)).orderBy("media_id")
+    }),
+
     // Metadata + feature rollup per kind over the synthetic media table.
     // Feature extraction itself is mapPartitions (non-SQL) ⇒ the query
     // aggregates deterministic feature values; oracle reproduces the
@@ -162,6 +220,32 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_media_phash" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id,
+             regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+           FROM documents WHERE length(text) > 0),
+         d2 AS (SELECT * FROM d WHERE length(t) >= 63),
+         b AS (
+           SELECT media_id, t, unnest(generate_series(1, length(t))) AS i
+           FROM d2),
+         codes AS (
+           SELECT media_id, CAST((i - 1) * 63 // length(t) AS BIGINT) AS seg,
+             unicode(substr(t, CAST(i AS INT), 1)) AS code
+           FROM b),
+         segs AS (
+           SELECT media_id, seg, SUM(code) AS sc, COUNT(*) AS c
+           FROM codes GROUP BY 1, 2),
+         tot AS (SELECT media_id, SUM(sc) AS total, SUM(c) AS n
+                 FROM segs GROUP BY 1),
+         ph AS (
+           SELECT segs.media_id,
+             CAST(SUM(CASE WHEN CAST(sc AS DOUBLE) / c > CAST(total AS DOUBLE) / n
+                  THEN (CAST(1 AS BIGINT) << CAST(seg AS INT)) ELSE 0 END)
+                  AS BIGINT) AS phash
+           FROM segs JOIN tot ON segs.media_id = tot.media_id GROUP BY 1)
+         SELECT ph.media_id AS media_id, CAST(n AS INT) AS n_bytes, phash
+         FROM ph JOIN tot ON ph.media_id = tot.media_id ORDER BY ph.media_id""",
     // The fake decode over utf-8 text payloads is pure byte math the
     // oracle can replay: mean byte = avg of code units (ASCII corpus),
     // head_sig = hex of first 8 bytes.

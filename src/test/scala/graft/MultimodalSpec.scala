@@ -25,6 +25,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f.getAs[String]("head_sig") == "616263")
   }
 
+  test("perceptual hash: constructed payloads set exactly the loud segments' bits") {
+    // 63 bytes -> one byte per segment; byte s = 120 iff s ∈ {5, 40},
+    // rest 10 (all ASCII-range — high bytes are compacted away by
+    // contract) -> the whole-payload mean sits between, so bits 5 and
+    // 40 (and only they) must be set
+    val bytes = Array.tabulate(63)(s => if (s == 5 || s == 40) 120.toByte else 10.toByte)
+    val media = Seq((1L, bytes)).toDF("media_id", "payload")
+    val r = Multimodal.perceptualHash(media).as[(Long, Int, Long)].head()
+    assert(r._2 == 63)
+    assert(r._3 == ((1L << 5) | (1L << 40)), f"phash = ${r._3}%x")
+    // sub-63-byte payloads are excluded by contract (segments would alias)
+    val short = Seq((2L, Array.fill(62)(10.toByte))).toDF("media_id", "payload")
+    assert(Multimodal.perceptualHash(short).count() == 0)
+  }
+
   test("downsample keeps every k-th byte") {
     val media = Seq((1L, Array[Byte](0, 1, 2, 3, 4, 5, 6))).toDF("media_id", "payload")
     val d = Multimodal.downsample(media, 3).as[(Long, Array[Byte])].head()
