@@ -12,14 +12,18 @@ import org.apache.spark.sql.SparkSession
   *    per-query MIN — run-to-run variance on this host is multi-x;
   *  - a crashing query is recorded in "failed" (and excluded from
   *    "queries"/total) instead of logging a fake fast time;
-  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT if set, so
-  *    parsers need not scrape sbt-prefixed stdout.
+  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
+  *    bench_out.json next to the working dir), so parsers need not
+  *    scrape sbt-prefixed stdout;
+  *  - a SHORT total-only JSON line follows the big one, so a bounded
+  *    stdout capture that truncates the per-query map still carries the
+  *    headline number (the r04 driver artifact lost its total that way).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val sfDir = sys.env.getOrElse(Env.SfDir, "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(Env.Cpus, "4")
+    val reps = sys.env.getOrElse(Env.Reps, "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +31,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional debug filter: SPARK_GRAFT_ONLY=regex runs a subset
-    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+    val selected = sys.env.get(Env.Only) match {
       case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
       case None => SparkEntry.queries
     }
@@ -58,9 +62,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
+    // truncation-proof summary: a bounded stdout capture can lose the
+    // head of the big line above; this one is < 120 bytes and LAST
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
+    val out = sys.env.getOrElse(Env.BenchOut, "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"BENCH: could not write $out: ${e.getMessage}")
     }
     spark.stop()
     if (failed.nonEmpty) System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -32,11 +32,41 @@ object Tables {
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Spread a small-file scan across all cores. A single parquet file
-    * arrives as ONE partition; any CPU-heavy operator downstream (HOF
-    * pipelines, per-row hashing) would serialize on one core. At real
-    * scale inputs are many-filed and this becomes a no-op-ish shuffle
-    * of pointers; locally it is the difference between 1 and 32 cores. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread a small-file scan across all cores — CONDITIONALLY. A
+    * single parquet file arrives as ONE partition; any CPU-heavy
+    * operator downstream (HOF pipelines, per-row hashing) would
+    * serialize on one core, so locally this is the difference between
+    * 1 and 32 cores. But `repartition(n)` is a full round-robin shuffle
+    * of the DATA, and at real scale inputs are many-filed and already
+    * parallel — an unconditional fanOut there would add a corpus-sized
+    * exchange before the first real operator. Hence the gate: when the
+    * input is a shuffle-free scan shape (project/filter/generate over a
+    * leaf — the only shapes whose partition count is knowable without
+    * running upstream query stages; `.rdd` on a plan with exchanges
+    * would force AQE to EXECUTE them) that already carries >=
+    * defaultParallelism partitions, fanOut is a no-op. Non-scan inputs
+    * (candidate pair streams after a distinct) always repartition:
+    * they are tiny in bytes but huge in downstream CPU, and AQE's
+    * byte-based coalescing would serialize them on 1-2 cores. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (isNarrowScan(df.queryExecution.analyzed) &&
+        df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
+  /** Project/filter/generate chains over a leaf relation: exchange-free
+    * by construction, so planning `.rdd` is safe (no query stage runs)
+    * and its partition count reflects the scan's file layout. */
+  private def isNarrowScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case Project(_, c)             => isNarrowScan(c)
+      case Filter(_, c)              => isNarrowScan(c)
+      case SubqueryAlias(_, c)       => isNarrowScan(c)
+      case g: Generate               => isNarrowScan(g.child)
+      case _: LeafNode               => true
+      case _                         => false
+    }
+  }
 }

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse(Env.Cpus, "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop subset filter, same contract as Bench (driver never sets it)
-    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+    val selected = sys.env.get(Env.Only) match {
       case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
       case None => SparkEntry.queries
     }

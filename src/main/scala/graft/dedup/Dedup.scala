@@ -68,26 +68,24 @@ object Dedup {
     * sliding-window pass per document, no shingle array, no explode, no
     * aggregate; the former explode + groupBy(min×k) spelling is kept
     * below as the executable reference the expression is lockstep-tested
-    * against (TextDedupSpec). The repartition between computing the
-    * signature array and splitting it into s0..s{k-1} columns is a
-    * required optimizer barrier, not just fanOut: without it
-    * CollapseProject inlines the array expression into every getItem and
-    * the kernel runs k times per row. */
+    * against (TextDedupSpec). No optimizer barrier is needed between the
+    * kernel project and the s0..s{k-1} split: CollapseProject's
+    * cost-aware check refuses to inline a non-cheap producer referenced
+    * k times, so the kernel stays in its own Project and runs once per
+    * row (pinned by the PlanSpec kernel-once test). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val session = docs.sparkSession
     graft.plans.MinHashSigs.register(session)
     // fanOut BEFORE the kernel (single-file scans arrive as 1 partition)
     // and pre-filter on cheap length(text) >= n — filtering on the mh
     // column itself would be pushed below the project and evaluate the
-    // kernel twice per row. The second fanOut is the CollapseProject
-    // barrier documented above.
-    val withArr = Tables.fanOut(
-      Tables.fanOut(docs)
-        .filter(length(col("text")) >= n) // len < n docs: dropped, like the explode did
-        .select(col("doc_id"),
-          call_function(graft.plans.MinHashSigs.NAME, col("text"), lit(n), lit(k)).as("mh")))
-    withArr.select(col("doc_id") +:
-      (0 until k).map(i => col("mh").getItem(i).as(s"s$i")): _*)
+    // kernel twice per row.
+    Tables.fanOut(docs)
+      .filter(length(col("text")) >= n) // len < n docs: dropped, like the explode did
+      .select(col("doc_id"),
+        call_function(graft.plans.MinHashSigs.NAME, col("text"), lit(n), lit(k)).as("mh"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("mh").getItem(i).as(s"s$i")): _*)
   }
 
   /** Reference pipeline spelling of [[minhashSignatures]] (explode +
@@ -153,6 +151,9 @@ object Dedup {
     * hub skew in the raw collision stream is a non-issue: the filter is
     * map-side, evaluated where the join emits. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands — lshSurvivors derives k as bands*rows, " +
+        "so a remainder would silently drop the trailing signature columns from the estimate")
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
     // fanOut: survivors are few in bytes but each costs a verify below;
     // AQE's byte-based coalescing would serialize them on 1-2 cores
@@ -232,6 +233,9 @@ object Dedup {
     * differs. */
   def minhashNearDupsTokens(docs: DataFrame, w: Int, k: Int, bands: Int,
                             threshold: Double): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands — lshSurvivors derives k as bands*rows, " +
+        "so a remainder would silently drop the trailing signature columns from the estimate")
     val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
     val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
@@ -244,23 +248,41 @@ object Dedup {
   /** Band-collision candidates surviving the signature-agreement
     * estimate prefilter (est = Σ[sig_i(a)=sig_i(b)]/k ≥ threshold−0.15,
     * ≈2σ at k=32): the pre-verify pair stream of [[minhashNearDups]],
-    * factored out so stage timings can see it. */
-  def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
+    * factored out so stage timings can see it.
+    *
+    * TWO physical shapes, routed by corpus size (the same budget-routing
+    * pattern as [[components]]; the count is a bounded driver aggregate
+    * on the caller-cached signature table):
+    *
+    *  - WIDE (≤ narrowBudget docs): signatures ride ALONG through the
+    *    band self-join (k longs per melted row), so the prefilter runs
+    *    streaming ON the join output before any materialization, and the
+    *    distinct only ever sees prefilter survivors (~1000× fewer rows
+    *    here). Correct while the melted table broadcasts: every PROBE
+    *    task streams its own slice of even the heaviest band bucket
+    *    (profiled at sf0.1: top bucket = 40% of the candidate stream),
+    *    so emission is already parallel and salting measured flat.
+    *
+    *  - NARROW+SALTED (> narrowBudget docs): on a cluster where the
+    *    band join must shuffle, carrying k signature columns through a
+    *    salted (replicated) join would multiply the shuffle by the
+    *    replication factor — the wrong trade. Instead the band join
+    *    carries ONLY (doc_id, band, key), salted into `blocks` id-hash
+    *    blocks so a mega-bucket's pair emission spreads over `blocks`
+    *    reducers, then the post-distinct survivors get signatures
+    *    re-attached by id-keyed joins for the same prefilter.
+    *    ScaleSpec asserts pair-set equality of the two shapes. */
+  def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double,
+                   narrowBudget: Long = 2L * 1000 * 1000): DataFrame = {
+    if (sigs.count() > narrowBudget) lshSurvivorsNarrow(sigs, bands, rows, threshold)
+    else lshSurvivorsWide(sigs, bands, rows, threshold)
+  }
+
+  /** WIDE survivors shape — see [[lshSurvivors]]. */
+  def lshSurvivorsWide(sigs: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
     val k = bands * rows
     val melted = meltedBands(sigs, bands, rows,
       carry = (0 until k).map(i => s"s$i"))
-    // Bucket skew note (profiled, then deliberately NOT salted): band
-    // buckets are heavy-tailed — at sf0.1 the top bucket alone emits
-    // 40% of the candidate stream — but locally the melted table
-    // broadcasts, so every PROBE task streams its own slice of the
-    // mega-bucket and emission is already parallel; an experimental
-    // B=8 blocked self-join (y side salted into blocks, x side
-    // replicated across them — identical output pair set) measured
-    // flat. On a cluster where this join shuffles, salting becomes
-    // load-bearing, but replicating the k carried signature columns
-    // B× is the wrong trade — there, salt the NARROW band join
-    // (lshCandidates' shape) and broadcast-attach signatures to the
-    // post-distinct survivors instead.
     val xs = melted.select(col("doc_id").as("a_id") +: col("band") +: col("key") +:
       (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
     val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
@@ -273,6 +295,40 @@ object Dedup {
       .filter(col("est") >= threshold - 0.15)
       .select("a_id", "b_id")
       .distinct()
+  }
+
+  /** NARROW+SALTED survivors shape — see [[lshSurvivors]]. Emits the
+    * identical pair set as [[lshSurvivorsWide]] (ScaleSpec law): the
+    * salt only splits each band bucket's pair emission across `blocks`
+    * reducers — x-side rows replicate into every block, y-side rows
+    * land in their id-hash block, so each (a, b) bucket pair meets in
+    * exactly one block. */
+  def lshSurvivorsNarrow(sigs: DataFrame, bands: Int, rows: Int, threshold: Double,
+                         blocks: Int = 8): DataFrame = {
+    val k = bands * rows
+    val melted = meltedBands(sigs, bands, rows, carry = Nil)
+    val xs = melted.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .withColumn("blk", explode(array((0 until blocks).map(lit(_)): _*)))
+    val ys = melted.select(col("doc_id").as("b_id"), col("band"), col("key"))
+      .withColumn("blk", pmod(xxhash64(col("b_id")), lit(blocks)).cast("int"))
+    val cand = xs.join(ys, Seq("band", "key", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    // signatures re-attach to post-distinct survivors only. broadcast
+    // is the local choice; past the broadcast limit AQE falls back to
+    // an id-keyed shuffle join — the co-partitioned shape a cluster
+    // wants (same note as verifyExactJaccard).
+    val sigA = sigs.select(col("doc_id").as("a_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("b_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(broadcast(sigA), "a_id").join(broadcast(sigB), "b_id")
+      .withColumn("est", agree / lit(k.toDouble))
+      .filter(col("est") >= threshold - 0.15)
+      .select("a_id", "b_id")
   }
 
   /** 64-bit SimHash from token-hash bit votes:
@@ -311,16 +367,31 @@ object Dedup {
     * (equi-join, no cross product), Hamming ≤ maxDist verifies. With 8
     * chunks, pigeonhole guarantees every pair at distance ≤ 7 shares an
     * untouched chunk — candidate recall is COMPLETE for maxDist ≤ 7. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sigs = Tables.fanOut(docs).select(col("doc_id"), simhash64("text").as("sig"))
+  def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs(
+      Tables.fanOut(docs).select(col("doc_id"), simhash64("text").as("sig")),
+      maxDist)
+
+  /** Hamming-ball pair generation over ANY 64-bit-signature table
+    * (doc_id, sig) — the chunk machinery of [[simhashNearDups]],
+    * factored out so other fingerprint families (SimHash text sigs,
+    * perceptual media hashes) share one implementation. 8-bit chunk
+    * collision is the candidate equi-join key; pigeonhole makes recall
+    * COMPLETE for maxDist ≤ 7 (any pair within distance 7 leaves at
+    * least one of the 8 chunks untouched). Signatures of < 64 bits
+    * (e.g. the 63-bit media aHash) work unchanged: the top chunk just
+    * spans fewer meaningful bits. */
+  def hammingPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 7,
+      s"maxDist=$maxDist exceeds the 8-chunk completeness envelope (pigeonhole holds to 7)")
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 8).map(j =>
           struct(lit(j).as("j"),
             (shiftrightunsigned(col("sig"), 8 * j) % 256).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
-    val chunksC = graft.Caches.cached(chunks) // simhash64 is a full-corpus HOF pass — run it once
+    val chunksC = graft.Caches.cached(chunks) // the sig kernel is a full-corpus pass — run it once
 
-    chunksC.as("x").join(chunks.as("y"),
+    chunksC.as("x").join(chunksC.as("y"),
         col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
@@ -458,8 +529,12 @@ object Dedup {
         }
         // every union points the larger root at the smaller, and each
         // node entered as its own root — so by induction the final root
-        // of a component IS its minimum member id
-        parent.keysIterator.map(id => (id, find(id)))
+        // of a component IS its minimum member id. Keys are snapshotted
+        // first: find() path-compresses (writes map values), and
+        // mutating a HashMap mid-iteration is unspecified even when
+        // only values change.
+        val ids = parent.keys.toArray
+        ids.iterator.map(id => (id, find(id)))
       }
       .toDF("doc_id", "canonical_id")
   }
@@ -522,6 +597,34 @@ object Dedup {
         .orderBy("source")
     }),
 
+    // CAPSTONE TWIN, exact envelope: the SAME pipeline composition as
+    // q65 (candidate pairs → components → min-id canonical → per-source
+    // accounting) with the probabilistic LSH candidate stage swapped
+    // for the exact token-5-gram inverted-index Jaccard — every stage
+    // deterministic, so unlike q65 the full chain gets a DuckDB oracle
+    // (hash-matched), proving the composition logic itself. q65 keeps
+    // the production LSH parameters; this pins the machinery they feed.
+    "q85_exact_dedup_chain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      // cached: components() symmetrizes pairs with a self-union (same
+      // reason as q65)
+      val pairs = graft.Caches.cached(
+        jaccardPairsTokens(docs.select("doc_id", "text"), 5)
+          .filter(col("jaccard") >= 0.7))
+      val clustered = components(pairs)
+      val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id")
+      val survivors = docs.join(removed, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(survivors, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          (col("n_docs") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
+        .orderBy("source")
+    }),
+
     // Near-dup clustering: connected components over the exact Jaccard
     // pair set → (doc, canonical representative) — the "keep one per
     // cluster" step. Oracle = DuckDB recursive CTE transitive closure.
@@ -553,6 +656,43 @@ object Dedup {
                     JOIN sizes sb ON sb.doc_id = b_id
          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7
          ORDER BY a_id, b_id""",
+    // Exact token-5-gram twin of the q65 composition: inverted-index
+    // Jaccard pairs → recursive-CTE transitive closure → min-label
+    // canonical → per-source accounting. Token w-grams mirror
+    // tokenShingles: whitespace-split, w-window joined by ' ', distinct.
+    "q85_exact_dedup_chain" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' '))) AS g
+           FROM tk WHERE len(toks) >= 5)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         canon AS (SELECT id, MIN(label) AS canonical FROM r GROUP BY id),
+         removed AS (SELECT id FROM canon WHERE canonical <> id)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rm.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN rm.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM documents d LEFT JOIN removed rm ON d.doc_id = rm.id
+         GROUP BY source ORDER BY source""",
     "q49_neardup_components" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
          sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g

@@ -170,6 +170,38 @@ object Multimodal {
       perceptualHash(syntheticMedia(s, dir)).orderBy("media_id")
     }),
 
+    // MEDIA DEDUP CAPSTONE: q82's perceptual hash → 8-chunk Hamming-≤7
+    // candidate pairs (the [[graft.dedup.Dedup.hammingPairs]] machinery,
+    // complete by pigeonhole) → connected components → min-id canonical
+    // → per-kind survivor accounting. Every stage is DETERMINISTIC
+    // (unlike the text-LSH chain), so the full composition gets a DuckDB
+    // oracle: the q82 byte-replay CTE + the q49 recursive-CTE closure.
+    // Scale shape: blobs never shuffle (phash is a narrow kernel); only
+    // (id, phash) rows enter the chunk join; components routes by edge
+    // budget.
+    "q83_media_neardup" -> ((s, dir) => {
+      // cached: feeds the pair join (twice via hammingPairs' self-join),
+      // the accounting base, and the survivors side
+      val ph = graft.Caches.cached(perceptualHash(syntheticMedia(s, dir)))
+      val pairs = graft.Caches.cached(
+        graft.dedup.Dedup.hammingPairs(
+          ph.select(col("media_id").as("doc_id"), col("phash").as("sig")),
+          maxDist = 7))
+      val clustered = graft.dedup.Dedup.components(pairs)
+      val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("media_id"))
+      val withKind = ph.select("media_id")
+        .join(syntheticMedia(s, dir).select("media_id", "kind"), "media_id")
+      val survivors = withKind.join(removed, Seq("media_id"), "left_anti")
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_survivors"))
+      withKind.groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
+        .join(survivors, Seq("kind"), "left")
+        .select(col("kind"), col("n_media"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          (col("n_media") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
+        .orderBy("kind")
+    }),
+
     // Metadata + feature rollup per kind over the synthetic media table.
     // Feature extraction itself is mapPartitions (non-SQL) ⇒ the query
     // aggregates deterministic feature values; oracle reproduces the
@@ -246,6 +278,56 @@ object Multimodal {
            FROM segs JOIN tot ON segs.media_id = tot.media_id GROUP BY 1)
          SELECT ph.media_id AS media_id, CAST(n AS INT) AS n_bytes, phash
          FROM ph JOIN tot ON ph.media_id = tot.media_id ORDER BY ph.media_id""",
+    // q82's byte-replay phash CTE + Hamming-≤7 pairs + the q49
+    // recursive-CTE transitive closure + per-kind accounting — the
+    // fully deterministic media-dedup chain.
+    "q83_media_neardup" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id AS media_id,
+             regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+           FROM documents WHERE length(text) > 0),
+         d2 AS (SELECT * FROM d WHERE length(t) >= 63),
+         b AS (
+           SELECT media_id, t, unnest(generate_series(1, length(t))) AS i
+           FROM d2),
+         codes AS (
+           SELECT media_id, CAST((i - 1) * 63 // length(t) AS BIGINT) AS seg,
+             unicode(substr(t, CAST(i AS INT), 1)) AS code
+           FROM b),
+         segs AS (
+           SELECT media_id, seg, SUM(code) AS sc, COUNT(*) AS c
+           FROM codes GROUP BY 1, 2),
+         tot AS (SELECT media_id, SUM(sc) AS total, SUM(c) AS n
+                 FROM segs GROUP BY 1),
+         ph AS (
+           SELECT segs.media_id,
+             CAST(SUM(CASE WHEN CAST(sc AS DOUBLE) / c > CAST(total AS DOUBLE) / n
+                  THEN (CAST(1 AS BIGINT) << CAST(seg AS INT)) ELSE 0 END)
+                  AS BIGINT) AS phash
+           FROM segs JOIN tot ON segs.media_id = tot.media_id GROUP BY 1),
+         pairs AS (
+           SELECT x.media_id AS a_id, y.media_id AS b_id
+           FROM ph x JOIN ph y ON x.media_id < y.media_id
+             AND bit_count(xor(x.phash, y.phash)) <= 7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         canon AS (SELECT id, MIN(label) AS canonical FROM r GROUP BY id),
+         removed AS (SELECT id FROM canon WHERE canonical <> id),
+         base AS (
+           SELECT ph.media_id,
+             ['image','audio','video'][(CAST(ph.media_id % 3 AS INT)) + 1] AS kind
+           FROM ph)
+         SELECT kind, COUNT(*) AS n_media,
+           CAST(SUM(CASE WHEN rm.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN rm.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM base LEFT JOIN removed rm ON base.media_id = rm.id
+         GROUP BY kind ORDER BY kind""",
     // The fake decode over utf-8 text payloads is pure byte math the
     // oracle can replay: mean byte = avg of code units (ASCII corpus),
     // head_sig = hex of first 8 bytes.

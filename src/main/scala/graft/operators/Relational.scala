@@ -166,6 +166,31 @@ object Relational {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy("band_id")
+    }),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): small-quantity
+    // lineitems — below 0.2× the per-part average — of small parts,
+    // rolled up per brand. Written as LITERAL subquery SQL on purpose:
+    // Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into a
+    // per-part aggregate joined back (PlanSpec asserts no per-row
+    // re-scan survives) — the one §2.2 capability with no direct query
+    // evidence before this. The per-part AVG is exact cross-engine
+    // (integral quantities sum exactly in doubles); the revenue sum is
+    // decimal-pinned like every money aggregate here.
+    "q84_scalar_subquery" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q84_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q84_part")
+      s.sql("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM q84_lineitem JOIN q84_part ON p_partkey = l_partkey
+        WHERE p_size < 10
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM q84_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand ORDER BY p_brand
+      """)
     })
   )
 
@@ -242,6 +267,16 @@ object Relational {
                 MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
-         GROUP BY band_id, lo, hi ORDER BY band_id"""
+         GROUP BY band_id, lo, hi ORDER BY band_id""",
+    "q84_scalar_subquery" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_size < 10
+           AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand"""
   )
 }

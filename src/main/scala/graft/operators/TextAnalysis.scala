@@ -405,7 +405,10 @@ object TextAnalysis {
       val corpus = all.filter(!h.isin("0", "1", "2", "3"))
       val batch = graft.Caches.cached(all.filter(h.isin("0", "1", "2", "3")))
       val corpusFps = corpus.select("fp").distinct()
-      val vsCorpus = batch.join(corpusFps, Seq("fp"), "left_anti")
+      // cached: vsCorpus feeds three consumers (firstOfBatch, kept's
+      // left side, keptBySrc via kept) — uncached, the corpus-side scan
+      // + distinct-fingerprint aggregate would re-execute per consumer
+      val vsCorpus = graft.Caches.cached(batch.join(corpusFps, Seq("fp"), "left_anti"))
       val firstOfBatch = vsCorpus.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
       val kept = vsCorpus.join(firstOfBatch,
         vsCorpus("fp") === firstOfBatch("fp") &&
@@ -449,8 +452,11 @@ object TextAnalysis {
     // (doc, token) pairs joined back by token (broadcast-sized for any
     // natural vocabulary), one (doc, token) count, one per-doc window.
     "q77_top_rarity_terms" -> ((s, dir) => {
-      val docs = Tables.fanOut(Tables.documents(s, dir))
-        .filter(col("doc_id") < 300)
+      // filter BEFORE fanOut: the slice predicate reaches the scan as a
+      // prunable pushed filter, and only the ~300 surviving docs pay the
+      // repartition (fanning out the full corpus to keep 300 rows was
+      // the r04 ADVICE finding)
+      val docs = Tables.fanOut(Tables.documents(s, dir).filter(col("doc_id") < 300))
         .select(col("doc_id"), explode(wsToks).as("token"))
       val tf = docs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

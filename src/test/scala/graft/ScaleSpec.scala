@@ -35,6 +35,27 @@ class ScaleSpec extends SparkSpec {
     assert(spread == 16, "every salt bucket must receive rows")
   }
 
+  test("narrow+salted LSH survivors join emits exactly the wide pair set") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val sigs = Caches.cached(Dedup.minhashSignaturesTokens(docs, 5, 32))
+    try {
+      val wide = Dedup.lshSurvivorsWide(sigs, 8, 4, 0.7)
+        .as[(Long, Long)].collect().toSet
+      val narrow = Dedup.lshSurvivorsNarrow(sigs, 8, 4, 0.7)
+        .as[(Long, Long)].collect().toSet
+      assert(wide.nonEmpty, "fixture must produce survivors for the law to bite")
+      assert(narrow == wide,
+        s"cluster-shape survivors diverged: only-wide=${wide.diff(narrow)} " +
+          s"only-narrow=${narrow.diff(wide)}")
+      // the routed entry point picks the wide shape under the budget and
+      // the narrow shape above it — both equal to the same pair set
+      val routedNarrow = Dedup.lshSurvivors(sigs, 8, 4, 0.7, narrowBudget = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(routedNarrow == wide)
+    } finally Caches.releaseAll()
+  }
+
   test("bucketed tables join with zero Exchange (co-located layout)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
