@@ -106,6 +106,60 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("glued word-in-word vocabulary: blocked rename equals the documented envelope (S14)") {
+    // Adversarial generator: the vocabulary deliberately contains GLUED
+    // compounds ('PakSteel', 'SteelCo') whose substrings are also
+    // standalone tokens ('Steel'), so the raw reference predicate's
+    // instr() branches accept pairs the span-blocked engine documents
+    // as excluded. Law: detectRenames equals the brute-force theta-join
+    // restricted to the DOCUMENTED envelope — reference predicate AND a
+    // shared token-aligned >3-char span — plus the same greedy 1:1.
+    // This is the q11/q12 oracle's cand CTE semantics, property-pinned.
+    val word = Gen.oneOf("Pak", "Steel", "PakSteel", "SteelCo", "Cement",
+      "PakCementCo", "Holdings", "Limited", "Group", "SteelHoldings")
+    val nameGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    def spans(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val toks = split(trim(c), " +")
+      val n = size(toks)
+      array_distinct(filter(
+        flatten(transform(sequence(lit(1), n),
+          i => transform(sequence(i, n),
+            j => array_join(slice(toks, i, (j - i) + 1), " ")))),
+        s => length(s) > 3))
+    }
+    var rawOnlyPairs = 0L // the generator must actually exercise the envelope
+    samples(Gen.zip(Gen.listOfN(8, nameGen), Gen.listOfN(8, nameGen)), 6)
+      .foreach { case (oldNames, newNames) =>
+        val deleted = oldNames.distinct.zipWithIndex
+          .map { case (n, i) => (f"O$i%02d", n) }.toDF("old_symbol", "old_name")
+        val added = newNames.distinct.zipWithIndex
+          .map { case (n, i) => (f"N$i%02d", n) }.toDF("new_symbol", "new_name")
+        val blocked = Snapshots.detectRenames(deleted, added)
+          .select("old_symbol", "new_symbol").as[(String, String)].collect().toSet
+        val pred =
+          expr("instr(new_name, old_name) > 0") ||
+          expr("instr(old_name, new_name) > 0") ||
+          (length($"old_name") > 10 && length($"new_name") > 10 &&
+            expr("exists(filter(split(old_name, ' '), w -> length(w) > 3), " +
+                 "w -> instr(new_name, w) > 0)"))
+        val aligned = arrays_overlap(spans($"old_name"), spans($"new_name"))
+        val raw = deleted.crossJoin(added).filter(pred)
+        rawOnlyPairs += raw.filter(!aligned).count()
+        val cand = raw.filter(aligned)
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"old_symbol").orderBy($"new_symbol")
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"new_symbol").orderBy($"old_symbol")
+        val envelope = cand
+          .withColumn("r1", row_number().over(w1)).filter($"r1" === 1)
+          .withColumn("r2", row_number().over(w2)).filter($"r2" === 1)
+          .select("old_symbol", "new_symbol").as[(String, String)].collect().toSet
+        assert(blocked == envelope, s"blocked=$blocked envelope=$envelope")
+      }
+    assert(rawOnlyPairs > 0,
+      "adversarial vocabulary never produced a glued-only pair — the property is vacuous")
+  }
+
   test("winnowing fingerprints are edit-robust and identity-stable (q46 law)") {
     import graft.operators.TextAnalysis
     val base = samples(Gen.listOfN(40, Gen.alphaLowerChar), 6)
