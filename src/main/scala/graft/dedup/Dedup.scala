@@ -250,9 +250,11 @@ object Dedup {
     * ≈2σ at k=32): the pre-verify pair stream of [[minhashNearDups]],
     * factored out so stage timings can see it.
     *
-    * TWO physical shapes, routed by corpus size (the same budget-routing
-    * pattern as [[components]]; the count is a bounded driver aggregate
-    * on the caller-cached signature table):
+    * TWO physical shapes, routed by corpus size. Unlike [[components]]
+    * (whose edge count is needed anyway for the loop), no extra job is
+    * spent here: routing reads Catalyst's propagated size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — the same statistic the
+    * broadcast-join threshold uses), free at plan time:
     *
     *  - WIDE (≤ narrowBudget docs): signatures ride ALONG through the
     *    band self-join (k longs per melted row), so the prefilter runs
@@ -273,8 +275,9 @@ object Dedup {
     *    re-attached by id-keyed joins for the same prefilter.
     *    ScaleSpec asserts pair-set equality of the two shapes. */
   def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double,
-                   narrowBudget: Long = 2L * 1000 * 1000): DataFrame = {
-    if (sigs.count() > narrowBudget) lshSurvivorsNarrow(sigs, bands, rows, threshold)
+                   narrowBudgetBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    val estBytes = sigs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes > narrowBudgetBytes) lshSurvivorsNarrow(sigs, bands, rows, threshold)
     else lshSurvivorsWide(sigs, bands, rows, threshold)
   }
 

@@ -48,9 +48,9 @@ class ScaleSpec extends SparkSpec {
       assert(narrow == wide,
         s"cluster-shape survivors diverged: only-wide=${wide.diff(narrow)} " +
           s"only-narrow=${narrow.diff(wide)}")
-      // the routed entry point picks the wide shape under the budget and
-      // the narrow shape above it — both equal to the same pair set
-      val routedNarrow = Dedup.lshSurvivors(sigs, 8, 4, 0.7, narrowBudget = 0L)
+      // the routed entry point picks the wide shape under the byte
+      // budget and the narrow shape above it — both the same pair set
+      val routedNarrow = Dedup.lshSurvivors(sigs, 8, 4, 0.7, narrowBudgetBytes = 0L)
         .as[(Long, Long)].collect().toSet
       assert(routedNarrow == wide)
     } finally Caches.releaseAll()
