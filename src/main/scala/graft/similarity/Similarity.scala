@@ -81,6 +81,63 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Multiprobe sign-LSH ANN top-k (Lv et al.): the corpus indexes ONE
+    * bucket per table; each query probes its own bucket plus all
+    * `bits` one-bit-flip neighbours, exact cosine re-ranks the union.
+    * `isQuery` selects the query rows out of the indexed corpus, so
+    * signatures are computed in a single corpus pass. Probing the
+    * Hamming-1 ball of a SMALL bucket beats enlarging the bucket: the
+    * corpus side stays 1/2^bits-occupied per table and only the query
+    * side fans out (bits+1 keys per table). */
+  def multiprobeTopK(corpus: DataFrame, isQuery: Column, tables: Int, bits: Int,
+                     k: Int): DataFrame = {
+    graft.plans.SignLsh.register(corpus.sparkSession)
+    val e = fanOut(corpus)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        posexplode(call_function(graft.plans.SignLsh.NAME,
+          col("embedding"), lit(tables), lit(bits))).as(Seq("t", "bucket")))
+    val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("t"),
+        explode(transform(flips, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val cand = e.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("q_emb"), col("embedding"), col("q_norm"), col("nrm"))
+      .distinct()
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_norm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Multiprobe sign-LSH threshold pairs: one side indexes its exact
+    * bucket, the other probes its Hamming-1 ball, so any pair whose
+    * buckets differ by ≤1 bit in ANY table collides; exact cosine
+    * verifies, so every emitted pair is true (precision 1). */
+  def multiprobePairs(corpus: DataFrame, tables: Int, bits: Int,
+                      threshold: Double): DataFrame = {
+    graft.plans.SignLsh.register(corpus.sparkSession)
+    val e = fanOut(corpus)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        posexplode(call_function(graft.plans.SignLsh.NAME,
+          col("embedding"), lit(tables), lit(bits))).as(Seq("t", "bucket")))
+    val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val a = e.select(col("t"), col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_n"))
+    val b = e.select(col("t"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_n"),
+      explode(transform(flips, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"), col("a_n"), col("b_n"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Brute-force exact top-k: broadcast queries × corpus, window top-k.
     * Norms are computed once per vector before the pair fan-out. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -131,26 +188,8 @@ object Similarity {
     // a SMALL bucket beats enlarging the bucket, because the corpus
     // side stays 1/256-occupied per table and only the query fans out.
     "q40_ann_lsh" -> ((s, dir) => {
-      graft.plans.SignLsh.register(s)
-      val bits = 8
-      val e = fanOut(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          posexplode(call_function(graft.plans.SignLsh.NAME,
-            col("embedding"), lit(12), lit(bits))).as(Seq("t", "bucket")))
-      val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_norm"), col("t"),
-          explode(transform(flips, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-      val cand = e.join(broadcast(q), Seq("t", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          col("q_emb"), col("embedding"), col("q_norm"), col("nrm"))
-        .distinct()
-        .select(col("q_id"), col("c_id"),
-          cosinePre(col("q_emb"), col("embedding"), col("q_norm"), col("nrm")).as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      multiprobeTopK(Tables.embeddings(s, dir), col("vec_id") < 10,
+        tables = 12, bits = 8, k = 5)
         .orderBy("q_id", "rank")
     }),
 
@@ -205,25 +244,8 @@ object Similarity {
     // candidate recall is probabilistic, floored in the spec.
     // (Approximate ⇒ rows-only.)
     "q48_embedding_neardup_lsh" -> ((s, dir) => {
-      graft.plans.SignLsh.register(s)
-      val bits = 8
-      val e = fanOut(Tables.embeddings(s, dir).filter(col("vec_id") < 300))
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          posexplode(call_function(graft.plans.SignLsh.NAME,
-            col("embedding"), lit(8), lit(bits))).as(Seq("t", "bucket")))
-      val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
-      val a = e.select(col("t"), col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_n"))
-      val b = e.select(col("t"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_n"),
-        explode(transform(flips, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-      a.join(b, Seq("t", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"), col("a_n"), col("b_n"))
-        .distinct()
-        .select(col("a_id"), col("b_id"),
-          cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
-        .filter(col("cos") >= 0.4)
+      multiprobePairs(Tables.embeddings(s, dir).filter(col("vec_id") < 300),
+        tables = 8, bits = 8, threshold = 0.4)
         .orderBy("a_id", "b_id")
     }),
 
