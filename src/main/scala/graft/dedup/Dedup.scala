@@ -211,14 +211,35 @@ object Dedup {
       .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g"))))
   }
 
-  /** MinHash signatures over token w-grams via the explode + k-min
-    * aggregate pipeline. No custom kernel here (the codegen'd
-    * [[graft.plans.MinHashSigsExpr]] slides over CHARACTERS): a doc
-    * has ~n_tokens gram positions, so the exploded index is ~10× the
-    * doc count in rows — one hash aggregate with map-side partials,
-    * cheap at any scale. Docs with < w tokens drop out, like sub-n
-    * texts do in the char pipeline. */
+  /** MinHash signatures over token w-grams. Runs as the codegen'd
+    * [[graft.plans.MinHashSigsTokensExpr]] — tokenization, w-gram
+    * assembly and k-seed hashing in one pass per document, no exploded
+    * gram index, no aggregate, no shuffle (the former explode + k-min
+    * pipeline below is the executable reference it is lockstep-tested
+    * against, TextDedupSpec). Docs with < w tokens return NULL from the
+    * kernel and are filtered — the same corpus the explode dropped.
+    * The kernel-once split relies on the same cost-aware
+    * CollapseProject behavior as [[minhashSignatures]] (PlanSpec). */
   def minhashSignaturesTokens(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    graft.plans.MinHashSigsTokens.register(docs.sparkSession)
+    // pre-filter on the cheap token count, BEFORE the kernel — a filter
+    // on the mh column itself would be pushed below the project and
+    // evaluate the kernel twice per row (see minhashSignatures). The
+    // predicate is exactly the kernel's null condition (< w tokens),
+    // so no null signatures survive; TextDedupSpec pins the
+    // tokenization parity this relies on.
+    Tables.fanOut(docs)
+      .filter(size(split(trim(col("text")), "\\s+")) >= w)
+      .select(col("doc_id"),
+        call_function(graft.plans.MinHashSigsTokens.NAME,
+          col("text"), lit(w), lit(k)).as("mh"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("mh").getItem(i).as(s"s$i")): _*)
+  }
+
+  /** Reference pipeline spelling of [[minhashSignaturesTokens]]
+    * (explode + k min-aggregates over the token w-gram index). */
+  def minhashSignaturesTokensPipeline(docs: DataFrame, w: Int, k: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val idx = Tables.fanOut(docs)
       .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g"))

@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, MinHashSigs.NAME),
       (exprs: Seq[Expression]) => MinHashSigs.build(exprs)))
     e.injectFunction((
+      FunctionIdentifier(MinHashSigsTokens.NAME),
+      new ExpressionInfo(classOf[MinHashSigsTokensExpr].getName, MinHashSigsTokens.NAME),
+      (exprs: Seq[Expression]) => MinHashSigsTokens.build(exprs)))
+    e.injectFunction((
       FunctionIdentifier(SignLsh.NAME),
       new ExpressionInfo(classOf[SignLshExpr].getName, SignLsh.NAME),
       (exprs: Seq[Expression]) => SignLsh.build(exprs)))

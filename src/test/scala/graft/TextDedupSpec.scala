@@ -142,6 +142,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd minhash_sigs_tokens matches the explode+aggregate reference slot-for-slot") {
+    // adversarial whitespace: the kernel re-implements trim(0x20 only) +
+    // Java split("\\s+", -1) semantics byte-level — leading-tab empty
+    // tokens, trailing-separator empty tokens, multi-space runs, and
+    // below-w docs must all agree with the pipeline spelling exactly
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (9001L, "only four tokens here"),             // w=5: dropped in BOTH
+        (9002L, "exactly five whitespace tokens here"),
+        (9003L, ""),                                  // empty: one empty token
+        (9004L, "\tlead tab makes empty first token"),
+        (9005L, "trailing separator run\t"),
+        (9006L, "  multi   space    runs collapse   between tokens "),
+        (9007L, "a\nb\rc\fde f g"))             // every \s class
+        .toDF("doc_id", "text"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toSeq).toMap
+    val fast = collect(Dedup.minhashSignaturesTokens(docs, 5, 32))
+    val ref = collect(Dedup.minhashSignaturesTokensPipeline(docs, 5, 32))
+    assert(fast.keySet == ref.keySet, "both paths must keep the same docs")
+    assert(!fast.contains(9001L) && fast.contains(9002L) && !fast.contains(9003L))
+    fast.foreach { case (id, sig) =>
+      assert(sig == ref(id), s"token signature mismatch for doc $id")
+    }
+  }
+
   test("codegen'd simhash64 is bit-identical to the HOF reference spelling") {
     // the custom expression replaces the interpreted HOF on the hot
     // path; every fixture shape must agree bit-for-bit — including the
