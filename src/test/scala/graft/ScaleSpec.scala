@@ -35,6 +35,39 @@ class ScaleSpec extends SparkSpec {
     assert(spread == 16, "every salt bucket must receive rows")
   }
 
+  test("fanOut gate: no-op on an already-parallel scan, repartition on a single file") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case r: Repartition => r
+        case r: RepartitionByExpression => r
+      }.isDefined
+    val tmp = java.nio.file.Files.createTempDirectory("fanout_gate").toString
+    try {
+      // many-filed layout with >= defaultParallelism (4) files: the
+      // 100 TB shape locally — fanOut must NOT add an exchange
+      Tables.documents(spark, sf).repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/many")
+      val many = spark.read.parquet(s"$tmp/many")
+      assert(many.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+        "fixture must arrive already parallel for the gate to bite")
+      assert(!hasRepartition(Tables.fanOut(many)),
+        "fanOut must be a no-op on an already-parallel narrow scan")
+      // single-file scan (1 partition): the local crutch must still fire
+      val single = Tables.documents(spark, sf)
+      assert(single.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      assert(hasRepartition(Tables.fanOut(single)),
+        "fanOut must spread a single-file scan across cores")
+      // non-scan input (aggregate): partition count is unknowable
+      // without executing stages - must always repartition
+      val agg = single.groupBy("source").count()
+      assert(hasRepartition(Tables.fanOut(agg)),
+        "fanOut must repartition shuffle-bearing plans unconditionally")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("narrow+salted LSH survivors join emits exactly the wide pair set") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
