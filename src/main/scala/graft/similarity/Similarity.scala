@@ -387,6 +387,76 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Build a PERSISTED IVF index: the corpus assigned to its nearest
+    * coarse cell (same stride-derived centroids and cosine assignment
+    * as [[ivfTopK]]) and written `partitionBy("cell")`, centroids
+    * alongside. This is the production serving layout the in-query
+    * [[ivfTopK]] computes transiently: at 100 TB the assignment pass
+    * runs ONCE at ingest, and every query afterwards touches only its
+    * probed cells' files via partition pruning (see
+    * [[ivfTopKIndexed]]). */
+  def writeIvfIndex(e: DataFrame, dir: String, nCentroids: Int): Unit = {
+    val spark = e.sparkSession
+    val maxRow = e.agg(max(col("vec_id"))).head
+    require(!maxRow.isNullAt(0), "cannot index an empty corpus")
+    val maxId = maxRow.getLong(0)
+    val stride = math.max((maxId + 1) / nCentroids, 1L)
+    val centroidIds = (0 until nCentroids).map(_ * stride)
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        norm(col("embedding")).as("cent_norm"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val withNorm = Tables.fanOut(e)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val scored = withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+  }
+
+  /** Serve top-k from a persisted IVF index: rank cells per query
+    * against the stored centroids (broadcast, C rows), then scan ONLY
+    * the probed cells — `isin` over the cell partition column prunes
+    * the index directories, so scan cost is (nprobe/C)·corpus
+    * regardless of corpus size (SimilaritySpec asserts the partition
+    * filter reaches the scan and results equal the transient
+    * [[ivfTopK]]). The probed-cell collect is bounded by
+    * nprobe × |queries| values — a documented bounded driver action,
+    * never corpus data. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val probes = scored.withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("cent_id").as("cell"))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= nprobe * |queries|
+    val idx = spark.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(probeCells: _*)) // partition-pruned scan
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_norm"), col("cell"))
+    val cand = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .distinct()
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Oracle CTE: exact pairwise cosine with the same decimal pinning.
     * DuckDB 1.0 can't lateral-join range() on a column, so indices come
     * from unnest(generate_series(1, 64)) (embeddings are 64-dim). */

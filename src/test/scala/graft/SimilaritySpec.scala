@@ -146,6 +146,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.55, f"LSH pair recall collapsed: $recall%.3f")
   }
 
+  test("persisted IVF index: partition-pruned serve equals transient ivfTopK") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      Similarity.writeIvfIndex(e, tmp, nCentroids = 16)
+      val qs = e.filter(col("vec_id") < 10)
+      val served = Similarity.ivfTopKIndexed(spark, tmp, qs, k = 5, nprobe = 6)
+      // the probed-cell filter must reach the index scan as a PARTITION
+      // filter — that is the whole point of the persisted layout
+      val p = served.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l => l.contains("FileScan") &&
+          l.contains("/index") && l.contains("PartitionFilters: [cell")),
+        s"probed cells must prune index partitions:\n$p")
+      // and the served results are EXACTLY the transient computation
+      val got = served.select($"q_id", $"c_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val want = Similarity.ivfTopK(e, qs, nCentroids = 16, k = 5, nprobe = 6)
+        .select($"q_id", $"c_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == want, "indexed serve diverged from transient ivfTopK")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)
