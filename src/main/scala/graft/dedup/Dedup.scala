@@ -151,9 +151,6 @@ object Dedup {
     * hub skew in the raw collision stream is a non-issue: the filter is
     * map-side, evaluated where the join emits. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    require(k % bands == 0,
-      s"k=$k must be divisible by bands=$bands — lshSurvivors derives k as bands*rows, " +
-        "so a remainder would silently drop the trailing signature columns from the estimate")
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
     // fanOut: survivors are few in bytes but each costs a verify below;
     // AQE's byte-based coalescing would serialize them on 1-2 cores
@@ -254,9 +251,6 @@ object Dedup {
     * differs. */
   def minhashNearDupsTokens(docs: DataFrame, w: Int, k: Int, bands: Int,
                             threshold: Double): DataFrame = {
-    require(k % bands == 0,
-      s"k=$k must be divisible by bands=$bands — lshSurvivors derives k as bands*rows, " +
-        "so a remainder would silently drop the trailing signature columns from the estimate")
     val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
     val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
@@ -297,10 +291,37 @@ object Dedup {
     *    ScaleSpec asserts pair-set equality of the two shapes. */
   def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double,
                    narrowBudgetBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    // guard at the depth where k is DERIVED: a sigs table whose s-column
+    // count disagrees with bands*rows would silently drop the trailing
+    // signature columns from both the band keys and the estimate
+    val nSig = sigs.columns.count(_.matches("s\\d+"))
+    require(nSig == bands * rows,
+      s"signature table has $nSig s-columns but bands*rows = ${bands * rows} — " +
+        "a mismatch would silently drop trailing signatures from the estimate")
     val estBytes = sigs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes > narrowBudgetBytes) lshSurvivorsNarrow(sigs, bands, rows, threshold)
     else lshSurvivorsWide(sigs, bands, rows, threshold)
   }
+
+  /** The ONE spelling of the signature-agreement estimate prefilter
+    * (est = Σ[sig_i(a)=sig_i(b)]/k ≥ threshold−0.15, ≈2σ at k=32),
+    * shared by both survivor shapes so the slack constant and the
+    * agreement expression can never drift between them (ScaleSpec's
+    * pair-set equality law depends on it). Input must carry a0..a{k-1}
+    * / b0..b{k-1} signature columns. */
+  private def estPrefilter(pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val agree = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs
+      .withColumn("est", agree / lit(k.toDouble))
+      .filter(col("est") >= threshold - 0.15)
+      .select("a_id", "b_id")
+  }
+
+  /** sigs projected to (x_id, x0..x{k-1}) for prefilter attachment. */
+  private def sideSigs(sigs: DataFrame, side: String, k: Int): DataFrame =
+    sigs.select(col("doc_id").as(s"${side}_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"$side$i")): _*)
 
   /** WIDE survivors shape — see [[lshSurvivors]]. */
   def lshSurvivorsWide(sigs: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
@@ -311,13 +332,9 @@ object Dedup {
       (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
     val ys = melted.select(col("doc_id").as("b_id") +: col("band") +: col("key") +:
       (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
-    val agree = (0 until k).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    xs.join(ys, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("est", agree / lit(k.toDouble))
-      .filter(col("est") >= threshold - 0.15)
-      .select("a_id", "b_id")
+    estPrefilter(
+      xs.join(ys, Seq("band", "key")).filter(col("a_id") < col("b_id")),
+      k, threshold)
       .distinct()
   }
 
@@ -343,16 +360,10 @@ object Dedup {
     // is the local choice; past the broadcast limit AQE falls back to
     // an id-keyed shuffle join — the co-partitioned shape a cluster
     // wants (same note as verifyExactJaccard).
-    val sigA = sigs.select(col("doc_id").as("a_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
-    val sigB = sigs.select(col("doc_id").as("b_id") +:
-      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
-    val agree = (0 until k).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(broadcast(sigA), "a_id").join(broadcast(sigB), "b_id")
-      .withColumn("est", agree / lit(k.toDouble))
-      .filter(col("est") >= threshold - 0.15)
-      .select("a_id", "b_id")
+    estPrefilter(
+      cand.join(broadcast(sideSigs(sigs, "a", k)), "a_id")
+        .join(broadcast(sideSigs(sigs, "b", k)), "b_id"),
+      k, threshold)
   }
 
   /** 64-bit SimHash from token-hash bit votes:

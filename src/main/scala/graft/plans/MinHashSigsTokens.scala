@@ -107,7 +107,14 @@ object MinHashSigsTokens {
     if (lo == hi) { offs += lo; lens += 0 }
     else {
       var i = lo
-      if (isWs(bytes(i))) { offs += i; lens += 0; while (i < hi && isWs(bytes(i))) i += 1 }
+      if (isWs(bytes(i))) {
+        offs += i; lens += 0
+        while (i < hi && isWs(bytes(i))) i += 1
+        // all-whitespace after trim: Java split("\s+", -1) splits around
+        // the full-string match into ["", ""] — leading AND trailing
+        // empty tokens, not one
+        if (i == hi) { offs += hi; lens += 0 }
+      }
       while (i < hi) {
         val s0 = i
         while (i < hi && !isWs(bytes(i))) i += 1

@@ -347,35 +347,65 @@ object Similarity {
     * row (the documented bounded-collect pattern), so centroids cover
     * any corpus, not a hard-coded fixture range. */
   def ivfTopK(e: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
-              nCentroids: Int, k: Int, nprobe: Int): DataFrame = {
+              nCentroids: Int, k: Int, nprobe: Int): DataFrame =
+    strideCentroids(e, nCentroids) match {
+      case None => // empty corpus: max() is NULL, not a row to index
+        e.sparkSession.emptyDataFrame // 0 rows in, 0 rows out
+          .select(lit(0L).as("q_id"), lit(0L).as("c_id"),
+            lit(0.0).as("cos"), lit(0).as("rank"))
+      case Some(cents) =>
+        // rank cells per vector once (corpus × C); keep top-1 for
+        // corpus rows and top-nprobe for query rows
+        val ranked = rankCells(Tables.fanOut(e), cents)
+        val assigned = ranked.filter(col("crank") === 1)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_norm"), col("cent_id").as("cell"))
+        val probes = ranked
+          .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+          .filter(col("crank") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), col("cent_id").as("cell"))
+        rerankProbedCells(assigned, probes, k)
+    }
+
+  /** THE stride-derived coarse centroid table over the corpus id range
+    * (deterministic — k-means would drift with RNG; the structure, not
+    * clustering quality, is what the operator contributes); None for an
+    * empty corpus. The max(vec_id) lookup is a 1-value driver action on
+    * an aggregated row (the documented bounded-collect pattern). Shared
+    * by the transient and persisted IVF paths so centroid derivation
+    * can never drift between them. */
+  private def strideCentroids(e: DataFrame, nCentroids: Int): Option[DataFrame] = {
     val maxRow = e.agg(max(col("vec_id"))).head
-    if (maxRow.isNullAt(0)) // empty corpus: max() is NULL, not a row to index
-      return e.sparkSession.emptyDataFrame // 0 rows in, 0 rows out
-        .select(lit(0L).as("q_id"), lit(0L).as("c_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-    val maxId = maxRow.getLong(0)
-    val stride = math.max((maxId + 1) / nCentroids, 1L)
-    val centroidIds = (0 until nCentroids).map(_ * stride)
-    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        norm(col("embedding")).as("cent_norm"))
-    val withNorm = Tables.fanOut(e)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // rank cells per vector once (corpus × C); keep top-1 for corpus
-    // rows and top-nprobe for query rows
+    if (maxRow.isNullAt(0)) None
+    else {
+      val stride = math.max((maxRow.getLong(0) + 1) / nCentroids, 1L)
+      val centroidIds = (0 until nCentroids).map(_ * stride)
+      Some(e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+          norm(col("embedding")).as("cent_norm")))
+    }
+  }
+
+  /** THE cell-ranking pass: every vector of `vecs` cosine-scored
+    * against the (broadcast) centroid table, rank-numbered per vector
+    * (ties by cent_id) → (vec_id, embedding, nrm, cent_id, crank).
+    * Shared by assignment (crank = 1) and probing (crank ≤ nprobe) in
+    * both IVF paths. */
+  private def rankCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val withNorm = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     val scored = withNorm.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    val ranked = scored.withColumn("crank", row_number().over(byVec))
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_norm"), col("cent_id").as("cell"))
-    val probes = ranked
-      .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-      .filter(col("crank") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_norm"), col("cent_id").as("cell"))
+    scored.withColumn("crank", row_number().over(byVec))
+  }
+
+  /** THE probed-cell exact re-rank: candidates = assigned corpus rows
+    * in any probed cell, exact cosine, window top-k. Shared by both
+    * IVF paths. */
+  private def rerankProbedCells(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
@@ -396,23 +426,10 @@ object Similarity {
     * probed cells' files via partition pruning (see
     * [[ivfTopKIndexed]]). */
   def writeIvfIndex(e: DataFrame, dir: String, nCentroids: Int): Unit = {
-    val spark = e.sparkSession
-    val maxRow = e.agg(max(col("vec_id"))).head
-    require(!maxRow.isNullAt(0), "cannot index an empty corpus")
-    val maxId = maxRow.getLong(0)
-    val stride = math.max((maxId + 1) / nCentroids, 1L)
-    val centroidIds = (0 until nCentroids).map(_ * stride)
-    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        norm(col("embedding")).as("cent_norm"))
+    val cents = strideCentroids(e, nCentroids)
+      .getOrElse(throw new IllegalArgumentException("cannot index an empty corpus"))
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val withNorm = Tables.fanOut(e)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val scored = withNorm.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    scored.withColumn("crank", row_number().over(byVec))
+    rankCells(Tables.fanOut(e), cents)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
@@ -430,13 +447,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    val q = queries.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val scored = q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        cosinePre(col("embedding"), col("cent_emb"), col("nrm"), col("cent_norm")).as("ccos"))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    val probes = scored.withColumn("crank", row_number().over(byVec))
+    val probes = rankCells(queries.select("vec_id", "embedding"), cents)
       .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cent_id").as("cell"))
@@ -446,15 +457,7 @@ object Similarity {
       .filter(col("cell").isin(probeCells: _*)) // partition-pruned scan
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_norm"), col("cell"))
-    val cand = idx.join(broadcast(probes), Seq("cell"))
-      .filter(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
-        col("q_norm"), col("c_norm"))
-      .distinct()
-      .select(col("q_id"), col("c_id"),
-        cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rerankProbedCells(idx, probes, k)
   }
 
   /** Oracle CTE: exact pairwise cosine with the same decimal pinning.

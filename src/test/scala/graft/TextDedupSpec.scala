@@ -168,6 +168,24 @@ class TextDedupSpec extends SparkSpec {
     fast.foreach { case (id, sig) =>
       assert(sig == ref(id), s"token signature mismatch for doc $id")
     }
+    // w=2 exposes the all-whitespace edge: "\t" post-trim splits into
+    // ["", ""] under Java split(-1) semantics (leading AND trailing
+    // empty), so the doc gets a signature — the gram is the single
+    // space joining two empty tokens — in BOTH paths
+    val wsDocs = Seq((1L, "\t"), (2L, " \t "), (3L, "\t\t"), (4L, "x\ty"),
+      (5L, ""), (6L, " "), (7L, "solo"))
+      .toDF("doc_id", "text")
+    def collect2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val fast2 = collect2(Dedup.minhashSignaturesTokens(wsDocs, 2, 8))
+    val ref2 = collect2(Dedup.minhashSignaturesTokensPipeline(wsDocs, 2, 8))
+    assert(fast2.keySet == ref2.keySet,
+      s"w=2 corpus diverged: fast=${fast2.keySet} ref=${ref2.keySet}")
+    assert(fast2.contains(1L) && !fast2.contains(5L) && !fast2.contains(7L))
+    fast2.foreach { case (id, sig) =>
+      assert(sig == ref2(id), s"w=2 signature mismatch for doc $id")
+    }
   }
 
   test("codegen'd simhash64 is bit-identical to the HOF reference spelling") {
