@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *
   * Why an expression: the Column spelling ([[graft.similarity
   * .Similarity.signature]]) evaluates one interpreted aggregate∘zip_with
-  * per plane — 48 independent array traversals with lambda frames and
-  * boxed doubles per corpus row in the q40/q48 pipelines. Here every
+  * per plane — tables×bits (64-96 in the q40/q48 pipelines) independent
+  * array traversals with lambda frames and
+  * boxed doubles per corpus row. Here every
   * plane's dot product accumulates in the same primitive loop, in the
   * identical left-to-right IEEE order, so buckets are bit-for-bit equal
   * to the reference spelling (SimilaritySpec pins lockstep).

@@ -70,7 +70,7 @@ object Similarity {
   /** Sign signature of an embedding under the given planes (bit i =
     * sign of v · planes(i)) — the interpreted REFERENCE spelling of the
     * codegen'd sign_lsh kernel; SimilaritySpec pins their lockstep.
-    * Bucket width = planes.length (callers use 6-bit tables). */
+    * Bucket width = planes.length (callers use 6-8 bit tables). */
   def signature(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(

@@ -125,6 +125,10 @@ class PlanSpec extends SparkSpec {
     val phys = sigs.queryExecution.executedPlan.toString
     assert("minhashsigsexpr".r.findAllIn(phys).length == 1,
       s"expected exactly one kernel call in the physical plan:\n${phys.take(2000)}")
+    val sigsTok = graft.dedup.Dedup.minhashSignaturesTokens(docs, 4, 24)
+    val physTok = sigsTok.queryExecution.executedPlan.toString
+    assert("minhashsigstokensexpr".r.findAllIn(physTok).length == 1,
+      s"expected exactly one token-kernel call in the physical plan:\n${physTok.take(2000)}")
   }
 
   test("incremental dedup reduces the corpus side before anti-joining (q73)") {
