@@ -55,6 +55,19 @@ object Tables {
     else df.repartition(target)
   }
 
+  /** Broadcast-hint `df` only while Catalyst's size estimate fits the
+    * budget; above it, return it unhinted so Catalyst/AQE pick the join
+    * strategy. An unconditional `broadcast()` hint is NEVER demoted —
+    * not by the 8 GB hard limit, not by AQE — so hinting a corpus-sized
+    * table turns "slower shuffle join" into a driver OOM at scale. Use
+    * this for any hint whose subject grows with the corpus (per-doc
+    * shingle arrays, signature tables); dimension-sized frames
+    * (centroids, query sets, calendars) may keep the plain hint. */
+  def maybeBroadcast(df: DataFrame, budgetBytes: Long = 256L * 1024 * 1024): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= budgetBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
   /** Project/filter/generate chains over a leaf relation: exchange-free
     * by construction, so planning `.rdd` is safe (no query stage runs)
     * and its partition count reflects the scan's file layout. */

@@ -167,17 +167,21 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of a candidate pair stream against
-    * per-doc SORTED shingle arrays (computed once, broadcast-joined in;
-    * the per-pair intersection is the codegen'd two-pointer merge).
-    * The broadcast is the local choice — at cluster scale where the
-    * shingle-array table outgrows the broadcast limit AQE falls back
-    * to a shuffled join keyed by doc id, which is exactly the shape a
-    * 1000-executor run wants (pairs and arrays co-partition by id). */
+    * per-doc SORTED shingle arrays (computed once, joined in; the
+    * per-pair intersection is the codegen'd two-pointer merge). The
+    * shingle-array table grows with the CORPUS, so the broadcast is
+    * stats-gated ([[Tables.maybeBroadcast]]): hinted while the
+    * estimate fits locally, unhinted past the budget so the planner
+    * takes the id-keyed shuffle join — exactly the co-partitioned
+    * shape a 1000-executor run wants. (An unconditional hint is never
+    * demoted and would OOM the driver at corpus scale.) */
   private def verifyExactJaccard(pairs: DataFrame, shArr: DataFrame,
                                  threshold: Double): DataFrame = {
     val withSh = pairs
-      .join(broadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
-      .join(broadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
+      .join(Tables.maybeBroadcast(
+        shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
+      .join(Tables.maybeBroadcast(
+        shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     withSh
@@ -356,13 +360,13 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    // signatures re-attach to post-distinct survivors only. broadcast
-    // is the local choice; past the broadcast limit AQE falls back to
-    // an id-keyed shuffle join — the co-partitioned shape a cluster
-    // wants (same note as verifyExactJaccard).
+    // signatures re-attach to post-distinct survivors only. The
+    // signature table is corpus-sized, so the broadcast is stats-gated
+    // (same reasoning as verifyExactJaccard): hinted locally, id-keyed
+    // shuffle join past the budget — the co-partitioned cluster shape.
     estPrefilter(
-      cand.join(broadcast(sideSigs(sigs, "a", k)), "a_id")
-        .join(broadcast(sideSigs(sigs, "b", k)), "b_id"),
+      cand.join(Tables.maybeBroadcast(sideSigs(sigs, "a", k)), "a_id")
+        .join(Tables.maybeBroadcast(sideSigs(sigs, "b", k)), "b_id"),
       k, threshold)
   }
 

@@ -68,6 +68,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("maybeBroadcast drops the hint past the stats budget (never forces a corpus broadcast)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst { case h: ResolvedHint => h }.isDefined
+    val docs = Tables.documents(spark, sf)
+    assert(hinted(Tables.maybeBroadcast(docs)),
+      "a fixture-sized table must keep the broadcast hint")
+    assert(!hinted(Tables.maybeBroadcast(docs, budgetBytes = 0L)),
+      "past the budget the hint must disappear — explicit hints are never demoted")
+  }
+
   test("narrow+salted LSH survivors join emits exactly the wide pair set") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
