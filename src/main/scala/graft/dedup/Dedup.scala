@@ -414,27 +414,51 @@ object Dedup {
   /** Hamming-ball pair generation over ANY 64-bit-signature table
     * (doc_id, sig) — the chunk machinery of [[simhashNearDups]],
     * factored out so other fingerprint families (SimHash text sigs,
-    * perceptual media hashes) share one implementation. 8-bit chunk
-    * collision is the candidate equi-join key; pigeonhole makes recall
-    * COMPLETE for maxDist ≤ 7 (any pair within distance 7 leaves at
-    * least one of the 8 chunks untouched). Signatures of < 64 bits
-    * (e.g. the 63-bit media aHash) work unchanged: the top chunk just
-    * spans fewer meaningful bits. */
-  def hammingPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist <= 7,
-      s"maxDist=$maxDist exceeds the 8-chunk completeness envelope (pigeonhole holds to 7)")
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 8).map(j =>
+    * perceptual media hashes) share one implementation. Chunk collision
+    * is the candidate equi-join key; pigeonhole makes recall COMPLETE
+    * for maxDist ≤ chunks−1 (any pair within that distance leaves at
+    * least one chunk untouched), and the exact Hamming filter makes
+    * precision 1 — so ANY chunks setting with maxDist < chunks emits
+    * the IDENTICAL pair set (spec-pinned), making `chunks` a pure
+    * physical knob. Signatures of < 64 bits (e.g. the 63-bit media
+    * aHash) work unchanged: the top chunk just spans fewer meaningful
+    * bits.
+    *
+    * Scale knobs: the join key space is chunks · 2^(64/chunks) buckets,
+    * so mean bucket pair cost is N²/2^(64/chunks) per chunk index —
+    * FEWER chunks = exponentially smaller buckets but a narrower
+    * completeness envelope. At corpus scale pick the smallest `chunks`
+    * that still covers the target distance (maxDist 3 → 4 chunks of 16
+    * bits = 65536× bucket reduction vs 8×8); `blocks` > 1 additionally
+    * salts the self-join (x replicated, y id-hashed — the
+    * lshSurvivorsNarrow pattern) so one mega-bucket's pair emission
+    * spreads over `blocks` reducers without changing the pair set. */
+  def hammingPairs(sigs: DataFrame, maxDist: Int, chunks: Int = 8,
+                   blocks: Int = 1): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxDist < chunks,
+      s"maxDist=$maxDist exceeds the $chunks-chunk completeness envelope " +
+        s"(pigeonhole holds to ${chunks - 1})")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until chunks).map(j =>
           struct(lit(j).as("j"),
-            (shiftrightunsigned(col("sig"), 8 * j) % 256).as("chunk"))): _*)).as("c"))
+            shiftrightunsigned(col("sig"), width * j).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
-    val chunksC = graft.Caches.cached(chunks) // the sig kernel is a full-corpus pass — run it once
-
-    chunksC.as("x").join(chunksC.as("y"),
-        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+    val chunksC = graft.Caches.cached(chunked) // the sig kernel is a full-corpus pass — run it once
+    val xs = chunksC.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("j"), col("chunk"))
+      .withColumn("blk", if (blocks == 1) lit(0)
+        else explode(array((0 until blocks).map(lit(_)): _*)))
+    val ys = chunksC.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("j"), col("chunk"))
+      .withColumn("blk", if (blocks == 1) lit(0)
+        else pmod(xxhash64(col("b_id")), lit(blocks)).cast("int"))
+    xs.join(ys, Seq("j", "chunk", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

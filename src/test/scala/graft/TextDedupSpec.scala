@@ -188,6 +188,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairs: chunks/blocks are pure physical knobs (identical pair set)") {
+    // completeness (pigeonhole, maxDist < chunks) + exact verify
+    // (precision 1) mean every legal parameterization must emit the
+    // SAME pairs — chunks trades bucket size against envelope, blocks
+    // only spreads emission. simhash sigs go NEGATIVE (bit 63), so this
+    // also pins the & mask chunking (the former j=0 `% 256` chunk kept
+    // the sign and could miss a cross-sign pair whose only untouched
+    // chunk was the low byte).
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+      .select("doc_id", "text")
+    def pairs(chunks: Int, blocks: Int): Set[(Long, Long)] = {
+      val sigs = Tables.fanOut(docs).select(col("doc_id"), Dedup.simhash64("text").as("sig"))
+      val r = Dedup.hammingPairs(sigs, maxDist = 3, chunks = chunks, blocks = blocks)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      Caches.releaseAll()
+      r
+    }
+    val base = pairs(8, 1)
+    assert(pairs(16, 1) == base, "16-chunk layout must emit the identical pair set")
+    assert(pairs(4, 1) == base, "4-chunk layout must emit the identical pair set")
+    assert(pairs(8, 4) == base, "salted emission must not change the pair set")
+  }
+
   test("codegen'd simhash64 is bit-identical to the HOF reference spelling") {
     // the custom expression replaces the interpreted HOF on the hot
     // path; every fixture shape must agree bit-for-bit — including the
