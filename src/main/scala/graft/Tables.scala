@@ -55,18 +55,34 @@ object Tables {
     else df.repartition(target)
   }
 
-  /** Broadcast-hint `df` only while Catalyst's size estimate fits the
-    * budget; above it, return it unhinted so Catalyst/AQE pick the join
-    * strategy. An unconditional `broadcast()` hint is NEVER demoted —
-    * not by the 8 GB hard limit, not by AQE — so hinting a corpus-sized
-    * table turns "slower shuffle join" into a driver OOM at scale. Use
-    * this for any hint whose subject grows with the corpus (per-doc
-    * shingle arrays, signature tables); dimension-sized frames
-    * (centroids, query sets, calendars) may keep the plain hint. */
-  def maybeBroadcast(df: DataFrame, budgetBytes: Long = 256L * 1024 * 1024): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= budgetBytes)
-      org.apache.spark.sql.functions.broadcast(df)
-    else df
+  /** Broadcast-hint `df` only while a CONSERVATIVE size estimate fits
+    * the budget; above it, return it unhinted so Catalyst/AQE pick the
+    * join strategy. An unconditional `broadcast()` hint is NEVER
+    * demoted — not by the 8 GB hard limit, not by AQE — so hinting a
+    * corpus-sized table turns "slower shuffle join" into a driver OOM
+    * at scale. Use this for any hint whose subject grows with the
+    * corpus (per-doc shingle arrays, signature tables);
+    * dimension-sized frames (centroids, query sets, calendars) may
+    * keep the plain hint.
+    *
+    * Sizing: Catalyst's plan statistic replaces row width by schema
+    * DEFAULT sizes above a Project — a generated ARRAY<STRING> column
+    * counts ~20 bytes however large the real arrays are — so the plan
+    * stat alone can keep the hint on a multi-GB table. The gate
+    * therefore takes the MAX of the plan stat and Σ(leaf scan bytes) ×
+    * `leafExpansion` (compressed-parquet-to-in-memory inflation; the
+    * default 8 covers decompression + JVM object overhead — callers
+    * whose projection EXPANDS the data, e.g. n-gram shingling, pass a
+    * larger factor). Erring large only costs a shuffle join; erring
+    * small costs the driver. */
+  def maybeBroadcast(df: DataFrame, budgetBytes: Long = 256L * 1024 * 1024,
+                     leafExpansion: Double = 8.0): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    val planEst = plan.stats.sizeInBytes
+    val leafEst = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    val est = planEst.max(BigInt((leafEst.toDouble * leafExpansion).toLong))
+    if (est <= budgetBytes) org.apache.spark.sql.functions.broadcast(df) else df
+  }
 
   /** Project/filter/generate chains over a leaf relation: exchange-free
     * by construction, so planning `.rdd` is safe (no query stage runs)

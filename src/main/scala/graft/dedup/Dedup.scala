@@ -163,7 +163,7 @@ object Dedup {
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
       .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")))
-    verifyExactJaccard(fanned, shArr, threshold)
+    verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * n)
   }
 
   /** Exact-Jaccard verification of a candidate pair stream against
@@ -174,14 +174,19 @@ object Dedup {
     * estimate fits locally, unhinted past the budget so the planner
     * takes the id-keyed shuffle join — exactly the co-partitioned
     * shape a 1000-executor run wants. (An unconditional hint is never
-    * demoted and would OOM the driver at corpus scale.) */
+    * demoted and would OOM the driver at corpus scale.) `leafExpansion`
+    * carries the shingle blow-up factor into the size gate: the shingle
+    * arrays are ~gramSize× the source text, which Catalyst's
+    * default-size stats cannot see. */
   private def verifyExactJaccard(pairs: DataFrame, shArr: DataFrame,
-                                 threshold: Double): DataFrame = {
+                                 threshold: Double, leafExpansion: Double): DataFrame = {
     val withSh = pairs
       .join(Tables.maybeBroadcast(
-        shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), "a_id")
+        shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        leafExpansion = leafExpansion), "a_id")
       .join(Tables.maybeBroadcast(
-        shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
+        shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        leafExpansion = leafExpansion), "b_id")
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     withSh
@@ -261,7 +266,7 @@ object Dedup {
     val toks = split(trim(col("text")), "\\s+")
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
       .select(col("doc_id"), array_sort(tokenShingles(toks, w)).as("sh")))
-    verifyExactJaccard(fanned, shArr, threshold)
+    verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * w)
   }
 
   /** Band-collision candidates surviving the signature-agreement
@@ -327,6 +332,24 @@ object Dedup {
     sigs.select(col("doc_id").as(s"${side}_id") +:
       (0 until k).map(i => col(s"s$i").as(s"$side$i")): _*)
 
+  /** THE salted self-join spelling, shared by every bucketed pair
+    * generator (narrow LSH survivors, Hamming chunks): the x side
+    * replicates into every block, the y side lands in its id-hash
+    * block, so each (x, y) bucket pair meets in EXACTLY one block and
+    * the output equals the unsalted join — salting only spreads a
+    * mega-bucket's pair emission over `blocks` reducers. blocks = 1 is
+    * the unsalted join, no salt columns added. */
+  private def saltedSelfJoin(xs: DataFrame, ys: DataFrame, keys: Seq[String],
+                             yIdCol: String, blocks: Int): DataFrame = {
+    require(blocks >= 1, s"blocks=$blocks must be >= 1")
+    if (blocks == 1) xs.join(ys, keys)
+    else {
+      val xsB = xs.withColumn("blk", explode(array((0 until blocks).map(lit(_)): _*)))
+      val ysB = ys.withColumn("blk", pmod(xxhash64(col(yIdCol)), lit(blocks)).cast("int"))
+      xsB.join(ysB, keys :+ "blk").drop("blk")
+    }
+  }
+
   /** WIDE survivors shape — see [[lshSurvivors]]. */
   def lshSurvivorsWide(sigs: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
     val k = bands * rows
@@ -353,10 +376,8 @@ object Dedup {
     val k = bands * rows
     val melted = meltedBands(sigs, bands, rows, carry = Nil)
     val xs = melted.select(col("doc_id").as("a_id"), col("band"), col("key"))
-      .withColumn("blk", explode(array((0 until blocks).map(lit(_)): _*)))
     val ys = melted.select(col("doc_id").as("b_id"), col("band"), col("key"))
-      .withColumn("blk", pmod(xxhash64(col("b_id")), lit(blocks)).cast("int"))
-    val cand = xs.join(ys, Seq("band", "key", "blk"))
+    val cand = saltedSelfJoin(xs, ys, Seq("band", "key"), "b_id", blocks)
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
@@ -429,13 +450,13 @@ object Dedup {
     * FEWER chunks = exponentially smaller buckets but a narrower
     * completeness envelope. At corpus scale pick the smallest `chunks`
     * that still covers the target distance (maxDist 3 → 4 chunks of 16
-    * bits = 65536× bucket reduction vs 8×8); `blocks` > 1 additionally
-    * salts the self-join (x replicated, y id-hashed — the
-    * lshSurvivorsNarrow pattern) so one mega-bucket's pair emission
-    * spreads over `blocks` reducers without changing the pair set. */
+    * bits: buckets 2^8 = 256× smaller than the 8×8 layout's);
+    * `blocks` > 1 additionally salts the self-join
+    * ([[saltedSelfJoin]]) so one mega-bucket's pair emission spreads
+    * over `blocks` reducers without changing the pair set. */
   def hammingPairs(sigs: DataFrame, maxDist: Int, chunks: Int = 8,
                    blocks: Int = 1): DataFrame = {
-    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(chunks >= 1 && 64 % chunks == 0, s"chunks=$chunks must divide 64")
     require(maxDist < chunks,
       s"maxDist=$maxDist exceeds the $chunks-chunk completeness envelope " +
         s"(pigeonhole holds to ${chunks - 1})")
@@ -448,14 +469,10 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
     val chunksC = graft.Caches.cached(chunked) // the sig kernel is a full-corpus pass — run it once
     val xs = chunksC.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("j"), col("chunk"))
-      .withColumn("blk", if (blocks == 1) lit(0)
-        else explode(array((0 until blocks).map(lit(_)): _*)))
+      col("j"), col("chunk"))
     val ys = chunksC.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("j"), col("chunk"))
-      .withColumn("blk", if (blocks == 1) lit(0)
-        else pmod(xxhash64(col("b_id")), lit(blocks)).cast("int"))
-    xs.join(ys, Seq("j", "chunk", "blk"))
+      col("j"), col("chunk"))
+    saltedSelfJoin(xs, ys, Seq("j", "chunk"), "b_id", blocks)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))

@@ -206,6 +206,7 @@ class TextDedupSpec extends SparkSpec {
       r
     }
     val base = pairs(8, 1)
+    assert(base.nonEmpty, "fixture must produce pairs for the law to bite")
     assert(pairs(16, 1) == base, "16-chunk layout must emit the identical pair set")
     assert(pairs(4, 1) == base, "4-chunk layout must emit the identical pair set")
     assert(pairs(8, 4) == base, "salted emission must not change the pair set")
