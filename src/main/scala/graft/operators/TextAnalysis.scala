@@ -85,13 +85,18 @@ object TextAnalysis {
     * classic O(1) rolling update buys nothing at k=5 and would cost a
     * sequential dependency. */
   def rollingHashesExpr(textCol: String): String =
+    // every ascii() is cast to BIGINT BEFORE its multiply: an INT×INT
+    // product overflows ANSI arithmetic from code point 127 up (127 ×
+    // 16974593 > Int.MaxValue) — printable ASCII survives only because
+    // '~' is 126. Values are unchanged wherever the INT spelling didn't
+    // overflow, and the hash is now total on any code point.
     s"""CASE WHEN length($textCol) < 5 THEN CAST(array() AS ARRAY<BIGINT>)
         ELSE transform(sequence(1, length($textCol) - 4), i ->
-          (ascii(substring($textCol, i, 1)) * 4362470401 +
-           ascii(substring($textCol, i + 1, 1)) * 16974593 +
-           ascii(substring($textCol, i + 2, 1)) * 66049 +
-           ascii(substring($textCol, i + 3, 1)) * 257 +
-           ascii(substring($textCol, i + 4, 1))) % 1000000007) END"""
+          (CAST(ascii(substring($textCol, i, 1)) AS BIGINT) * 4362470401 +
+           CAST(ascii(substring($textCol, i + 1, 1)) AS BIGINT) * 16974593 +
+           CAST(ascii(substring($textCol, i + 2, 1)) AS BIGINT) * 66049 +
+           CAST(ascii(substring($textCol, i + 3, 1)) AS BIGINT) * 257 +
+           CAST(ascii(substring($textCol, i + 4, 1)) AS BIGINT)) % 1000000007) END"""
 
   /** Winnowing selection: min hash of every w=4 window of consecutive
     * gram hashes, distinct — a document's O(len/w)-sized robust
@@ -330,20 +335,24 @@ object TextAnalysis {
 
     // Winnowing fingerprints (rolling-hash document signatures), bounded
     // slice — the content-overlap-robust counterpart of q34's identity
-    // fingerprint.
+    // fingerprint. Runs as the codegen'd [[graft.plans.WinnowFpExpr]]
+    // (one pass: gram hashes + winnow mins + first-occurrence dedup);
+    // the HOF spellings below stay as the executable reference it is
+    // lockstep-tested against (TextDedupSpec) and the oracle replays.
     "q46_winnow_fingerprint" -> ((s, dir) => {
+      graft.plans.WinnowFp.register(s)
       Tables.documents(s, dir)
         .filter(col("doc_id") < 100)
-        // ASCII-normalize first: the rolling-hash twin contract is
-        // byte-level and only holds for ASCII (see rollingHashesExpr)
+        // ASCII-normalize first: the ORACLE's byte-level replay of the
+        // hash only matches code points for ASCII (the kernel itself is
+        // code-point-exact at any input)
         .withColumn("t7", regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
-        .withColumn("hs", expr(rollingHashesExpr("t7")))
-        .withColumn("wfp", expr(winnowExpr("hs")))
+        .withColumn("w", call_function(graft.plans.WinnowFp.NAME, col("t7")))
         .select(col("doc_id"),
-          size(col("hs")).as("n_grams"),
-          size(col("wfp")).as("n_fp"),
-          expr("array_min(wfp)").as("fp_min"),
-          expr("array_max(wfp)").as("fp_max"))
+          col("w.n_grams").as("n_grams"),
+          size(col("w.wfp")).as("n_fp"),
+          expr("array_min(w.wfp)").as("fp_min"),
+          expr("array_max(w.wfp)").as("fp_max"))
         .orderBy("doc_id")
     }),
 

@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SignLsh.NAME),
       new ExpressionInfo(classOf[SignLshExpr].getName, SignLsh.NAME),
       (exprs: Seq[Expression]) => SignLsh.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(WinnowFp.NAME),
+      new ExpressionInfo(classOf[WinnowFpExpr].getName, WinnowFp.NAME),
+      (exprs: Seq[Expression]) => WinnowFp.build(exprs)))
   }
 }

@@ -188,6 +188,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd winnow_fp matches the HOF reference spellings element-for-element") {
+    import graft.operators.TextAnalysis
+    graft.plans.WinnowFp.register(spark)
+    // adversarial shapes: below-5-gram texts, exactly 5, repeated runs
+    // (winnow dedup), and non-ASCII code points (the kernel iterates
+    // code points exactly as substring/ascii count characters)
+    val edge = Seq("", "abcd", "abcde", "aaaaaaaaaaaa", "hello world abc",
+      "ünïcödé tøkens here too", "a b c d e f g h")
+      .toDF("text")
+    val real = Tables.documents(spark, sf).limit(60).select(col("text"))
+    Seq(edge, real).foreach { df =>
+      val rows = df
+        .withColumn("hs", expr(TextAnalysis.rollingHashesExpr("text")))
+        .withColumn("wfp", expr(TextAnalysis.winnowExpr("hs")))
+        .withColumn("w", call_function(graft.plans.WinnowFp.NAME, col("text")))
+        .select(size(col("hs")).as("ref_n"), col("wfp").as("ref_wfp"),
+          col("w.n_grams").as("k_n"), col("w.wfp").as("k_wfp"))
+        .as[(Int, Seq[Long], Int, Seq[Long])].collect()
+      rows.foreach { case (rn, rw, kn, kw) =>
+        assert(kn == rn, s"gram count mismatch: kernel $kn vs HOF $rn")
+        assert(kw == rw, s"fingerprint mismatch: kernel $kw vs HOF $rw")
+      }
+    }
+  }
+
   test("hammingPairs: chunks/blocks are pure physical knobs (identical pair set)") {
     // completeness (pigeonhole, maxDist < chunks) + exact verify
     // (precision 1) mean every legal parameterization must emit the
