@@ -40,8 +40,13 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Flagship: scan→filter→join→agg→sort. lineitem⋈orders shuffles on the
-    // fact key; customer+nation are broadcast (dimension-sized at any SF).
+    // Flagship: scan→filter→join→agg→sort. lineitem⋈orders shuffles on
+    // the fact key; nation (25 rows at ANY SF) keeps a plain broadcast
+    // hint, while customer SCALES WITH SF (TPC-H: 150k × SF rows — at
+    // the 100 TB target it is billions), so its hint is stats-gated:
+    // broadcast locally, shuffle join keyed on custkey once the
+    // projection outgrows the budget. (An explicit hint is never
+    // demoted — see Tables.maybeBroadcast.)
     "q02_revenue_by_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
       val o = Tables.orders(s, dir)
@@ -51,7 +56,7 @@ object Relational {
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(Tables.maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
