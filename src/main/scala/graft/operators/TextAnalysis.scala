@@ -73,6 +73,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Bag-of-words identity fingerprint (sorted distinct token set) —
+    * the ONE spelling shared by q73's admission key and q80's dedup
+    * key; both oracles mirror it, so a tokenization tweak here cannot
+    * diverge the two accountings. */
+  private def bagOfWordsFp: Column =
+    md5(array_join(array_sort(array_distinct(wsToks)), " "))
+
   /** Rolling polynomial 5-gram hashes (base 257 mod 1e9+7) at every
     * character position — the Rabin-Karp hash family used by winnowing
     * fingerprinting (Schleimer et al., SIGMOD 2003). The window product
@@ -256,14 +263,18 @@ object TextAnalysis {
     "q66_decontaminate" -> ((s, dir) => {
       val docs = Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), wsToks.as("toks"))
-      val grams = docs
+      // cached: grams feeds BOTH the eval-set distinct and the
+      // contamination semi-join side — uncached, the corpus tokenize +
+      // explode + per-position md5 (the expensive work here) runs twice
+      // (the same two-consumer shape q72 caches)
+      val grams = graft.Caches.cached(docs
         // Spark's sequence(1, hi) DESCENDS when hi < 1 (DuckDB's
         // generate_series is empty) — filter short docs instead of
         // clamping, same row semantics on both engines
         .filter(size(col("toks")) >= 13)
         .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
         .select(col("doc_id"), col("source"),
-          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram"))
+          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
       val benchGrams = grams.filter(col("doc_id") % 20 === 0)
         .select("gram").distinct()
       // no broadcast() hint: the eval gram set grows linearly with the
@@ -405,9 +416,8 @@ object TextAnalysis {
     // diversity, not corpus size) before the anti-join; within-batch
     // survivorship is a min-id aggregate, not a self-join.
     "q73_incremental_dedup" -> ((s, dir) => {
-      val fp = md5(array_join(array_sort(array_distinct(wsToks)), " "))
       val all = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), fp.as("fp"))
+        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp"))
       // hash split, decorrelated from doc_id's round-robin source
       // assignment: ~1/4 of docs are "tonight's batch"
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -489,9 +499,8 @@ object TextAnalysis {
     "q78_containment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), col("text"))
-      val toks = split(trim(col("text")), "\\s+")
       val idx = graft.Caches.cached(Tables.fanOut(docs)
-        .select(col("doc_id"), explode(graft.dedup.Dedup.tokenShingles(toks, 3)).as("g")))
+        .select(col("doc_id"), explode(graft.dedup.Dedup.tokenShingles(wsToks, 3)).as("g")))
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = idx.as("x").join(idx.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
@@ -518,12 +527,11 @@ object TextAnalysis {
     "q80_curation_funnel" -> ((s, dir) => {
       val feat = Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"),
-          size(wsToks).as("n_tok"),
+          nTokens.as("n_tok"),
           (lit(1.0) - size(array_distinct(wsToks)).cast("double") /
-            size(wsToks).cast("double")).as("dup_frac"),
-          (size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
-            .cast("double") / size(wsToks).cast("double")).as("stop_ratio"),
-          md5(array_join(array_sort(array_distinct(wsToks)), " ")).as("fp"))
+            nTokens.cast("double")).as("dup_frac"),
+          (nStopwords.cast("double") / nTokens.cast("double")).as("stop_ratio"),
+          bagOfWordsFp.as("fp"))
       val passed = col("n_tok") >= 30 && col("dup_frac") <= 0.70 &&
         col("stop_ratio") >= 0.02
       val featC = graft.Caches.cached(feat.withColumn("passed", passed))

@@ -67,15 +67,21 @@ object Ingest {
         while (out.isEmpty && attempt < maxRetries) {
           // NonFatal only: InterruptedException must propagate so task
           // cancellation kills the retry loop instead of being retried
+          // a failed attempt backs off identically whether it failed by
+          // THROWING or by returning null (the HTTP-429-mapped-to-null
+          // case) — a null-returning rate limiter must not be hammered
+          // in a zero-delay loop
+          def backoff(): Unit = {
+            attempt += 1
+            if (retryDelayMs > 0 && attempt < maxRetries)
+              Thread.sleep(retryDelayMs << (attempt - 1)) // exp backoff
+          }
           try {
             val payload = fetch(k)
             if (payload != null) out = Some(payload)
-            else attempt += 1 // null payload = failed attempt, not data
+            else backoff() // null payload = failed attempt, not data
           } catch {
-            case scala.util.control.NonFatal(_) =>
-              attempt += 1
-              if (retryDelayMs > 0 && attempt < maxRetries)
-                Thread.sleep(retryDelayMs << (attempt - 1)) // exp backoff
+            case scala.util.control.NonFatal(_) => backoff()
           }
         }
         (k, out)

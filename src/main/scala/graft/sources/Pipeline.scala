@@ -22,7 +22,11 @@ object Pipeline {
     stages.foreach { st =>
       if (aborted) results += StageResult(st.name, ran = false, succeeded = false)
       else {
-        val ok = try st.run() catch { case _: Exception => false }
+        // NonFatal only: InterruptedException / fatal errors must
+        // propagate — converting a cancellation into an ordinary stage
+        // failure would clear the interrupt and keep the pipeline
+        // running through the remaining stages
+        val ok = try st.run() catch { case scala.util.control.NonFatal(_) => false }
         results += StageResult(st.name, ran = true, succeeded = ok)
         if (!ok && st.critical) aborted = true
       }

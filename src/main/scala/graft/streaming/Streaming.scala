@@ -65,8 +65,14 @@ object Streaming {
         val spark = batch0.sparkSession
         // in-batch dedup FIRST: a re-delivered landing file (at-least-
         // once ingest) can repeat an event_id inside one micro-batch —
-        // the store anti-join below only guards against PAST batches
-        val batch = batch0.dropDuplicates("event_id")
+        // the store anti-join below only guards against PAST batches.
+        // Null event times are rejected up front: a row without a day
+        // cannot join the day-partitioned dedup contract (it would land
+        // in the null partition, which no future [lo, hi] range scan
+        // reads, so its re-delivery would duplicate forever); a
+        // production deployment quarantines them instead of appending.
+        val batch = batch0.filter(col("ts").isNotNull)
+          .dropDuplicates("event_id")
           .withColumn("day", to_date(col("ts")))
         val Array(row) = batch.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()
         if (!row.isNullAt(0)) {
@@ -94,19 +100,28 @@ object Streaming {
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
                      end: java.sql.Timestamp, total_value: Double)
-  /** Constant-size open-session accumulator — the ONLY state kept per
-    * user, regardless of event rate. */
+  /** Fixed-width open-session accumulator — never the event list. */
   case class OpenSession(n: Int, startMs: Long, endMs: Long, total: Double)
 
-  /** Custom sessionization with flatMapGroupsWithState: a session CLOSES
-    * (is emitted) once `gapMinutes` of EVENT-TIME inactivity separates
-    * it from the next event, or when the event-time timeout fires for
-    * the tail session as the watermark passes end+gap. State per user is
-    * one OpenSession — four fixed-width fields, never the event list —
-    * so state size is O(active users), independent of event count, and
-    * every session terminates (gap event or watermark timeout; event-
-    * time timeouts fire only when the watermark moves, so no busy
-    * empty-batch loop). */
+  /** Custom sessionization with flatMapGroupsWithState: a session is
+    * emitted once the watermark passes end + gap (event-time timeout),
+    * identical session semantics to the batch twin (q61's lag/cumsum ==
+    * session_window): sessions are the connected components of the
+    * event multiset under "within gapMinutes" chaining — a property of
+    * the DATA, independent of arrival order.
+    *
+    * State per user is the LIST of still-open sessions, sorted and
+    * pairwise gap-separated. A single-accumulator state would mis-merge
+    * a cross-batch straggler that precedes the open session by MORE
+    * than the gap (arrival order is not event order across batches
+    * while the watermark admits it); holding every open session makes
+    * arrival order irrelevant. The list stays bounded by the watermark,
+    * not the event count: any session with end + gap behind the
+    * watermark is emitted and dropped, so per user at most
+    * ~watermarkDelay/gap + 1 sessions (their starts are gap-separated
+    * inside the watermark horizon) of four fixed-width fields each.
+    * Event-time timeouts fire only when the watermark moves, so no
+    * busy empty-batch loop; every session terminates. */
   def sessionize(events: Dataset[Event], gapMinutes: Int,
                  watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -114,48 +129,60 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
+        (uid: Long, evs: Iterator[Event], state: GroupState[List[OpenSession]]) =>
           def emit(s: OpenSession) = Session(uid, s.n,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.total)
-          if (state.hasTimedOut) {
-            val closed = state.getOption.map(emit)
-            state.remove()
-            closed.iterator
-          } else {
-            // per-trigger per-user slice: bounded by the micro-batch
-            val batch = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption.orNull
-            val closed = scala.collection.mutable.ArrayBuffer[Session]()
-            batch.foreach { e =>
-              val t = e.ts.getTime
-              open =
-                if (open == null) OpenSession(1, t, t, e.value)
-                else if (t - open.endMs > gapMs) { closed += emit(open); OpenSession(1, t, t, e.value) }
-                else OpenSession(open.n + 1, math.min(open.startMs, t), // non-late out-of-order event may PRECEDE the open start
-                  math.max(open.endMs, t), open.total + e.value)
+          // emit every session the watermark has passed; keep + re-arm
+          // the rest. strict >: at watermark == end+gap an on-time
+          // boundary event (t - end == gap, not > gap) could still
+          // merge, so the session stays open and the timeout is armed
+          // just past the watermark.
+          def settle(sessions: Seq[OpenSession]): Iterator[Session] = {
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(s => wm > s.endMs + gapMs)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(open.toList)
+              state.setTimeoutTimestamp(
+                math.max(open.map(_.endMs + gapMs).min, wm + 1))
             }
-            if (open != null) {
-              // strict >: at watermark == end+gap an on-time boundary
-              // event (t - end == gap, not > gap) could still merge
-              if (state.getCurrentWatermarkMs() > open.endMs + gapMs) {
-                // gap already elapsed in event time: no later event can
-                // extend this session (it would be behind the watermark),
-                // so emit NOW — deferring to a watermark+1 timeout would
-                // strand the tail session forever if no more data arrives
-                closed += emit(open)
-                state.remove()
-              } else {
-                state.update(open)
-                // wm may EQUAL end+gap here (strict > above): a boundary
-                // event could still merge, so keep the session open and
-                // arm the timeout just past the watermark in that case
-                state.setTimeoutTimestamp(
-                  math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator.map(emit)
+          }
+          if (state.hasTimedOut) settle(state.get)
+          else {
+            // per-trigger per-user slice: bounded by the micro-batch.
+            // Insertion keeps the list sorted by start and pairwise
+            // gap-separated; an event may extend the previous session,
+            // the next one, neither (new unit session), or BOTH (a
+            // bridge — the two merge through it).
+            val buf = scala.collection.mutable.ArrayBuffer[OpenSession]()
+            buf ++= state.getOption.getOrElse(Nil)
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              var i = 0
+              while (i < buf.length && buf(i).startMs <= t) i += 1
+              val intoPrev = i > 0 && t - buf(i - 1).endMs <= gapMs
+              val intoNext = i < buf.length && buf(i).startMs - t <= gapMs
+              (intoPrev, intoNext) match {
+                case (true, true) => // bridge: prev + event + next merge
+                  val p = buf(i - 1); val nx = buf(i)
+                  buf(i - 1) = OpenSession(p.n + nx.n + 1, p.startMs,
+                    math.max(nx.endMs, t), p.total + nx.total + e.value)
+                  buf.remove(i)
+                case (true, false) =>
+                  val p = buf(i - 1)
+                  buf(i - 1) = OpenSession(p.n + 1, p.startMs,
+                    math.max(p.endMs, t), p.total + e.value)
+                case (false, true) =>
+                  val nx = buf(i)
+                  buf(i) = OpenSession(nx.n + 1, t, nx.endMs, nx.total + e.value)
+                case (false, false) =>
+                  buf.insert(i, OpenSession(1, t, t, e.value))
               }
             }
-            closed.iterator
+            settle(buf.toSeq)
           }
       }
   }

@@ -213,6 +213,39 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Double]("total_value") == 8.0))
   }
 
+  test("sessionize: a cross-batch straggler beyond the gap forms its own session") {
+    // arrival order is not event order across batches: a late-but-
+    // admissible event that PRECEDES the open session by more than the
+    // gap must become its own session (as the batch twin and
+    // session_window would compute), not merge into the later one — the
+    // single-accumulator state model failed exactly this.
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Streaming.Event]
+    // 3-hour watermark delay keeps the straggler admissible
+    val q = Streaming.sessionize(mem.toDS(), 30, watermark = "3 hours")
+      .writeStream.format("memory").queryName("sess_straggler")
+      .outputMode("append").start()
+    mem.addData(Streaming.Event(1, t("2024-01-01 12:00:00"), 7, "view", 1.0))
+    q.processAllAvailable() // wm -> 09:00
+    // straggler 90 min BEFORE the open session start (> 30 min gap)
+    mem.addData(Streaming.Event(2, t("2024-01-01 10:30:00"), 7, "view", 2.0))
+    q.processAllAvailable()
+    // drive the watermark past both sessions' end+gap
+    mem.addData(Streaming.Event(3, t("2024-01-01 16:30:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Streaming.Event(4, t("2024-01-01 16:35:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_straggler").collect()
+    q.stop()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 2,
+      s"straggler beyond the gap must NOT merge:\n${rows.mkString("\n")}")
+    assert(u7.forall(_.getAs[Int]("n_events") == 1))
+    val starts = u7.map(_.getAs[java.sql.Timestamp]("start")).toSet
+    assert(starts == Set(t("2024-01-01 10:30:00"), t("2024-01-01 12:00:00")))
+  }
+
   test("sessionize gap-0 sessions terminate at the exact end+gap watermark") {
     // gap = 0 is the tightest close contract: the timeout is armed at
     // exactly end (+0), so the session must emit as soon as the
