@@ -45,19 +45,24 @@ object Similarity {
           (acc, p) => acc + p)
     }
 
-  /** cosine = dot/(|a||b|), every intermediate deterministic. */
+  /** cosine = dot/(|a||b|), every intermediate deterministic. A
+    * zero-norm (all-zero) vector has no direction: its cosine is
+    * defined as 0 rather than NaN — Spark sorts NaN ABOVE every real
+    * double, so an unguarded 0/0 would make a single zero vector the
+    * rank-1 "neighbor" of every query in every desc-ordered top-k.
+    * The oracle spellings carry the same CASE. */
   def cosine(a: Column, b: Column): Column =
-    (dotScaled(a, b).cast("double") / FP) /
-      (sqrt(dotScaled(a, a).cast("double") / FP) *
-       sqrt(dotScaled(b, b).cast("double") / FP))
+    cosinePre(a, b, norm(a), norm(b))
 
   /** Vector norm, computed ONCE per row (pair-wise ops must not
     * recompute norms per pair — 3× the HOF work). */
   def norm(v: Column): Column = sqrt(dotScaled(v, v).cast("double") / FP)
 
-  /** cosine from a precomputed-norm pair: dot is the only per-pair HOF. */
+  /** cosine from a precomputed-norm pair: dot is the only per-pair HOF.
+    * Zero-norm guard per [[cosine]]. */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    (dotScaled(a, b).cast("double") / FP) / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise((dotScaled(a, b).cast("double") / FP) / (na * nb))
 
   private def fanOut(df: DataFrame): DataFrame = Tables.fanOut(df)
 
@@ -91,12 +96,8 @@ object Similarity {
     * side fans out (bits+1 keys per table). */
   def multiprobeTopK(corpus: DataFrame, isQuery: Column, tables: Int, bits: Int,
                      k: Int): DataFrame = {
-    graft.plans.SignLsh.register(corpus.sparkSession)
-    val e = fanOut(corpus)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        posexplode(call_function(graft.plans.SignLsh.NAME,
-          col("embedding"), lit(tables), lit(bits))).as(Seq("t", "bucket")))
-    val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val e = signIndex(corpus, tables, bits)
+    val flips = flipMasks(bits)
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("t"),
@@ -118,12 +119,8 @@ object Similarity {
     * verifies, so every emitted pair is true (precision 1). */
   def multiprobePairs(corpus: DataFrame, tables: Int, bits: Int,
                       threshold: Double): DataFrame = {
-    graft.plans.SignLsh.register(corpus.sparkSession)
-    val e = fanOut(corpus)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        posexplode(call_function(graft.plans.SignLsh.NAME,
-          col("embedding"), lit(tables), lit(bits))).as(Seq("t", "bucket")))
-    val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val e = signIndex(corpus, tables, bits)
+    val flips = flipMasks(bits)
     val a = e.select(col("t"), col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_n"))
     val b = e.select(col("t"), col("vec_id").as("b_id"),
@@ -137,6 +134,22 @@ object Similarity {
         cosinePre(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** THE sign-LSH index frame: one (vec_id, embedding, nrm, t, bucket)
+    * row per vector per table — shared by the top-k and pairs
+    * multiprobe paths so the index shape can never drift between them
+    * (same single-spelling rule as the IVF helpers). */
+  private def signIndex(corpus: DataFrame, tables: Int, bits: Int): DataFrame = {
+    graft.plans.SignLsh.register(corpus.sparkSession)
+    fanOut(corpus)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        posexplode(call_function(graft.plans.SignLsh.NAME,
+          col("embedding"), lit(tables), lit(bits))).as(Seq("t", "bucket")))
+  }
+
+  /** The Hamming-1 probe masks: the identity plus every one-bit flip. */
+  private def flipMasks(bits: Int): Column =
+    array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
 
   /** Brute-force exact top-k: broadcast queries × corpus, window top-k.
     * Norms are computed once per vector before the pair fan-out. */
@@ -354,14 +367,17 @@ object Similarity {
           .select(lit(0L).as("q_id"), lit(0L).as("c_id"),
             lit(0.0).as("cos"), lit(0).as("rank"))
       case Some(cents) =>
-        // rank cells per vector once (corpus × C); keep top-1 for
-        // corpus rows and top-nprobe for query rows
-        val ranked = rankCells(Tables.fanOut(e), cents)
-        val assigned = ranked.filter(col("crank") === 1)
+        // assignment: rank cells per corpus vector once (corpus × C).
+        // Probes rank the QUERY embeddings directly (tiny × C) rather
+        // than semi-joining the corpus ranking — so out-of-corpus query
+        // vectors (the normal ANN serving case) probe correctly instead
+        // of silently vanishing; in-corpus queries rank identically
+        // either way.
+        val assigned = rankCells(Tables.fanOut(e), cents)
+          .filter(col("crank") === 1)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
             col("nrm").as("c_norm"), col("cent_id").as("cell"))
-        val probes = ranked
-          .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+        val probes = rankCells(queries.select("vec_id", "embedding"), cents)
           .filter(col("crank") <= nprobe)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("nrm").as("q_norm"), col("cent_id").as("cell"))
@@ -480,7 +496,8 @@ object Similarity {
           GROUP BY 1, 2),
         cosines AS (
           SELECT a_id, b_id,
-            (CAST(dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) AS cos
+            CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                 ELSE (CAST(dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) END AS cos
           FROM dots JOIN norms na ON na.vec_id = a_id
                     JOIN norms nb ON nb.vec_id = b_id)
      """

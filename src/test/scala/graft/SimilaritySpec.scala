@@ -13,6 +13,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0)) < 1e-9 && math.abs(got(1) - 1.0) < 1e-9)
   }
 
+  test("cosine: a zero-norm vector scores 0, never NaN (and never tops a ranking)") {
+    // Spark sorts NaN ABOVE every real double, so an unguarded 0/0
+    // would make one all-zero embedding the rank-1 neighbor of every
+    // query in every desc-ordered top-k
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(0.0f, 0.0f)),
+      (Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    got.foreach(c => assert(c == 0.0, s"zero-norm cosine must be 0.0, got $c"))
+    // and through the ranked path: a planted zero vector must not
+    // displace true neighbors
+    val corpus = Seq((0L, Seq.fill(4)(1.0f)), (1L, Seq.fill(4)(0.9f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), (3L, Seq.fill(4)(0.8f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.topK(corpus.filter($"vec_id" === 0L), corpus, 2)
+      .select($"c_id").as[Long].collect().toSet
+    assert(top == Set(1L, 3L), s"zero vector must rank last, got $top")
+  }
+
   test("topK: k rows per query, descending, excludes self") {
     val res = SparkEntry.queries("q38_cosine_topk")(spark, sf).collect()
     assert(res.length == 50) // 10 queries × 5
