@@ -33,9 +33,16 @@ object Dedup {
                          i -> substring($textCol, i, $n)) END"""))
 
   /** (doc_id, shingle) inverted index. fanOut first: the explode and
-    * per-shingle hashing are the CPU-heavy part of every dedup path. */
-  def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    Tables.fanOut(docs).select(col("doc_id"), explode(shingles("text", n)).as("g"))
+    * per-shingle hashing are the CPU-heavy part of every dedup path.
+    * The gram array comes from the codegen'd sorted_shingles kernel
+    * (exploded order differs from the old interpreted HOF, but every
+    * consumer is a join/aggregate over the gram SET). */
+  def shingleIndex(docs: DataFrame, n: Int): DataFrame = {
+    graft.plans.SortedShingles.register(docs.sparkSession)
+    Tables.fanOut(docs).select(col("doc_id"),
+      explode(call_function(graft.plans.SortedShingles.NAME,
+        col("text"), lit(n))).as("g"))
+  }
 
   /** Exact pairwise Jaccard over an inverted index: |A∩B| via the
     * shingle join, sizes joined back, no corpus cross product. */
@@ -161,8 +168,13 @@ object Dedup {
     // evaluates interpreted with a hash set per call and dominates the
     // whole pipeline on millions of pairs.
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    graft.plans.SortedShingles.register(docs.sparkSession)
+    // sorted distinct shingle arrays in ONE compiled pass — the
+    // interpreted transform+array_distinct+array_sort chain was the
+    // dominant cost of the whole verify side (DevTime, r5)
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
-      .select(col("doc_id"), array_sort(shingles("text", n)).as("sh")))
+      .select(col("doc_id"),
+        call_function(graft.plans.SortedShingles.NAME, col("text"), lit(n)).as("sh")))
     verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * n)
   }
 

@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(WinnowFp.NAME),
       new ExpressionInfo(classOf[WinnowFpExpr].getName, WinnowFp.NAME),
       (exprs: Seq[Expression]) => WinnowFp.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SortedShingles.NAME),
+      new ExpressionInfo(classOf[SortedShinglesExpr].getName, SortedShingles.NAME),
+      (exprs: Seq[Expression]) => SortedShingles.build(exprs)))
   }
 }

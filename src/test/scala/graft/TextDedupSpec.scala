@@ -188,6 +188,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd sorted_shingles matches array_sort(shingles) element-for-element") {
+    graft.plans.SortedShingles.register(spark)
+    val edge = Seq("", "ab", "abc", "aaaaaa", "hello world",
+      "ünïcödé tøkens", "zyxwvu")
+      .toDF("text")
+    val real = Tables.documents(spark, sf).limit(60).select(col("text"))
+    Seq(edge, real).foreach { df =>
+      val rows = df
+        .select(array_sort(Dedup.shingles("text", 3)).as("ref"),
+          call_function(graft.plans.SortedShingles.NAME, col("text"), lit(3)).as("fast"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (ref, fast) =>
+        assert(fast == ref, s"shingle array mismatch: $fast vs $ref")
+      }
+    }
+  }
+
   test("codegen'd winnow_fp matches the HOF reference spellings element-for-element") {
     import graft.operators.TextAnalysis
     graft.plans.WinnowFp.register(spark)
