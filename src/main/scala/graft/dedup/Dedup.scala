@@ -222,11 +222,15 @@ object Dedup {
 
   /** Exact pairwise token w-gram Jaccard via [[jaccardFromIndex]] —
     * the ground truth the token LSH pipeline's recall is audited
-    * against. */
+    * against. The gram array comes from the codegen'd
+    * sorted_token_shingles kernel (same gram SET as the interpreted
+    * tokenShingles spelling, lockstep-pinned). */
   def jaccardPairsTokens(docs: DataFrame, w: Int): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    graft.plans.SortedTokenShingles.register(docs.sparkSession)
     jaccardFromIndex(graft.Caches.cached(Tables.fanOut(docs)
-      .select(col("doc_id"), explode(tokenShingles(toks, w)).as("g"))))
+      .select(col("doc_id"),
+        explode(call_function(graft.plans.SortedTokenShingles.NAME,
+          col("text"), lit(w))).as("g"))))
   }
 
   /** MinHash signatures over token w-grams. Runs as the codegen'd
@@ -275,9 +279,13 @@ object Dedup {
     val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
     val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    val toks = split(trim(col("text")), "\\s+")
+    graft.plans.SortedTokenShingles.register(docs.sparkSession)
+    // sorted distinct token-gram arrays in ONE compiled pass (same
+    // reasoning as the char pipeline's sorted_shingles)
     val shArr = graft.Caches.cached(Tables.fanOut(docs)
-      .select(col("doc_id"), array_sort(tokenShingles(toks, w)).as("sh")))
+      .select(col("doc_id"),
+        call_function(graft.plans.SortedTokenShingles.NAME,
+          col("text"), lit(w)).as("sh")))
     verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * w)
   }
 

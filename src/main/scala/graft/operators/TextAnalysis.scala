@@ -497,10 +497,13 @@ object TextAnalysis {
     // inverted-index shape as q36: pairs come from shared grams only,
     // never a corpus self-join.
     "q78_containment" -> ((s, dir) => {
+      graft.plans.SortedTokenShingles.register(s)
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), col("text"))
       val idx = graft.Caches.cached(Tables.fanOut(docs)
-        .select(col("doc_id"), explode(graft.dedup.Dedup.tokenShingles(wsToks, 3)).as("g")))
+        .select(col("doc_id"),
+          explode(call_function(graft.plans.SortedTokenShingles.NAME,
+            col("text"), lit(3))).as("g")))
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = idx.as("x").join(idx.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))

@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SortedShingles.NAME),
       new ExpressionInfo(classOf[SortedShinglesExpr].getName, SortedShingles.NAME),
       (exprs: Seq[Expression]) => SortedShingles.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SortedTokenShingles.NAME),
+      new ExpressionInfo(classOf[SortedTokenShinglesExpr].getName, SortedTokenShingles.NAME),
+      (exprs: Seq[Expression]) => SortedTokenShingles.build(exprs)))
   }
 }

@@ -88,20 +88,17 @@ object MinHashSigsTokens {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** One pass: trim spaces, tokenize with Java-split semantics, slide a
-    * w-token window whose gram bytes (tokens joined by 0x20) are copied
-    * into a reusable buffer and hashed with every seed. Called from
-    * generated code. */
-  def compute(text: UTF8String, w: Int, seeds: Array[Long]): ArrayData = {
-    val bytes = text.getBytes
-    // trim: 0x20 only, Spark's default trim set
+  /** THE byte-level tokenizer shared by every token-gram kernel:
+    * trim 0x20 only (Spark's default trim set), then Java
+    * `"\\s+".split(s, -1)` semantics — leading separator ⇒ leading
+    * empty token; trailing separator ⇒ trailing empty token;
+    * empty / all-whitespace string ⇒ one / two empty tokens. Returns
+    * (offsets, lengths) views into the byte array. */
+  private[plans] def tokenize(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
     var lo = 0
     var hi = bytes.length
     while (lo < hi && bytes(lo) == ' ') lo += 1
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
-    // tokenize [lo, hi): Java "\\s+".split(s, -1) semantics —
-    // leading separator => leading empty token; trailing separator =>
-    // trailing empty token; empty string => one empty token
     val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (lo == hi) { offs += lo; lens += 0 }
@@ -125,6 +122,30 @@ object MinHashSigsTokens {
         }
       }
     }
+    (offs.toArray, lens.toArray)
+  }
+
+  /** Assemble the w-token gram starting at token p into `buf` (tokens
+    * joined by 0x20); returns the gram byte length. */
+  private[plans] def gramInto(bytes: Array[Byte], offs: Array[Int], lens: Array[Int],
+                              p: Int, w: Int, buf: Array[Byte]): Int = {
+    var pos = 0
+    var j = 0
+    while (j < w) {
+      if (j > 0) { buf(pos) = ' '; pos += 1 }
+      System.arraycopy(bytes, offs(p + j), buf, pos, lens(p + j))
+      pos += lens(p + j)
+      j += 1
+    }
+    pos
+  }
+
+  /** One pass: tokenize, slide a w-token window whose gram bytes are
+    * copied into a reusable buffer and hashed with every seed. Called
+    * from generated code. */
+  def compute(text: UTF8String, w: Int, seeds: Array[Long]): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, lens) = tokenize(bytes)
     val nTok = offs.length
     if (nTok < w) return null
     // max gram byte length for the buffer
@@ -142,14 +163,7 @@ object MinHashSigsTokens {
     val mins = Array.fill(k)(Long.MaxValue)
     p = 0
     while (p <= nTok - w) {
-      var pos = 0
-      var j = 0
-      while (j < w) {
-        if (j > 0) { buf(pos) = ' '; pos += 1 }
-        System.arraycopy(bytes, offs(p + j), buf, pos, lens(p + j))
-        pos += lens(p + j)
-        j += 1
-      }
+      val pos = gramInto(bytes, offs, lens, p, w, buf)
       var i = 0
       while (i < k) {
         val h = XXH64.hashUnsafeBytes(buf,

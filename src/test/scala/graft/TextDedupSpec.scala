@@ -205,6 +205,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd sorted_token_shingles matches array_sort(tokenShingles) element-for-element") {
+    graft.plans.SortedTokenShingles.register(spark)
+    // same adversarial whitespace set as the token-signature lockstep:
+    // the kernel shares minhash_sigs_tokens' tokenizer, and the
+    // reference spelling is Spark split + slice + array_join
+    val edge = Seq("", "a b", "a b c", "\tlead tab x y", "trail run\t",
+      "  multi   space  a b ", "ünïcödé tøkens here x")
+      .toDF("text")
+    val real = Tables.documents(spark, sf).limit(60).select(col("text"))
+    Seq(edge, real).foreach { df =>
+      val toks = split(trim(col("text")), "\\s+")
+      val rows = df
+        .select(array_sort(Dedup.tokenShingles(toks, 2)).as("ref"),
+          call_function(graft.plans.SortedTokenShingles.NAME,
+            col("text"), lit(2)).as("fast"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (ref, fast) =>
+        assert(fast == ref, s"token shingle mismatch: $fast vs $ref")
+      }
+    }
+  }
+
   test("codegen'd winnow_fp matches the HOF reference spellings element-for-element") {
     import graft.operators.TextAnalysis
     graft.plans.WinnowFp.register(spark)
