@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Signature-table size (Catalyst plan-stat estimate) above which
+    * [[lshSurvivors]] routes to the NARROW+SALTED cluster shape instead
+    * of the WIDE carry-signatures shape — see its doc for the trade. */
+  val DefaultNarrowBudgetBytes: Long = 512L * 1024 * 1024
+
   /** Distinct character n-gram shingles of the named text column.
     * Guarded for |text| < n: Spark's sequence(1, 0) runs DESCENDING, so
     * the no-shingle case must short-circuit to an empty array. */
@@ -157,11 +162,17 @@ object Dedup {
     * ever sees prefilter survivors (~1000× fewer rows here). Per-doc
     * hub skew in the raw collision stream is a non-issue: the filter is
     * map-side, evaluated where the join emits. */
-  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                      narrowBudgetBytes: Long = DefaultNarrowBudgetBytes): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
+    // cached: the pair stream feeds BOTH the verify join and the
+    // survivor-id semi-join scoping the shingle-array build below —
+    // uncached, the whole band-join pipeline would execute twice
+    val pairs = graft.Caches.cached(
+      lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes))
     // fanOut: survivors are few in bytes but each costs a verify below;
     // AQE's byte-based coalescing would serialize them on 1-2 cores
-    val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
+    val fanned = Tables.fanOut(pairs)
     // exact verify: SORTED shingle arrays are computed ONCE per doc and
     // joined in; per-pair intersection is the codegen'd two-pointer
     // merge (graft.plans.SortedIntersectCount) — Spark's ArrayIntersect
@@ -169,14 +180,30 @@ object Dedup {
     // whole pipeline on millions of pairs.
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     graft.plans.SortedShingles.register(docs.sparkSession)
-    // sorted distinct shingle arrays in ONE compiled pass — the
-    // interpreted transform+array_distinct+array_sort chain was the
-    // dominant cost of the whole verify side (DevTime, r5)
-    val shArr = graft.Caches.cached(Tables.fanOut(docs)
+    // sorted distinct shingle arrays in ONE compiled pass — and ONLY
+    // for docs that appear in a candidate pair: survivors touch a small
+    // fraction of the corpus, so a full-corpus array build (and its
+    // ~gramSize× cache) was the largest avoidable cost of the pipeline
+    // at scale (r5 verdict headline). The semi-join keeps the build
+    // survivor-proportional; both consumers are id-keyed joins, so the
+    // plan stays co-partitioned.
+    val shArr = graft.Caches.cached(survivorDocs(docs, pairs)
       .select(col("doc_id"),
         call_function(graft.plans.SortedShingles.NAME, col("text"), lit(n)).as("sh")))
     verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * n)
   }
+
+  /** `docs` restricted (left-semi) to ids appearing on either side of
+    * the candidate pair stream — the survivor-proportional input of the
+    * exact-verify array build. fanOut after the semi-join: the survivor
+    * set is small, and the repartition spreads the CPU-heavy shingle
+    * kernel over all cores. */
+  private def survivorDocs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    Tables.fanOut(docs.join(
+      pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .distinct(),
+      Seq("doc_id"), "left_semi"))
 
   /** Exact-Jaccard verification of a candidate pair stream against
     * per-doc SORTED shingle arrays (computed once, joined in; the
@@ -275,14 +302,18 @@ object Dedup {
     * codegen'd verify as the char pipeline — only the shingle unit
     * differs. */
   def minhashNearDupsTokens(docs: DataFrame, w: Int, k: Int, bands: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            narrowBudgetBytes: Long = DefaultNarrowBudgetBytes): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
-    val fanned = Tables.fanOut(lshSurvivors(sigs, bands, k / bands, threshold))
+    // cached + survivor-scoped for the same reasons as [[minhashNearDups]]
+    val pairs = graft.Caches.cached(
+      lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes))
+    val fanned = Tables.fanOut(pairs)
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     graft.plans.SortedTokenShingles.register(docs.sparkSession)
-    // sorted distinct token-gram arrays in ONE compiled pass (same
-    // reasoning as the char pipeline's sorted_shingles)
-    val shArr = graft.Caches.cached(Tables.fanOut(docs)
+    // sorted distinct token-gram arrays in ONE compiled pass, built only
+    // for survivor docs (same reasoning as the char pipeline)
+    val shArr = graft.Caches.cached(survivorDocs(docs, pairs)
       .select(col("doc_id"),
         call_function(graft.plans.SortedTokenShingles.NAME,
           col("text"), lit(w)).as("sh")))
@@ -319,7 +350,7 @@ object Dedup {
     *    re-attached by id-keyed joins for the same prefilter.
     *    ScaleSpec asserts pair-set equality of the two shapes. */
   def lshSurvivors(sigs: DataFrame, bands: Int, rows: Int, threshold: Double,
-                   narrowBudgetBytes: Long = 512L * 1024 * 1024): DataFrame = {
+                   narrowBudgetBytes: Long = DefaultNarrowBudgetBytes): DataFrame = {
     // guard at the depth where k is DERIVED: a sigs table whose s-column
     // count disagrees with bands*rows would silently drop the trailing
     // signature columns from both the band keys and the estimate
@@ -654,6 +685,20 @@ object Dedup {
     "q37_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       minhashNearDups(docs, n = 3, k = 32, bands = 8, threshold = 0.7)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // CLUSTER-SHAPE VARIANT of q37: identical parameters, but the
+    // survivors join pinned (narrowBudgetBytes = 0) to the
+    // NARROW+SALTED shape a beyond-budget signature corpus routes to —
+    // so the plan a 100 TB run would actually execute gets a
+    // CORRECTNESS entry on the real corpus, not only ScaleSpec's
+    // fixture law. The pair set provably equals the wide shape's
+    // (ScaleSpec), so rows == q37's; rows-only like q37.
+    "q86_lsh_narrow_salted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      minhashNearDups(docs, n = 3, k = 32, bands = 8, threshold = 0.7,
+        narrowBudgetBytes = 0L)
         .orderBy("a_id", "b_id")
     }),
 

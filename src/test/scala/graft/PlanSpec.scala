@@ -131,6 +131,38 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one token-kernel call in the physical plan:\n${physTok.take(2000)}")
   }
 
+  test("verify-side shingle arrays build only for survivor docs (q37/q65 shape)") {
+    // the exact-verify array build must sit ABOVE a left-semi join
+    // against the candidate-pair id set — a full-corpus build (and its
+    // ~gramSize× cache) was the last corpus-proportional cost of the
+    // flagship dedup pipeline (r5 verdict headline). The build is a
+    // cached intermediate, so it is asserted through its
+    // InMemoryRelation's cached physical plan. n=4/k=24 are used by no
+    // query (cache-collision guard, as in the kernel-once test).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def cachedPlanStrings(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case imr: InMemoryRelation =>
+        (imr.cachedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case other => other
+        }).toString
+      }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    try {
+      val char = cachedPlanStrings(graft.dedup.Dedup.minhashNearDups(docs, 4, 24, 8, 0.7))
+        .find(_.contains("sortedshinglesexpr"))
+      assert(char.isDefined, "char shingle-array build must be a cached intermediate")
+      assert(char.get.contains("LeftSemi"),
+        s"char shingle arrays must be semi-join-scoped to survivor docs:\n${char.get.take(3000)}")
+      val tok = cachedPlanStrings(graft.dedup.Dedup.minhashNearDupsTokens(docs, 4, 24, 8, 0.7))
+        .find(_.contains("sortedtokenshinglesexpr"))
+      assert(tok.isDefined, "token shingle-array build must be a cached intermediate")
+      assert(tok.get.contains("LeftSemi"),
+        s"token shingle arrays must be semi-join-scoped to survivor docs:\n${tok.get.take(3000)}")
+    } finally Caches.releaseAll()
+  }
+
   test("incremental dedup reduces the corpus side before anti-joining (q73)") {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -100,6 +100,23 @@ class ScaleSpec extends SparkSpec {
     } finally Caches.releaseAll()
   }
 
+  test("q86 (narrow+salted route) emits exactly q37's pair set, through a salted join") {
+    try {
+      val wide = SparkEntry.queries("q37_minhash_lsh")(spark, sf)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val narrowDf = SparkEntry.queries("q86_lsh_narrow_salted")(spark, sf)
+      val narrow = narrowDf.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(narrow == wide,
+        s"narrow-routed q86 diverged from q37: only-wide=${wide.diff(narrow)} " +
+          s"only-narrow=${narrow.diff(wide)}")
+      // and the plan really is the salted narrow shape: the block salt
+      // column joins alongside (band, key)
+      val p = narrowDf.queryExecution.optimizedPlan.toString
+      assert(p.contains("blk"),
+        s"q86 must route through the salted narrow survivors join:\n${p.take(3000)}")
+    } finally Caches.releaseAll()
+  }
+
   test("bucketed tables join with zero Exchange (co-located layout)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
