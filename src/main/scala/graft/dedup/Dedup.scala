@@ -165,11 +165,14 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
                       narrowBudgetBytes: Long = DefaultNarrowBudgetBytes): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignatures(docs, n, k))
-    // cached: the pair stream feeds BOTH the verify join and the
-    // survivor-id semi-join scoping the shingle-array build below —
-    // uncached, the whole band-join pipeline would execute twice
-    val pairs = graft.Caches.cached(
-      lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes))
+    val clusterScale = overBudget(sigs, narrowBudgetBytes)
+    // At cluster scale the pair stream feeds BOTH the verify join and
+    // the survivor-id semi-join scoping the shingle-array build, so it
+    // must be cached (uncached, the band-join pipeline would execute
+    // per consumer); under the budget it has one consumer and caching
+    // would only add a materialization barrier.
+    val rawPairs = lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes)
+    val pairs = if (clusterScale) graft.Caches.cached(rawPairs) else rawPairs
     // fanOut: survivors are few in bytes but each costs a verify below;
     // AQE's byte-based coalescing would serialize them on 1-2 cores
     val fanned = Tables.fanOut(pairs)
@@ -180,18 +183,30 @@ object Dedup {
     // whole pipeline on millions of pairs.
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     graft.plans.SortedShingles.register(docs.sparkSession)
-    // sorted distinct shingle arrays in ONE compiled pass — and ONLY
-    // for docs that appear in a candidate pair: survivors touch a small
-    // fraction of the corpus, so a full-corpus array build (and its
-    // ~gramSize× cache) was the largest avoidable cost of the pipeline
-    // at scale (r5 verdict headline). The semi-join keeps the build
-    // survivor-proportional; both consumers are id-keyed joins, so the
-    // plan stays co-partitioned.
-    val shArr = graft.Caches.cached(survivorDocs(docs, pairs)
+    // sorted distinct shingle arrays in ONE compiled pass. STATS-ROUTED
+    // source (same budget as the survivors-join shape): past the budget
+    // the build is scoped to SURVIVOR docs — candidate pairs touch a
+    // small fraction of a large corpus, so a full-corpus array build
+    // (and its ~gramSize× cache) would be the largest avoidable cost of
+    // the pipeline at 100 TB (r5 verdict headline). Under the budget the
+    // full-corpus build wins instead: the fixture-scale A/B (r6,
+    // interleaved, sf0.1) measured the scoped shape ~1 s SLOWER because
+    // its extra query stages (pair-cache barrier, id union, semi-join)
+    // cost more than the ~0.5 s of kernel+cache they save on a 60k-doc
+    // corpus. q86 pins the scoped shape on the real corpus.
+    val shSrc = if (clusterScale) survivorDocs(docs, pairs) else Tables.fanOut(docs)
+    val shArr = graft.Caches.cached(shSrc
       .select(col("doc_id"),
         call_function(graft.plans.SortedShingles.NAME, col("text"), lit(n)).as("sh")))
     verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * n)
   }
+
+  /** Catalyst plan-stat routing test shared by the cluster-shape
+    * switches ([[lshSurvivors]] wide/narrow, the verify-side array
+    * scoping): free at plan time — the same statistic the broadcast
+    * threshold reads. */
+  private def overBudget(df: DataFrame, budgetBytes: Long): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > budgetBytes
 
   /** `docs` restricted (left-semi) to ids appearing on either side of
     * the candidate pair stream — the survivor-proportional input of the
@@ -200,9 +215,11 @@ object Dedup {
     * kernel over all cores. */
   private def survivorDocs(docs: DataFrame, pairs: DataFrame): DataFrame =
     Tables.fanOut(docs.join(
+      // no .distinct() on the id side: the semi-join's hash build dedupes
+      // keys anyway, and the distinct would add a full shuffle stage just
+      // to shrink an already-bounded build input (2·|pairs| ids)
       pairs.select(col("a_id").as("doc_id"))
-        .unionByName(pairs.select(col("b_id").as("doc_id")))
-        .distinct(),
+        .unionByName(pairs.select(col("b_id").as("doc_id"))),
       Seq("doc_id"), "left_semi"))
 
   /** Exact-Jaccard verification of a candidate pair stream against
@@ -305,15 +322,16 @@ object Dedup {
                             threshold: Double,
                             narrowBudgetBytes: Long = DefaultNarrowBudgetBytes): DataFrame = {
     val sigs = graft.Caches.cached(minhashSignaturesTokens(docs, w, k))
-    // cached + survivor-scoped for the same reasons as [[minhashNearDups]]
-    val pairs = graft.Caches.cached(
-      lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes))
+    val clusterScale = overBudget(sigs, narrowBudgetBytes)
+    // pair cache + survivor-scoped array build stats-routed exactly as
+    // in [[minhashNearDups]] — see its doc for the measured trade
+    val rawPairs = lshSurvivors(sigs, bands, k / bands, threshold, narrowBudgetBytes)
+    val pairs = if (clusterScale) graft.Caches.cached(rawPairs) else rawPairs
     val fanned = Tables.fanOut(pairs)
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     graft.plans.SortedTokenShingles.register(docs.sparkSession)
-    // sorted distinct token-gram arrays in ONE compiled pass, built only
-    // for survivor docs (same reasoning as the char pipeline)
-    val shArr = graft.Caches.cached(survivorDocs(docs, pairs)
+    val shSrc = if (clusterScale) survivorDocs(docs, pairs) else Tables.fanOut(docs)
+    val shArr = graft.Caches.cached(shSrc
       .select(col("doc_id"),
         call_function(graft.plans.SortedTokenShingles.NAME,
           col("text"), lit(w)).as("sh")))
@@ -688,13 +706,13 @@ object Dedup {
         .orderBy("a_id", "b_id")
     }),
 
-    // CLUSTER-SHAPE VARIANT of q37: identical parameters, but the
-    // survivors join pinned (narrowBudgetBytes = 0) to the
-    // NARROW+SALTED shape a beyond-budget signature corpus routes to —
-    // so the plan a 100 TB run would actually execute gets a
-    // CORRECTNESS entry on the real corpus, not only ScaleSpec's
-    // fixture law. The pair set provably equals the wide shape's
-    // (ScaleSpec), so rows == q37's; rows-only like q37.
+    // CLUSTER-SHAPE VARIANT of q37: identical parameters, but
+    // narrowBudgetBytes = 0 pins BOTH beyond-budget routes — the
+    // NARROW+SALTED survivors join AND the survivor-scoped exact-verify
+    // array build — so the plan a 100 TB run would actually execute
+    // gets a CORRECTNESS entry on the real corpus, not only ScaleSpec/
+    // PlanSpec fixture laws. The pair set provably equals the wide
+    // shape's (ScaleSpec), so rows == q37's; rows-only like q37.
     "q86_lsh_narrow_salted" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       minhashNearDups(docs, n = 3, k = 32, bands = 8, threshold = 0.7,

@@ -40,6 +40,38 @@ object DevTime {
         val s3 = System.nanoTime()
         if (rep == 2) println(f"WARM sigs=${(s1-s0)/1e9}%.2f survivors($nSv)=${(s2-s1)/1e9}%.2f full($full)=${(s3-s2)/1e9}%.2f")
       }
+      // verify-side breakdown: pair cache, survivor-scoped array build,
+      // and the final verify joins timed separately (DEVTIME_VERIFY=1)
+      if (sys.env.contains("DEVTIME_VERIFY")) {
+        graft.Caches.releaseAll()
+        val t0 = System.nanoTime()
+        val sg = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32))
+        val pairs = graft.Caches.cached(Dedup.lshSurvivors(sg, 8, 4, 0.9))
+        val nP = pairs.count()
+        val t1 = System.nanoTime()
+        graft.plans.SortedShingles.register(spark)
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        val survD = Tables.fanOut(d2.join(ids, Seq("doc_id"), "left_semi"))
+        val shArr = graft.Caches.cached(survD.select(col("doc_id"),
+          call_function(graft.plans.SortedShingles.NAME, col("text"), lit(3)).as("sh")))
+        val nS = shArr.count()
+        val t2 = System.nanoTime()
+        val fanned = Tables.fanOut(pairs)
+        val inter = expr("sorted_intersect_count(a_sh, b_sh)")
+        graft.plans.SortedIntersectCount.register(spark)
+        val withSh = fanned
+          .join(Tables.maybeBroadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), leafExpansion = 24.0), "a_id")
+          .join(Tables.maybeBroadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), leafExpansion = 24.0), "b_id")
+        val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+        val n = withSh.select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+          .filter(col("jaccard") >= 0.9).count()
+        val t3 = System.nanoTime()
+        println(f"VERIFY pairs($nP)=${(t1-t0)/1e9}%.2f shArr($nS)=${(t2-t1)/1e9}%.2f verify($n)=${(t3-t2)/1e9}%.2f")
+        if (sys.env.contains("DEVTIME_EXPLAIN"))
+          println("SHARR PLAN:\n" + shArr.queryExecution.executedPlan.toString)
+        graft.Caches.releaseAll()
+      }
       // band-bucket skew profile: pairs emitted per (band,key) bucket
       val sg2 = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32)); sg2.count()
       val melted = sg2.select(org.apache.spark.sql.functions.col("doc_id"),

@@ -131,35 +131,44 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one token-kernel call in the physical plan:\n${physTok.take(2000)}")
   }
 
-  test("verify-side shingle arrays build only for survivor docs (q37/q65 shape)") {
-    // the exact-verify array build must sit ABOVE a left-semi join
-    // against the candidate-pair id set — a full-corpus build (and its
-    // ~gramSize× cache) was the last corpus-proportional cost of the
-    // flagship dedup pipeline (r5 verdict headline). The build is a
-    // cached intermediate, so it is asserted through its
-    // InMemoryRelation's cached physical plan. n=4/k=24 are used by no
-    // query (cache-collision guard, as in the kernel-once test).
+  test("verify-side shingle arrays: survivor-scoped past the budget, full-corpus under it") {
+    // past the cluster-shape budget the exact-verify array build must
+    // sit ABOVE a left-semi join against the candidate-pair id set —
+    // a full-corpus build (and its ~gramSize× cache) would be the last
+    // corpus-proportional cost of the flagship dedup pipeline at 100 TB
+    // (r5 verdict headline). UNDER the budget the full-corpus build
+    // must remain (the scoped shape's extra stages measured ~1 s slower
+    // on the fixture — see minhashNearDups doc). The build is a cached
+    // intermediate, so it is asserted through its InMemoryRelation's
+    // cached physical plan. n=4/k=24 are used by no query
+    // (cache-collision guard, as in the kernel-once test).
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    def cachedPlanStrings(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    def shArrPlan(df: org.apache.spark.sql.DataFrame, kernel: String): String =
       df.queryExecution.optimizedPlan.collect { case imr: InMemoryRelation =>
         (imr.cachedPlan match {
           case a: AdaptiveSparkPlanExec => a.inputPlan
           case other => other
         }).toString
-      }
+      }.find(_.contains(kernel))
+        .getOrElse(fail(s"$kernel array build must be a cached intermediate"))
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     try {
-      val char = cachedPlanStrings(graft.dedup.Dedup.minhashNearDups(docs, 4, 24, 8, 0.7))
-        .find(_.contains("sortedshinglesexpr"))
-      assert(char.isDefined, "char shingle-array build must be a cached intermediate")
-      assert(char.get.contains("LeftSemi"),
-        s"char shingle arrays must be semi-join-scoped to survivor docs:\n${char.get.take(3000)}")
-      val tok = cachedPlanStrings(graft.dedup.Dedup.minhashNearDupsTokens(docs, 4, 24, 8, 0.7))
-        .find(_.contains("sortedtokenshinglesexpr"))
-      assert(tok.isDefined, "token shingle-array build must be a cached intermediate")
-      assert(tok.get.contains("LeftSemi"),
-        s"token shingle arrays must be semi-join-scoped to survivor docs:\n${tok.get.take(3000)}")
+      val charScoped = shArrPlan(
+        graft.dedup.Dedup.minhashNearDups(docs, 4, 24, 8, 0.7, narrowBudgetBytes = 0L),
+        "sortedshinglesexpr")
+      assert(charScoped.contains("LeftSemi"),
+        s"past the budget, char shingle arrays must be semi-join-scoped:\n${charScoped.take(3000)}")
+      val tokScoped = shArrPlan(
+        graft.dedup.Dedup.minhashNearDupsTokens(docs, 4, 24, 8, 0.7, narrowBudgetBytes = 0L),
+        "sortedtokenshinglesexpr")
+      assert(tokScoped.contains("LeftSemi"),
+        s"past the budget, token shingle arrays must be semi-join-scoped:\n${tokScoped.take(3000)}")
+      Caches.releaseAll()
+      val charLocal = shArrPlan(
+        graft.dedup.Dedup.minhashNearDups(docs, 4, 24, 8, 0.7), "sortedshinglesexpr")
+      assert(!charLocal.contains("LeftSemi"),
+        "under the budget the full-corpus build must remain (no semi-join stages)")
     } finally Caches.releaseAll()
   }
 
