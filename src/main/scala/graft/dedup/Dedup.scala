@@ -460,6 +460,69 @@ object Dedup {
       k, threshold)
   }
 
+  /** Persist the token w-gram MinHash signature table for a corpus —
+    * the nightly store [[incrementalNearDupsTokens]] joins new batches
+    * against. Signatures are deterministic per doc, so the store holds
+    * exactly what a full-corpus run would compute for the same docs;
+    * a nightly pipeline appends tonight's batch signatures after
+    * admission so tomorrow's run sees them as corpus. */
+  def writeSignatureStore(docs: DataFrame, dir: String, w: Int, k: Int): Unit =
+    minhashSignaturesTokens(docs, w, k).write.mode("overwrite").parquet(dir)
+
+  /** Incremental MinHash near-dup detection — the nightly production
+    * shape that makes the signature investment pay off across runs:
+    * signatures are computed for TONIGHT'S BATCH ONLY; the corpus side
+    * rides in from the persisted store (one parquet scan, k longs per
+    * doc — no re-tokenization of 100 TB). Candidates = batch-vs-store
+    * ∪ batch-vs-batch band collisions; store-vs-store pairs were found
+    * by earlier runs and are deliberately not re-derived. Same melt,
+    * estimate prefilter and survivor-scoped exact verify as
+    * [[minhashNearDupsTokens]] (`texts` must resolve the text of any
+    * store or batch doc — the document store). Pairs are id-normalized
+    * (a_id < b_id), so the result is EXACTLY the full-corpus pipeline's
+    * pair set restricted to pairs touching ≥ 1 batch doc
+    * (TextDedupSpec law). The store side melts NARROW-equivalent wide
+    * here (batch side is small, so the join broadcasts the batch melt
+    * at any store scale — candidate emission is store-partition-local);
+    * a mega-batch would route through the same salted spelling as
+    * [[lshSurvivorsNarrow]]. */
+  def incrementalNearDupsTokens(storeDir: String, batch: DataFrame, texts: DataFrame,
+                                w: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val rows = k / bands
+    require(rows * bands == k, s"k=$k must split into $bands bands")
+    val storeSigs = spark.read.parquet(storeDir)
+    val batchSigs = graft.Caches.cached(minhashSignaturesTokens(batch, w, k))
+    val carry = (0 until k).map(i => s"s$i")
+    val storeMelt = meltedBands(storeSigs, bands, rows, carry)
+    val batchMelt = meltedBands(batchSigs, bands, rows, carry)
+    def side(m: DataFrame, p: String): DataFrame =
+      m.select(col("doc_id").as(s"${p}_id") +: col("band") +: col("key") +:
+        (0 until k).map(i => col(s"s$i").as(s"$p$i")): _*)
+    // batch-batch pairs collide in both orientations → keep a_id < b_id;
+    // batch-store pairs have exactly one orientation (store docs never
+    // appear on the a side), so no constraint — and no store-store pair
+    // can ever form
+    val ys = side(storeMelt, "b").withColumn("b_in_store", lit(true))
+      .unionByName(side(batchMelt, "b").withColumn("b_in_store", lit(false)))
+    val cand = side(batchMelt, "a").join(ys, Seq("band", "key"))
+      .filter(col("b_in_store") || col("a_id") < col("b_id"))
+    val pairs = graft.Caches.cached(estPrefilter(cand, k, threshold).distinct())
+    graft.plans.SortedIntersectCount.register(spark)
+    graft.plans.SortedTokenShingles.register(spark)
+    // verify arrays are ALWAYS survivor-scoped here: the store text is
+    // corpus-sized by definition of the incremental regime, so the
+    // full-corpus build that wins at fixture scale is exactly the cost
+    // this operator exists to avoid
+    val shArr = graft.Caches.cached(survivorDocs(texts, pairs)
+      .select(col("doc_id"),
+        call_function(graft.plans.SortedTokenShingles.NAME,
+          col("text"), lit(w)).as("sh")))
+    verifyExactJaccard(Tables.fanOut(pairs), shArr, threshold, leafExpansion = 8.0 * w)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash from token-hash bit votes:
     * votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1);
     * fingerprint bit b set iff votes[b] > 0. `textCol` is a column name
@@ -786,6 +849,30 @@ object Dedup {
           coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
           (col("n_docs") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
         .orderBy("source")
+    }),
+
+    // INCREMENTAL near-dup vs a persisted signature store — the
+    // nightly-batch regime (q73's admission ladder, lifted from exact
+    // bag-of-words identity to the near-dup regime): ~1/4 of the corpus
+    // arrives as "tonight's batch" (same decorrelated md5 split as
+    // q73), the rest's token-5-gram signatures are read back from
+    // parquet, and only batch-touching pairs are derived. Rows-only
+    // (LSH candidates are probabilistic) + the TextDedupSpec lockstep
+    // law: output == the full-corpus q65-parameter pipeline's pairs
+    // restricted to pairs touching >= 1 batch doc. Bench timing charges
+    // the store WRITE too (one honest cold cycle; nightly runs pay only
+    // the batch side).
+    "q88_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val store = docs.filter(!h.isin("0", "1", "2", "3"))
+      val batch = docs.filter(h.isin("0", "1", "2", "3"))
+      val storeDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${dir.hashCode & Int.MaxValue}"
+      writeSignatureStore(store, storeDir, w = 5, k = 32)
+      incrementalNearDupsTokens(storeDir, batch, docs,
+        w = 5, k = 32, bands = 8, threshold = 0.7)
+        .orderBy("a_id", "b_id")
     }),
 
     // Near-dup clustering: connected components over the exact Jaccard

@@ -262,6 +262,25 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // PRODUCTION SERVING PATH for q43's IVF: build the PERSISTED index
+    // (writeIvfIndex — the assignment pass a 100 TB deployment runs
+    // ONCE at ingest, cells laid out as partition directories), then
+    // serve top-k touching only the probed cells' files — the vector
+    // analogue of the reference's latest-snapshot partition pruning
+    // (update_ticker_info.py:47-54). Output is exactly the transient
+    // q43 computation (parity + partition-pruning asserted in
+    // SimilaritySpec on THIS query's plan), so rows-only like q43.
+    // Bench note: the timing deliberately charges build + serve — the
+    // honest cost of one cold index cycle; production amortizes the
+    // build across every query after it.
+    "q87_ivf_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode & Int.MaxValue}"
+      writeIvfIndex(e, idxDir, nCentroids = 16)
+      ivfTopKIndexed(s, idxDir, e.filter(col("vec_id") < 10), k = 5, nprobe = 6)
+        .orderBy("q_id", "rank")
+    }),
+
     // One full Lloyd iteration (assign → update → REassign) — q56 is
     // the update half; this closes the loop, oracle-exactly. Seed
     // assignment is vec_id % 8; centroids are exact rationals

@@ -71,9 +71,11 @@ class PlanSpec extends SparkSpec {
     //        same shape as q43)
     //  q81 — recall evaluation COMPOSES the q38 baseline, so its plan
     //        embeds q38's documented broadcast cross product
+    //  q87 — query-side cell ranking × 16 broadcast stored centroids
+    //        (the serve half of q43's documented assignment shape)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
-      "q79_kmeans_step", "q81_ann_recall")
+      "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

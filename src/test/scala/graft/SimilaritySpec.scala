@@ -192,6 +192,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q87 serves from the persisted index partition-pruned, rows exactly q43's") {
+    val df = SparkEntry.queries("q87_ivf_serve")(spark, sf)
+    // the probed-cell filter must reach the index scan as a PARTITION
+    // filter on the DRIVER-HARNESS query itself, not only the library
+    // helper (promoted from the writeIvfIndex test per r5 verdict)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("FileScan") &&
+        l.contains("/index") && l.contains("PartitionFilters: [cell")),
+      s"q87 must prune index partitions by probed cell:\n$p")
+    val got = df.select($"q_id", $"c_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val q43 = SparkEntry.queries("q43_ann_ivf")(spark, sf)
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty && got == q43,
+      "persisted-index serve must reproduce the transient q43 exactly")
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)

@@ -344,6 +344,29 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exactLow), "verify step must reject sub-threshold pairs")
   }
 
+  test("incremental dedup vs signature store == full-corpus pairs touching the batch") {
+    // the q88 lockstep law: batch signatures computed tonight + store
+    // signatures read back from parquet must derive EXACTLY the pairs
+    // the full-corpus pipeline (same params) finds among pairs with at
+    // least one batch-side doc — store-vs-store pairs (found by earlier
+    // runs) are the only difference
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    try {
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val batchIds = docs.filter(h.isin("0", "1", "2", "3"))
+        .select("doc_id").as[Long].collect().toSet
+      val full = Dedup.minhashNearDupsTokens(docs, 5, 32, 8, 0.7)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        .filter(p => batchIds(p._1) || batchIds(p._2))
+      Caches.releaseAll()
+      val incr = SparkEntry.queries("q88_incremental_minhash")(spark, sf)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(full.nonEmpty, "fixture must contain batch-touching near-dup pairs")
+      assert(incr == full,
+        s"incremental diverged: only-full=${full.diff(incr)} only-incr=${incr.diff(full)}")
+    } finally Caches.releaseAll()
+  }
+
   test("simhash: near-identical docs collide, distance respects edits") {
     val pairs = SparkEntry.queries("q41_simhash")(spark, sf)
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
