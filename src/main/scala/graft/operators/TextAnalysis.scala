@@ -579,6 +579,33 @@ object TextAnalysis {
           size(filter(col("m"), t => t === "[MASKED]")).cast("long").as("n_masked"),
           md5(array_join(col("m"), " ")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // REGEX-DETECTOR variant of q75's dictionary scrubber — the shape a
+    // real PII pass uses: each detector is a regular expression, hit
+    // counts come from regexp_extract_all, and regexp_replace masks
+    // matches feeding the same cleaned-text digest accounting. The
+    // email pattern is the production detector (zero hits on this
+    // corpus — the n_emails column PROVES the negative rather than
+    // assuming it); the "customer <token>" pseudo-identifier pattern is
+    // corpus-ACTIVE, so the masking rewrite itself is oracle-exercised,
+    // not just the counting. Patterns stay in the RE2 ∩ Java-regex
+    // common subset (character classes, bounded repeats — no
+    // lookaround), so both engines compile them identically. Pure
+    // per-row codegen'd string ops; no shuffle before the output sort.
+    "q89_regex_scrub" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val idRe = "customer [a-z]+"
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(idRe), lit(0)))
+            .cast("long").as("n_ids"),
+          md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            idRe, "[ID]")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -872,6 +899,17 @@ object TextAnalysis {
                t -> CASE WHEN t IN ('customer', 'spark', 'vector')
                     THEN '[MASKED]' ELSE t END) AS m
            FROM documents WHERE doc_id < 300)
+         ORDER BY doc_id""",
+    "q89_regex_scrub" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'customer [a-z]+')) AS BIGINT) AS n_ids,
+           md5(regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                            '[EMAIL]', 'g'),
+             'customer [a-z]+', '[ID]', 'g')) AS clean_md5
+         FROM documents WHERE doc_id < 300
          ORDER BY doc_id"""
   )
 }
