@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   *  - a crashing query is recorded in "failed" (and excluded from
   *    "queries"/total) instead of logging a fake fast time;
   *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
-  *    bench_out.json next to the working dir), so parsers need not
-  *    scrape sbt-prefixed stdout;
+  *    BENCH_QUERIES.json — a COMMITTED artifact, because the driver's
+  *    bounded stdout capture truncated the per-query map in two
+  *    consecutive round artifacts; committing the file is the only
+  *    truncation-proof per-query history);
   *  - a SHORT total-only JSON line follows the big one, so a bounded
   *    stdout capture that truncates the per-query map still carries the
   *    headline number (the r04 driver artifact lost its total that way).
@@ -77,7 +79,7 @@ object Bench {
     // truncation-proof summary: a bounded stdout capture can lose the
     // head of the big line above; this one is < 120 bytes and LAST
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
-    val out = sys.env.getOrElse(Env.BenchOut, "bench_out.json")
+    val out = sys.env.getOrElse(Env.BenchOut, "BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
