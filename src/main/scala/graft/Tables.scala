@@ -84,14 +84,24 @@ object Tables {
     if (est <= budgetBytes) org.apache.spark.sql.functions.broadcast(df) else df
   }
 
-  /** Project/filter/generate chains over a leaf relation: exchange-free
-    * by construction, so planning `.rdd` is safe (no query stage runs)
-    * and its partition count reflects the scan's file layout. */
+  /** Project/generate chains over a leaf relation: exchange-free by
+    * construction, so planning `.rdd` is safe (no query stage runs)
+    * and its partition count reflects the scan's file layout.
+    *
+    * Filter is deliberately EXCLUDED from the no-op shape (r6, ADVICE):
+    * a selective pushed filter over a many-file scan keeps the scan's
+    * partition COUNT while emptying most partitions, so the count gate
+    * would pass and the downstream CPU-heavy work would serialize on
+    * the few non-empty ones — the exact problem fanOut exists to
+    * prevent. (Non-CBO plan stats pass a Filter's child size through
+    * unchanged, so selectivity is invisible to a stats gate.) Filtered
+    * inputs therefore always repartition; the exchange carries only
+    * the filter's SURVIVORS, so its cost is proportional to exactly
+    * the rows the downstream work is being spread for. */
   private def isNarrowScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     plan match {
       case Project(_, c)             => isNarrowScan(c)
-      case Filter(_, c)              => isNarrowScan(c)
       case SubqueryAlias(_, c)       => isNarrowScan(c)
       case g: Generate               => isNarrowScan(g.child)
       case _: LeafNode               => true

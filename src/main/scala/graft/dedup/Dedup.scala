@@ -288,12 +288,19 @@ object Dedup {
     * CollapseProject behavior as [[minhashSignatures]] (PlanSpec). */
   def minhashSignaturesTokens(docs: DataFrame, w: Int, k: Int): DataFrame = {
     graft.plans.MinHashSigsTokens.register(docs.sparkSession)
-    // pre-filter on the cheap token count, BEFORE the kernel — a filter
-    // on the mh column itself would be pushed below the project and
+    // pre-filter on the token count, BEFORE the kernel — a filter on
+    // the mh column itself would be pushed below the project and
     // evaluate the kernel twice per row (see minhashSignatures). The
     // predicate is exactly the kernel's null condition (< w tokens),
     // so no null signatures survive; TextDedupSpec pins the
-    // tokenization parity this relies on.
+    // tokenization parity this relies on. ACCEPTED COST (r5 ADVICE):
+    // this regex split tokenizes every doc once just to count, and the
+    // kernel re-tokenizes — ~2× tokenize on the signature stage. The
+    // alternatives are worse: a post-projection IS NOT NULL filter gets
+    // pushed through both projects and re-evaluates the whole KERNEL
+    // per row, and a cheap length-based pre-filter would let null
+    // signatures reach banding, where xxhash64-of-null band keys
+    // cluster every short doc into one mega bucket.
     Tables.fanOut(docs)
       .filter(size(split(trim(col("text")), "\\s+")) >= w)
       .select(col("doc_id"),

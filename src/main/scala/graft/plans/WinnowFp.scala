@@ -66,23 +66,28 @@ object WinnowFp {
     * 4-windows of hashes with first-occurrence dedup. Called from
     * generated code. */
   def compute(text: UTF8String): InternalRow = {
-    // code points exactly as Spark's substring/ascii count characters
+    // code points exactly as Spark's substring/ascii count characters —
+    // decoded into a primitive int[] (sized at the char-length upper
+    // bound, truncated to the code-point count): one Integer box per
+    // corpus character on THE hot path this kernel exists to optimize
+    // was the r5 ADVICE finding
     val s = text.toString
-    val cpBuf = new java.util.ArrayList[Integer](s.length)
+    val cp = new Array[Int](s.length)
+    var m = 0
     var si = 0
     while (si < s.length) {
-      val cp = s.codePointAt(si)
-      cpBuf.add(cp)
-      si += Character.charCount(cp)
+      val c = s.codePointAt(si)
+      cp(m) = c
+      m += 1
+      si += Character.charCount(c)
     }
-    val m = cpBuf.size
     val nGrams = math.max(m - 4, 0)
     val hs = new Array[Long](nGrams)
     var j = 0
     while (j < nGrams) {
-      hs(j) = (cpBuf.get(j).toLong * C0 + cpBuf.get(j + 1).toLong * C1 +
-        cpBuf.get(j + 2).toLong * C2 + cpBuf.get(j + 3).toLong * C3 +
-        cpBuf.get(j + 4).toLong) % MOD
+      hs(j) = (cp(j).toLong * C0 + cp(j + 1).toLong * C1 +
+        cp(j + 2).toLong * C2 + cp(j + 3).toLong * C3 +
+        cp(j + 4).toLong) % MOD
       j += 1
     }
     val wfp: Array[Long] =

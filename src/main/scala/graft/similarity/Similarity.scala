@@ -102,7 +102,19 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("t"),
         explode(transform(flips, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    val cand = e.join(broadcast(q), Seq("t", "bucket"))
+    // the probe side is STATS-GATED, not hinted unconditionally:
+    // isQuery is an arbitrary Column, so a predicate selecting a
+    // corpus-scale subset would otherwise force a never-demoted
+    // corpus×tables×(bits+1) broadcast (r5 ADVICE — the same hazard
+    // maybeBroadcast guards everywhere else). The gate sees the corpus
+    // LEAF times the known fan-out factor (filter selectivity is
+    // invisible to non-CBO stats, so it errs corpus-sized); where the
+    // static hint is dropped for a genuinely bounded query set, AQE
+    // re-plans the shuffle join back to broadcast from the stage's
+    // ACTUAL size at runtime — safety costs nothing locally.
+    val cand = e.join(
+        Tables.maybeBroadcast(q, leafExpansion = 8.0 * tables * (bits + 1)),
+        Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         col("q_emb"), col("embedding"), col("q_norm"), col("nrm"))

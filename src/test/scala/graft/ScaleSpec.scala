@@ -63,6 +63,13 @@ class ScaleSpec extends SparkSpec {
       val agg = single.groupBy("source").count()
       assert(hasRepartition(Tables.fanOut(agg)),
         "fanOut must repartition shuffle-bearing plans unconditionally")
+      // FILTERED many-file scan: the partition count survives a
+      // selective pushed filter while most partitions empty out, so the
+      // gate must not no-op (r6 ADVICE) - the repartition only carries
+      // the filter's survivors
+      val filtered = spark.read.parquet(s"$tmp/many").filter($"doc_id" < 10)
+      assert(hasRepartition(Tables.fanOut(filtered)),
+        "fanOut must repartition filtered scans - their partitions may be mostly empty")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
