@@ -96,6 +96,122 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming near-dup ADMISSION — the [[graft.dedup.Dedup]] q88
+    * incremental regime closed into the full production loop: each
+    * micro-batch of documents from `landingDir` is near-dup-checked
+    * (token w-gram MinHash+LSH, exact verify) against the PERSISTED
+    * signature store, cluster representatives are admitted, and the
+    * admitted docs' signatures are appended back to the store so the
+    * next batch sees them as corpus. Trigger.AvailableNow — the
+    * cron-equivalent nightly shape (the near-dup generalization of
+    * [[incrementalAppend]]'s exact-key loop).
+    *
+    * Admission semantics per batch (all deterministic; "store content
+    * wins" — the store is immutable, so a cluster reaching the store
+    * is already represented):
+    *  1. batch docs cluster by connected components over the
+    *     batch-internal verified pairs (pair-greedy rejection would
+    *     orphan chains: pairs (1,2),(2,3) must admit {1,3}, not {1});
+    *  2. a cluster containing ANY doc with a verified pair to a STORE
+    *     doc is rejected wholly — near-dup chains reject transitively,
+    *     exactly as the full-corpus q65 components would merge them;
+    *  3. admitted (doc_id, text) appends to `admittedDir` (the doc
+    *     store — also the text source for verifying FUTURE batches
+    *     against store docs), admitted signatures append to
+    *     `sigStoreDir`. Docs with < w tokens have no signature; they
+    *     admit (no detectable near-dup) without entering the store,
+    *     as in the batch pipeline.
+    *
+    * Scale shape: every per-batch join is batch-sized on at least one
+    * side; the store contributes one signature scan (k longs per doc)
+    * and a survivor-scoped text lookup — never a corpus re-tokenize.
+    * First batch bootstraps: no store yet → batch-vs-batch pairs only
+    * (the full-pipeline spelling on a batch-sized input). */
+  def nearDupAdmit(spark: SparkSession, landingDir: String, sigStoreDir: String,
+                   admittedDir: String, checkpointDir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   w: Int = 5, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7): Unit = {
+    import graft.dedup.Dedup
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        try {
+          def tryRead(dir: String): Option[DataFrame] =
+            try Some(spark.read.parquet(dir))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          // at-least-once ingest can repeat a doc inside one batch
+          // (dropDuplicates) or re-deliver an ALREADY-PROCESSED id
+          // across batches (anti-join vs the admitted store — without
+          // it a replayed admitted doc would pair with its own store
+          // signature and re-admit as a duplicate)
+          val batch = graft.Caches.cached(
+            tryRead(admittedDir).foldLeft(
+              batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))(
+              (b, adm) => b.join(adm.select("doc_id"), Seq("doc_id"), "left_anti")))
+          // ONLY store-absent (first run) may fall through to the
+          // bootstrap; IO/corruption failures must abort the batch
+          val pairs = graft.Caches.cached(tryRead(sigStoreDir) match {
+            case Some(_) =>
+              val texts = tryRead(admittedDir)
+                .map(_.select("doc_id", "text").unionByName(batch))
+                .getOrElse(batch)
+              Dedup.incrementalNearDupsTokens(sigStoreDir, batch, texts,
+                w, k, bands, threshold)
+            case None =>
+              Dedup.minhashNearDupsTokens(batch, w, k, bands, threshold)
+          })
+          val batchIds = batch.select("doc_id")
+          // pair sides resolve store-vs-batch membership by semi/anti
+          // joins (ids are disjoint by construction — the store only
+          // ever receives ADMITTED ids, which left the batch)
+          val aInBatch = pairs.join(batchIds.withColumnRenamed("doc_id", "a_id"),
+            Seq("a_id"), "left_semi")
+          val storeHitA = pairs.join(batchIds.withColumnRenamed("doc_id", "a_id"),
+            Seq("a_id"), "left_anti").select(col("b_id").as("doc_id"))
+          val storeHitB = aInBatch.join(batchIds.withColumnRenamed("doc_id", "b_id"),
+            Seq("b_id"), "left_anti").select(col("a_id").as("doc_id"))
+          val storeHit = graft.Caches.cached(
+            storeHitA.unionByName(storeHitB).distinct())
+          val batchPairs = aInBatch
+            .join(batchIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+            .select("a_id", "b_id")
+          // members: (doc_id, canonical_id) for every batch doc with a
+          // batch-internal pair; singletons (incl. singleton store
+          // hits) are handled by the storeHit anti-join below
+          val members = graft.Caches.cached(
+            Dedup.components(graft.Caches.cached(batchPairs)))
+          val infectedClusters = members
+            .join(storeHit, Seq("doc_id"), "left_semi")
+            .select("canonical_id").distinct()
+          val clusterRejected = members
+            .join(infectedClusters, Seq("canonical_id"), "left_semi")
+            .select("doc_id")
+            .unionByName(members.filter(col("doc_id") =!= col("canonical_id"))
+              .select("doc_id"))
+          // EAGER lineage cut before the appends: admitted's plan READS
+          // admittedDir (the replay anti-join), and appending to a path
+          // refreshes that path's caches — a cached-but-lineage-bearing
+          // admitted would re-evaluate against its own output when the
+          // signature write runs, admitting the wrong docs into the
+          // store. localCheckpoint pins the batch-sized result to
+          // executor blocks; both appends then read those blocks.
+          val admitted = batch
+            .join(storeHit, Seq("doc_id"), "left_anti")
+            .join(clusterRejected, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          admitted.write.mode("append").parquet(admittedDir)
+          Dedup.minhashSignaturesTokens(admitted, w, k)
+            .write.mode("append").parquet(sigStoreDir)
+        } finally graft.Caches.releaseAll() // per-batch intermediates
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,

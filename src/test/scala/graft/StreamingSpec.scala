@@ -107,6 +107,46 @@ class StreamingSpec extends SparkSpec {
       s"expected pruned scan to admit both landing rows, got:\n${stored.collect().mkString("\n")}")
   }
 
+  test("streaming near-dup admission: clusters admit min-id, store wins transitively (q88 twin)") {
+    val landing = tmp("dd_landing")
+    val sig = tmp("dd_sig") + "/store"      // not yet existing: bootstrap path
+    val adm = tmp("dd_adm") + "/admitted"
+    val ckpt = tmp("dd_ckpt")               // ONE checkpoint across both runs
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val vA  = (1 to 100).map(i => s"tok$i")
+    val vA2 = vA.updated(50, "CHANGED")     // strong near-dup of vA (j≈0.9)
+    val vA3 = vA.updated(51, "OTHER")       // near-dup of vA and vA2
+    val vB  = (1 to 100).map(i => s"zzz$i") // unrelated family
+    val vC  = (1 to 100).map(i => s"qqq$i")
+    val vC2 = vC.updated(10, "X")
+    // batch 1 (bootstrap, no store yet): 1≈2 cluster → admit min-id 1;
+    // 5 distinct → admit
+    Seq(doc(1, vA), doc(2, vA2), doc(5, vB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    Streaming.nearDupAdmit(spark, landing, sig, adm, ckpt, schema)
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 5L), "bootstrap batch must admit cluster representatives")
+    // batch 2: 7 near-dups STORE doc 1 → rejected (store wins); 8 new
+    // family → admitted; 9 near-dups 8 in-batch → rejected via its
+    // cluster, though it never touches the store itself
+    Seq(doc(7, vA3), doc(8, vC), doc(9, vC2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    Streaming.nearDupAdmit(spark, landing, sig, adm, ckpt, schema)
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 5L, 8L), "store collision and in-batch cluster must both reject")
+    // the signature store carries exactly the admitted ids — the next
+    // nightly batch sees them as corpus
+    assert(spark.read.parquet(sig).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 5L, 8L))
+    // replay safety: re-running with a FRESH checkpoint re-delivers
+    // every landing file; already-admitted ids must not duplicate
+    Streaming.nearDupAdmit(spark, landing, sig, adm, tmp("dd_ckpt2"), schema)
+    val admAll = spark.read.parquet(adm).select("doc_id").as[Long].collect()
+    assert(admAll.sorted.toSeq == Seq(1L, 5L, 8L),
+      s"re-delivery must be idempotent, got ${admAll.toSeq}")
+  }
+
   test("streaming dedup drops replayed keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
