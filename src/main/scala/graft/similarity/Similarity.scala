@@ -178,6 +178,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic one-Lloyd-step cell assignment: seed clusters are
+    * `vec_id % nCells`, centroids are exact rationals (scaled-long
+    * numerator sums — order-independent reduction) divided once into
+    * doubles, and the reassignment distance is a LEFT-ASSOCIATED
+    * dims-term IEEE sum (identical grouping in both engines ⇒
+    * bit-identical doubles ⇒ identical argmins, ties broken by cell
+    * id). Returns (vec_id, cell). Scale shape: the centroid table is
+    * nCells×dims (tiny, broadcast); the corpus is scanned once and the
+    * per-vector argmin map-side-combines as min(struct(dist, cell)) —
+    * the only exchange carries one row per vector. Shared by q79 (the
+    * Lloyd-step query is exactly this plus a per-cell rollup) and
+    * q90's semantic-dedup cells; the q79 oracle mirrors the spelling
+    * term for term. */
+  private def lloydAssign(e0: DataFrame, nCells: Int = 8,
+                          dims: Int = 64): DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    def x(i: Int): Column =
+      element_at(col("embedding"), i + 1).cast("double")
+    val nums = e
+      .select((col("vec_id") % nCells).as("cluster") +: (0 until dims).map(i =>
+        floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), (0 until dims).map(i =>
+        sum(col(s"sx$i")).as(s"s$i")): _*)
+    val cents = nums.select(col("cluster").as("c_cluster") +:
+      (0 until dims).map(i =>
+        ((col(s"s$i").cast("double") / 1e6) / col("n")).as(s"c$i")): _*)
+    val dist = (0 until dims).map(i =>
+      (x(i) - col(s"c$i")) * (x(i) - col(s"c$i"))).reduce(_ + _)
+    // argmin as min(struct(dist, cell)) — struct ordering compares
+    // dist first, cell id as the tie-break, identical to the
+    // ORDER BY dist, cluster the oracles use; a window partitioned by
+    // vec_id would shuffle the full corpus × nCells cross-join output
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c_cluster"))).as("m"))
+      .select(col("vec_id"), col("m.c_cluster").as("cell"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact cosine top-5 neighbors for a fixed 10-vector query set.
     "q38_cosine_topk" -> ((s, dir) => {
@@ -307,33 +347,52 @@ object Similarity {
     // cost profile a production k-means on 100 TB has, with no
     // driver-side vector math.
     "q79_kmeans_step" -> ((s, dir) => {
-      val dims = 64
-      val e = Tables.embeddings(s, dir)
-      def x(i: Int): Column =
-        element_at(col("embedding"), i + 1).cast("double")
-      val nums = e
-        .select((col("vec_id") % 8).as("cluster") +: (0 until dims).map(i =>
-          floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n"), (0 until dims).map(i =>
-          sum(col(s"sx$i")).as(s"s$i")): _*)
-      val cents = nums.select(col("cluster").as("c_cluster") +:
-        (0 until dims).map(i =>
-          ((col(s"s$i").cast("double") / 1e6) / col("n")).as(s"c$i")): _*)
-      val dist = (0 until dims).map(i =>
-        (x(i) - col(s"c$i")) * (x(i) - col(s"c$i"))).reduce(_ + _)
-      // argmin as min(struct(dist, cluster)) — struct ordering compares
-      // dist first, cluster id as the tie-break, identical to the
-      // ORDER BY dist, cluster the oracle uses, and min() aggregates
-      // with MAP-SIDE PARTIALS: a window partitioned by vec_id would
-      // shuffle the full corpus × k cross-join output instead
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist", dist)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("c_cluster"))).as("m"))
-        .groupBy(col("m.c_cluster").as("cluster"))
+      lloydAssign(Tables.embeddings(s, dir))
+        .groupBy(col("cell").as("cluster"))
         .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_id"))
         .orderBy("cluster")
+    }),
+
+    // SEMANTIC DEDUP CAPSTONE (SemDeDup regime, Abbas et al. 2023 —
+    // cluster the embedding space, then pay the quadratic cosine ONLY
+    // within a cell): deterministic one-Lloyd-step cells → within-cell
+    // exact cosine pairs at >= 0.4 → connected components → keep the
+    // min-id representative → per-cell accounting. Every stage is the
+    // hash-matched spelling of an existing query (q79 assignment, q39
+    // cosine, q49 closure, q65 accounting), so unlike LSH-candidate
+    // dedup the WHOLE semantic chain carries a DuckDB oracle. Scale
+    // shape: the pair join shuffles both sides once on `cell` and is
+    // quadratic only within a cell — at 100 TB you raise nCells until
+    // cells fit an executor (the SemDeDup bound); components sees only
+    // survivor pairs; accounting aggregates before joining.
+    "q90_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val withCell = graft.Caches.cached(
+        e.join(lloydAssign(e), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            norm(col("embedding")).as("nrm")))
+      def side(p: String): DataFrame = withCell.select(
+        col("vec_id").as(s"${p}_id"), col("cell"),
+        col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
+      // cached: components() symmetrizes pairs with a self-union
+      val pairs = graft.Caches.cached(side("a").join(side("b"), Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(cosinePre(col("a_emb"), col("b_emb"),
+          col("a_nrm"), col("b_nrm")) >= 0.4)
+        .select("a_id", "b_id"))
+      val removed = graft.dedup.Dedup.components(pairs)
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("vec_id"))
+      val survivors = withCell.join(removed, Seq("vec_id"), "left_anti")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_survivors"))
+      // totals are the base side: a cell whose every vector is removed
+      // must still report n_survivors = 0, not vanish (q65 pattern)
+      withCell.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .join(survivors, Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          (col("n_vecs") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
+        .orderBy("cell")
     }),
 
     // Per-cluster centroid computation — the k-means update step an IVF
@@ -594,6 +653,71 @@ object Similarity {
          SELECT c_cluster AS cluster, COUNT(*) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1"""
+    },
+    "q90_semantic_dedup" -> {
+      // q79's generated assignment spellings + cosSql's decimal-pinned
+      // cosine + q49's recursive closure, composed; every piece is
+      // individually hash-matched by its own query
+      val dims = 64
+      val sumCols = (0 until dims).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centCols = (0 until dims).map(i =>
+        s"(CAST(s$i AS DOUBLE) / 1e6) / n AS c$i").mkString(", ")
+      val distExpr = (0 until dims).map(i =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i) * " +
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i)").mkString(" + ")
+      s"""WITH RECURSIVE nums AS (
+           SELECT vec_id % 8 AS cluster, COUNT(*) AS n, $sumCols
+           FROM embeddings GROUP BY 1),
+         cents AS (SELECT cluster AS c_cluster, n, $centCols FROM nums),
+         d AS (
+           SELECT e.vec_id, c.c_cluster, $distExpr AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         rk AS (
+           SELECT vec_id, c_cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, c_cluster ASC) AS rn
+           FROM d),
+         assigned AS (SELECT vec_id, c_cluster AS cell FROM rk WHERE rn = 1),
+         norms AS (
+           SELECT vec_id,
+             sqrt(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14) AS nrm
+           FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+           GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1e14) AS BIGINT)) AS dot
+           FROM embeddings a JOIN assigned aa ON aa.vec_id = a.vec_id
+                JOIN assigned ab ON ab.cell = aa.cell
+                JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id,
+                (SELECT unnest(generate_series(1, 64)) AS i) idx
+           GROUP BY 1, 2),
+         cosines AS (
+           SELECT a_id, b_id,
+             CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                  ELSE (CAST(dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) END AS cos
+           FROM dots JOIN norms na ON na.vec_id = a_id
+                     JOIN norms nb ON nb.vec_id = b_id),
+         pairs AS (SELECT a_id, b_id FROM cosines WHERE cos >= 0.4),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         removed AS (SELECT id AS vec_id FROM r GROUP BY id HAVING MIN(label) <> id),
+         base AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+         surv AS (
+           SELECT a.cell, COUNT(*) AS n_survivors
+           FROM assigned a LEFT JOIN removed rm ON rm.vec_id = a.vec_id
+           WHERE rm.vec_id IS NULL GROUP BY 1)
+         SELECT CAST(base.cell AS BIGINT) AS cell, base.n_vecs,
+           COALESCE(surv.n_survivors, CAST(0 AS BIGINT)) AS n_survivors,
+           base.n_vecs - COALESCE(surv.n_survivors, CAST(0 AS BIGINT)) AS n_removed
+         FROM base LEFT JOIN surv ON surv.cell = base.cell ORDER BY cell"""
     }
   )
 }

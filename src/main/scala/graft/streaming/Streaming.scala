@@ -140,9 +140,15 @@ object Streaming {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
         try {
-          def tryRead(dir: String): Option[DataFrame] =
-            try Some(spark.read.parquet(dir))
-            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          // None ONLY for a not-yet-existing dir (first run) — an
+          // existing-but-unreadable store must THROW and abort the
+          // batch: silently bootstrapping over a corrupt store would
+          // re-admit near-dups of every doc already in it
+          def tryRead(dir: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+          }
           // at-least-once ingest can repeat a doc inside one batch
           // (dropDuplicates) or re-deliver an ALREADY-PROCESSED id
           // across batches (anti-join vs the admitted store — without

@@ -73,14 +73,31 @@ class PlanSpec extends SparkSpec {
     //        embeds q38's documented broadcast cross product
     //  q87 — query-side cell ranking × 16 broadcast stored centroids
     //        (the serve half of q43's documented assignment shape)
+    //  q90 — corpus × 8 broadcast centroids (semantic-dedup cell
+    //        assignment, the same lloydAssign shape as q79); the pair
+    //        stage itself is an equi-join on cell, not a cross product
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
-      "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve")
+      "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
+      "q90_semantic_dedup")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name must generate candidates, not cross products:\n${p.take(4000)}")
     }
+  }
+
+  test("semantic dedup's quadratic stage keys on cell, never a cartesian (q90)") {
+    val p = plan("q90_semantic_dedup")
+    // lloydAssign's corpus × 8 broadcast centroid grid planizes as
+    // BroadcastNestedLoopJoin (bounded by construction — whitelisted
+    // above); what must NEVER appear is a true CartesianProduct: the
+    // within-cell pair stage and both accounting joins are equi-joins
+    // on the cell / vec_id keys. (The unmaterialized plan tree repeats
+    // cached subtrees, so shapes are asserted, not node counts.)
+    assert(!p.contains("CartesianProduct"),
+      s"q90's pair stage must equi-join on cell:\n${p.take(4000)}")
+    assert(p.contains("cell"), s"pair/accounting joins must key on cell:\n${p.take(2000)}")
   }
 
   test("quantization is per-row math: only the output sort exchanges (q69)") {
