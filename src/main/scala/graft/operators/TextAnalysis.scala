@@ -610,6 +610,103 @@ object TextAnalysis {
           md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
             idRe, "[ID]")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Exact all-pairs sparse TF-IDF cosine over token-BIGRAM terms —
+    // the inverted-index ("term-at-a-time") all-pairs similarity shape
+    // (Bayardo et al., WWW'07): pairs are generated ONLY through
+    // shared terms, never a doc×doc join, so cost is Σ_t C(df_t, 2),
+    // bounded by the df ceiling. Weights are exact integers
+    // (tf · (100000 DIV df) — integer division; the global N factor of
+    // classic idf cancels inside cosine), so dot products and norms are
+    // order-independent long sums and the final cosine is one IEEE
+    // divide over two correctly-rounded sqrts: bit-identical on any
+    // engine. Scale shape: at 100 TB the df ceiling (here 60) is the
+    // knob — it caps per-term fan-out exactly like a stop-word list,
+    // and the term join is salt-able by the q37 survivors spelling.
+    // Complements q36 (set Jaccard) with magnitude-aware similarity.
+    "q91_sparse_cosine" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir).filter(col("doc_id") < 300))
+        .select(col("doc_id"), wsToks.as("toks"))
+        .filter(size(col("toks")) >= 2) // explicit: sequence() descends when hi<1
+      val terms = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+        .as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 60)
+      val w = graft.Caches.cached(tf.join(dfT, Seq("term"))
+        .select(col("doc_id"), col("term"),
+          expr("tf * (100000 DIV df)").as("w")))
+      val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
+      val dots = w.as("a").join(w.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a_id"), col("nn").as("na")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("nn").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // BM25-style ranked keyword retrieval — the postings-list scoring a
+    // quality-targeted corpus search runs: broadcast query terms join a
+    // (doc, token, tf) postings aggregate, per-term scores sum per
+    // (query, doc), top-3 docs per query. The idf is the RATIONAL BM25
+    // variant ((N - df + 0.5)/(df + 0.5), i.e. ln's argument — ln
+    // itself is libm-dependent and not cross-engine bit-stable; the
+    // transform is monotone so ranking semantics are preserved), and
+    // per-term scores are floor-scaled to longs before summing so the
+    // per-doc total is order-independent. k1 = 1.2, b = 0.75. Scale
+    // shape: the corpus side is one scan + one (doc, token) aggregate;
+    // queries and the global (N, avgdl) row broadcast; the only
+    // wide exchange carries matching postings keyed by (query, doc);
+    // the rank window partitions by query over ≤ N rows per query.
+    "q92_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
+        2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
+        4L -> "scan", 5L -> "customer", 5L -> "query")
+        .toDF("query_id", "token")
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+      val dl = graft.Caches.cached(
+        d.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+      val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      val scored = tf.join(broadcast(qterms), Seq("token"))
+        .join(dfT, Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats)) // 1 row: (N, avgdl)
+        .withColumn("idf",
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("nrm",
+          lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+        .withColumn("ts", floor(col("idf") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * col("nrm"))) * lit(1e6))
+          .cast("long"))
+      val perDoc = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("ts")).as("sts"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sts").desc, col("doc_id").asc)
+      perDoc.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          (col("sts").cast("double") / lit(1e6)).as("score"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -914,6 +1011,83 @@ object TextAnalysis {
                             '[EMAIL]', 'g'),
              'customer [a-z]+', '[ID]', 'g')) AS clean_md5
          FROM documents WHERE doc_id < 300
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // q78's bigram spelling; integer weights make every sum
+    // order-independent, cosine = one divide over two sqrts
+    "q91_sparse_cosine" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 300),
+         d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM d2),
+         t AS (
+           SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS term
+           FROM g),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+                HAVING COUNT(*) <= 60),
+         w AS (
+           SELECT doc_id, term, CAST(tf * (100000 // df) AS BIGINT) AS w
+           FROM tf JOIN df USING (term)),
+         norms AS (SELECT doc_id, SUM(w * w) AS nn FROM w GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+           FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         cos AS (
+           SELECT a_id, b_id,
+             CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+           FROM dots JOIN norms na ON na.doc_id = a_id
+                     JOIN norms nb ON nb.doc_id = b_id)
+         SELECT a_id, b_id, cos FROM cos WHERE cos >= 0.3
+         ORDER BY a_id, b_id""",
+    // rational-idf BM25; per-term scores floor-scaled to BIGINT before
+    // the per-doc sum (order-independent); parenthesization mirrors the
+    // Spark expression term for term
+    "q92_bm25_topk" ->
+      """WITH q(query_id, token) AS (
+           VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'agg'),
+                  (3, 'stream'), (3, 'batch'), (4, 'vector'), (4, 'scan'),
+                  (5, 'customer'), (5, 'query')),
+         d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         scored AS (
+           SELECT q.query_id, tf.doc_id,
+             CAST(floor(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                  (CAST(df.df AS DOUBLE) + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) +
+                   1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) *
+               1e6) AS BIGINT) AS ts
+           FROM tf JOIN q ON q.token = tf.token
+                JOIN df ON df.token = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s),
+         agg AS (
+           SELECT query_id, doc_id, SUM(ts) AS sts
+           FROM scored GROUP BY 1, 2),
+         rk AS (
+           SELECT query_id, doc_id, sts,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sts DESC, doc_id ASC) AS rank
+           FROM agg)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, CAST(sts AS DOUBLE) / 1e6 AS score
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""
   )
 }

@@ -76,10 +76,12 @@ class PlanSpec extends SparkSpec {
     //  q90 — corpus × 8 broadcast centroids (semantic-dedup cell
     //        assignment, the same lloydAssign shape as q79); the pair
     //        stage itself is an equi-join on cell, not a cross product
+    //  q92 — postings × the broadcast 1-row global-stats (N, avgdl)
+    //        row; every other join in the query is an equi-join
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
-      "q90_semantic_dedup")
+      "q90_semantic_dedup", "q92_bm25_topk")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
