@@ -79,11 +79,18 @@ object Bench {
     // truncation-proof summary: a bounded stdout capture can lose the
     // head of the big line above; this one is < 120 bytes and LAST
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
-    val out = sys.env.getOrElse(Env.BenchOut, "BENCH_QUERIES.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"BENCH: could not write $out: ${e.getMessage}")
+    // Default artifact path ONLY for full runs: a SPARK_GRAFT_ONLY
+    // subset dev run must not clobber the committed per-query history
+    // (it did, twice, before this guard) — subsets write only when
+    // SPARK_GRAFT_BENCH_OUT is explicitly set.
+    val out = sys.env.get(Env.BenchOut)
+      .orElse(if (sys.env.contains(Env.Only)) None else Some("BENCH_QUERIES.json"))
+    out.foreach { o =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(o),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"BENCH: could not write $o: ${e.getMessage}")
+      }
     }
     spark.stop()
     if (failed.nonEmpty) System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")
