@@ -707,6 +707,46 @@ object TextAnalysis {
         .select(col("query_id"), col("rank"), col("doc_id"),
           (col("sts").cast("double") / lit(1e6)).as("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Incremental aggregate-state maintenance — the nightly-rollup
+    // pattern: a STORED per-source state (count / sum / sum-of-squares
+    // / min / max over the pre-existing corpus) merges with tonight's
+    // DELTA batch's state by pure state algebra (sums add, mins min,
+    // maxes max), never rescanning the corpus; mean and variance are
+    // derived from the merged sums at the very end. The oracle
+    // recomputes the same statistics DIRECTLY over the full table, so
+    // the hash match PROVES merge == recompute — the algebraic property
+    // the whole incremental pattern rests on. Exactness: states are
+    // long sums (order-independent); the derived mean/variance are
+    // three IEEE ops on exact longs, bit-identical cross-engine. Scale
+    // shape: at 100 TB the stored state is source-keyed (thousands of
+    // rows, not the corpus); each night touches only the delta — this
+    // is the generalization of the reference's incremental update
+    // accounting (update_psx_data.py's per-run new/updated counts).
+    "q93_incremental_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          sum(col("n_chars") * col("n_chars")).as("ss"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      // doc_id % 10 == 0 plays tonight's delta; the rest is the stored
+      // rollup from previous runs
+      val stored = state(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = state(docs.filter(col("doc_id") % 10 === 0))
+      stored.unionByName(delta).groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), sum(col("sm")).as("sum_chars"),
+          sum(col("ss")).as("ss_chars"),
+          min(col("mn")).as("min_doc"), max(col("mx")).as("max_doc"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("min_doc"), col("max_doc"),
+          (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          ((col("ss_chars").cast("double") / col("n_docs").cast("double")) -
+            (col("sum_chars").cast("double") / col("n_docs").cast("double")) *
+              (col("sum_chars").cast("double") / col("n_docs").cast("double")))
+            .as("var_chars"))
+        .orderBy("source")
     })
   )
 
@@ -1088,6 +1128,21 @@ object TextAnalysis {
            FROM agg)
          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
            doc_id, CAST(sts AS DOUBLE) / 1e6 AS score
-         FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
+    // DIRECT recompute over the full table — the Spark side merges a
+    // stored state with a delta state instead; hash equality proves the
+    // state algebra
+    "q93_incremental_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_chars,
+           CAST(CAST(SUM(n_chars * n_chars) AS BIGINT) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) -
+             (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
+             (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS var_chars
+         FROM documents GROUP BY source ORDER BY source"""
   )
 }

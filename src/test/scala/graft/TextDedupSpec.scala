@@ -376,4 +376,53 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.subsetOf(sim),
       s"simhash missed ${(exact -- sim).size} of ${exact.size} (j>=0.95) pairs")
   }
+
+  test("sparse TF-IDF cosine: ordered pairs, cosine in (0, 1] (q91 laws)") {
+    val rows = SparkEntry.queries("q91_sparse_cosine")(spark, sf)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "sf0.001 fixture must yield >= 1 pair at 0.3")
+    rows.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      // weights are positive integers, so any emitted pair's cosine is
+      // strictly positive; Cauchy-Schwarz bounds it by 1
+      assert(c > 0.0 && c <= 1.0 + 1e-12, s"cos($a,$b)=$c out of range")
+    }
+  }
+
+  test("BM25 retrieval: contiguous ranks, non-increasing scores (q92 laws)") {
+    val rows = SparkEntry.queries("q92_bm25_topk")(spark, sf)
+      .select("query_id", "rank", "score")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"query $q ranks not contiguous: ${sorted.map(_._2).toSeq}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1), (_, _, s2)) =>
+          assert(s1 >= s2, s"query $q scores increase down the ranking")
+        case _ => ()
+      }
+    }
+  }
+
+  test("incremental stats: state merge equals direct recompute (q93 law)") {
+    // the oracle proves this at sf0.01; this pins it at sf0.001 too —
+    // the algebra must hold for ANY split, not one lucky fixture
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q93_incremental_stats")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val direct = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"n_chars" * $"n_chars").as("ss"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .select($"source", $"n_docs", $"sum_chars", $"min_doc", $"max_doc",
+        ($"sum_chars".cast("double") / $"n_docs".cast("double")).as("mean_chars"),
+        (($"ss".cast("double") / $"n_docs".cast("double")) -
+          ($"sum_chars".cast("double") / $"n_docs".cast("double")) *
+            ($"sum_chars".cast("double") / $"n_docs".cast("double"))).as("var_chars"))
+      .orderBy("source")
+    assert(merged.collect().toSeq == direct.collect().toSeq,
+      "merged state diverged from direct recompute")
+  }
 }
