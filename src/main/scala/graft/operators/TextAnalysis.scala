@@ -747,6 +747,32 @@ object TextAnalysis {
               (col("sum_chars").cast("double") / col("n_docs").cast("double")))
             .as("var_chars"))
         .orderBy("source")
+    }),
+
+    // Sequence packing — the batch-assembly step before pretraining:
+    // concatenate each source's docs in doc_id order and cut the stream
+    // into fixed 2048-token contexts; a doc belongs to the bin its
+    // FIRST token lands in (bin = start-offset DIV 2048, start offset =
+    // exclusive prefix sum of token counts). Output: per (source, bin)
+    // doc/token accounting — the packing manifest a training-data
+    // writer materializes. Scale shape: packing is inherently
+    // sequential WITHIN a stream but embarrassingly parallel ACROSS
+    // streams, which is exactly what the window spells: one exchange
+    // keyed on source, a per-partition running sum (no corpus-global
+    // order), then a map-side-combined rollup. At 100 TB sources are
+    // the parallelism unit (thousands of shards), so the plan is flat.
+    "q94_sequence_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+        .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("start DIV 2048"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
     })
   )
 
@@ -1143,6 +1169,22 @@ object TextAnalysis {
              (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
              (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
              AS var_chars
-         FROM documents GROUP BY source ORDER BY source"""
+         FROM documents GROUP BY source ORDER BY source""",
+    // exclusive prefix sum via ROWS UNBOUNDED PRECEDING AND 1 PRECEDING;
+    // token counts and offsets are exact BIGINTs on both engines
+    "q94_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         p AS (
+           SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM t)
+         SELECT source, start // 2048 AS bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM p GROUP BY 1, 2 ORDER BY source, bin"""
   )
 }

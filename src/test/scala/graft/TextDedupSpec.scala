@@ -425,4 +425,28 @@ class TextDedupSpec extends SparkSpec {
     assert(merged.collect().toSeq == direct.collect().toSeq,
       "merged state diverged from direct recompute")
   }
+
+  test("sequence packing: token conservation, ordered disjoint bins (q94 laws)") {
+    import org.apache.spark.sql.functions._
+    val bins = SparkEntry.queries("q94_sequence_pack")(spark, sf)
+      .select("source", "bin", "n_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val totals = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(sum(size(split(trim($"text"), "\\s+")).cast("long")).as("t"))
+      .as[(String, Long)].collect().toMap
+    // conservation: packing moves every token into exactly one bin
+    val packed = bins.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(packed == totals, s"token loss: ${totals.keySet.map(k => k -> (totals(k), packed.getOrElse(k, -1L)))}")
+    // bins within a source hold disjoint, ordered doc-id ranges
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      val ordered = bs.sortBy(_._2)
+      ordered.foreach { case (_, _, _, f, l) => assert(f <= l) }
+      ordered.sliding(2).foreach {
+        case Array((_, b1, _, _, l1), (_, b2, _, f2, _)) =>
+          assert(b1 < b2 && l1 < f2, s"$src bins $b1/$b2 overlap or disorder")
+        case _ => ()
+      }
+    }
+  }
 }
