@@ -52,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SortedTokenShingles.NAME),
       new ExpressionInfo(classOf[SortedTokenShinglesExpr].getName, SortedTokenShingles.NAME),
       (exprs: Seq[Expression]) => SortedTokenShingles.build(exprs)))
+    // post-optimization safety net: oversized BROADCAST hints are
+    // demoted before JoinSelection can turn them into driver OOMs
+    e.injectOptimizerRule(session => DemoteOversizedBroadcasts(session))
   }
 }

@@ -41,5 +41,30 @@ class ExtensionsSpec extends AnyFunSuite {
       val ref = spark.createDataset(Seq("hello world"))(org.apache.spark.sql.Encoders.STRING)
         .toDF("text").select(graft.dedup.Dedup.simhash64Hof("text")).head().getLong(0)
       assert(sh == ref)
+
+      // DemoteOversizedBroadcasts: under a tiny budget the BROADCAST
+      // hint on the parquet-backed side is stripped (no BroadcastHashJoin
+      // with that side as build), under the default budget it survives.
+      // Auto-broadcast is disabled so any broadcast in the plan can only
+      // come from the HINT — the demotion is what's observed.
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val ids = docs.select("doc_id", "source")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def planOf(): String = docs
+          .join(org.apache.spark.sql.functions.broadcast(ids), Seq("doc_id"))
+          .queryExecution.executedPlan.toString
+        spark.conf.set("spark.graft.maxBroadcastBytes", "64")
+        assert(!planOf().contains("BroadcastHashJoin"),
+          "64-byte budget must demote the hinted broadcast")
+        spark.conf.set("spark.graft.maxBroadcastBytes", (512L << 20).toString)
+        assert(planOf().contains("BroadcastHashJoin"),
+          "in-budget hint must keep its broadcast")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.graft.maxBroadcastBytes")
+      }
   }
 }
