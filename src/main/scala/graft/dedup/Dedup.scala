@@ -892,6 +892,28 @@ object Dedup {
       val pairs = graft.Caches.cached(
         jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7))
       components(pairs).orderBy("doc_id")
+    }),
+
+    // Duplicate-cluster-size histogram — the shape report a dedup run
+    // prints (how much of the duplication is pairs vs mega-clusters
+    // decides whether "keep one per cluster" loses data): q49's exact
+    // pairs → components → per-canonical cluster size → (size,
+    // n_clusters, n_docs). Every cluster has >= 2 members by
+    // construction (components only sees docs that appear in a pair).
+    // Scale: the histogram aggregates the COMPONENTS output (one row
+    // per clustered doc), never the corpus; cluster sizes shuffle as
+    // (canonical → count) map-side-combined partials.
+    "q95_cluster_histogram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val pairs = graft.Caches.cached(
+        jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7))
+      components(pairs)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -974,6 +996,36 @@ object Dedup {
            UNION
            SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
          SELECT id AS doc_id, MIN(label) AS canonical_id
-         FROM r GROUP BY id ORDER BY doc_id"""
+         FROM r GROUP BY id ORDER BY doc_id""",
+    // q49's closure + a two-level rollup: canonical → size → histogram
+    "q95_cluster_histogram" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM docs)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         canon AS (SELECT id, MIN(label) AS canonical_id FROM r GROUP BY id),
+         cl AS (SELECT canonical_id, COUNT(*) AS cluster_size
+                FROM canon GROUP BY 1)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+         FROM cl GROUP BY 1 ORDER BY cluster_size"""
   )
 }
