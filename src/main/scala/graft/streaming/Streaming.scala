@@ -352,4 +352,49 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  case class PackedDoc(doc_id: Long, source: String, n_tok: Long,
+                       start: Long, bin: Long)
+
+  /** Streaming twin of the q94 sequence-packing manifest: each
+    * micro-batch's docs extend their source's token stream from the
+    * offset where the previous batch stopped — `mapGroupsWithState`
+    * carries ONE long per source (the running token offset), so state
+    * is O(sources), independent of corpus size. Docs are packed in
+    * doc_id order within each batch; the batch-equivalence contract
+    * (spec-pinned) requires the landing layout to deliver monotone
+    * doc_id per source across batches, which an append-only ingest
+    * with monotone ids satisfies — the same ordering contract the
+    * batch window's ORDER BY doc_id encodes.
+    *
+    * Why flatMapGroupsWithState and not a windowed aggregate: bin
+    * assignment is a PREFIX SUM — inherently sequential within a
+    * stream — which no watermark/window expresses incrementally;
+    * per-source running state is exactly the custom-state API's
+    * domain. Parallelism comes from the source dimension (thousands
+    * of shards at corpus scale), matching the batch plan's
+    * one-exchange-keyed-on-source shape. */
+  def sequencePack(docs: DataFrame, binTokens: Long = 2048L): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[PackDoc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          // sort INSIDE the group: iterator order is shuffle order, and
+          // a batch is small by construction (one landing chunk)
+          val packed = it.toIndexedSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tok
+            PackedDoc(d.doc_id, src, d.n_tok, start, start / binTokens)
+          }
+          state.update(off)
+          packed.iterator
+      }
+  }
 }

@@ -310,4 +310,36 @@ class StreamingSpec extends SparkSpec {
     assert(u7.length == 1 && u7.head.getAs[Int]("n_events") == 1,
       s"gap-0 session must close once wm passes end, got:\n${rows.mkString("\n")}")
   }
+
+  test("streaming sequence packing equals the batch q94 manifest (prefix-sum state)") {
+    // three landing chunks in doc_id order (the monotone-ingest
+    // contract); one file per micro-batch so the per-source offset
+    // state must carry across batches to keep bins identical
+    val landing = tmp("pack_landing")
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    docs.filter($"doc_id" <= cuts(0))
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1))
+      .coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" > cuts(1))
+      .coalesce(1).write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = Streaming.sequencePack(stream)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("packed")
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy("source", "bin").collect().toSeq
+    val batch = SparkEntry.queries("q94_sequence_pack")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch,
+      s"streaming manifest diverged from batch:\nstream=${streamed.take(5)}\nbatch=${batch.take(5)}")
+  }
 }
