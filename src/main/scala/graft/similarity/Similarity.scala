@@ -215,7 +215,8 @@ object Similarity {
       .withColumn("dist", dist)
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("c_cluster"))).as("m"))
-      .select(col("vec_id"), col("m.c_cluster").as("cell"))
+      .select(col("vec_id"), col("m.c_cluster").as("cell"),
+        col("m.dist").as("dist"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -393,6 +394,28 @@ object Similarity {
           coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
           (col("n_vecs") - coalesce(col("n_survivors"), lit(0L))).as("n_removed"))
         .orderBy("cell")
+    }),
+
+    // PROTOTYPICALITY PRUNING (SSL-prototypes regime, Sorscher et al.
+    // 2022 — q90's sibling in the data-pruning trilogy: dedup removes
+    // redundancy, prototype selection keeps the m most CENTRAL
+    // examples per cluster as the coreset): lloydAssign's cells carry
+    // each vector's distance to its own centroid; rank within cell by
+    // (dist, vec_id) and keep the top 10. Deterministic end to end —
+    // the distance is the same left-associated IEEE sum q79's oracle
+    // hash-proves — so the coreset is DuckDB-oracle-checked exactly.
+    // Scale shape: one corpus scan for assignment (broadcast
+    // centroids), one rank window partitioned by CELL (each partition
+    // is corpus/nCells — at 100 TB raise nCells, same knob as q90);
+    // output is m × nCells rows.
+    "q96_prototype_coreset" -> ((s, dir) => {
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("dist").asc, col("vec_id").asc)
+      lloydAssign(Tables.embeddings(s, dir))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 10)
+        .select(col("cell"), col("rank"), col("vec_id"), col("dist"))
+        .orderBy("cell", "rank")
     }),
 
     // Per-cluster centroid computation — the k-means update step an IVF
@@ -653,6 +676,41 @@ object Similarity {
          SELECT c_cluster AS cluster, COUNT(*) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1"""
+    },
+    "q96_prototype_coreset" -> {
+      // q79's generated assignment spelling, keeping the winning dist;
+      // then a per-cell prototype rank
+      val dims = 64
+      val sumCols = (0 until dims).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centCols = (0 until dims).map(i =>
+        s"(CAST(s$i AS DOUBLE) / 1e6) / n AS c$i").mkString(", ")
+      val distExpr = (0 until dims).map(i =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i) * " +
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i)").mkString(" + ")
+      s"""WITH nums AS (
+           SELECT vec_id % 8 AS cluster, COUNT(*) AS n, $sumCols
+           FROM embeddings GROUP BY 1),
+         cents AS (SELECT cluster AS c_cluster, n, $centCols FROM nums),
+         d AS (
+           SELECT e.vec_id, c.c_cluster, $distExpr AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         rk AS (
+           SELECT vec_id, c_cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, c_cluster ASC) AS rn
+           FROM d),
+         assigned AS (
+           SELECT vec_id, c_cluster AS cell, dist FROM rk WHERE rn = 1),
+         proto AS (
+           SELECT cell, vec_id, dist,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY dist ASC, vec_id ASC) AS rank
+           FROM assigned)
+         SELECT CAST(cell AS BIGINT) AS cell, CAST(rank AS INT) AS rank,
+           vec_id, dist
+         FROM proto WHERE rank <= 10 ORDER BY cell, rank"""
     },
     "q90_semantic_dedup" -> {
       // q79's generated assignment spellings + cosSql's decimal-pinned

@@ -78,10 +78,12 @@ class PlanSpec extends SparkSpec {
     //        stage itself is an equi-join on cell, not a cross product
     //  q92 — postings × the broadcast 1-row global-stats (N, avgdl)
     //        row; every other join in the query is an equi-join
+    //  q96 — corpus × 8 broadcast centroids (the same lloydAssign
+    //        shape as q79/q90)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
-      "q90_semantic_dedup", "q92_bm25_topk")
+      "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
