@@ -773,6 +773,45 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("source", "bin")
+    }),
+
+    // Mixture rebalancing — the dataset-mixing step of corpus assembly
+    // (DoReMi-style static reweighting applied as deterministic
+    // sampling): target a 50%-of-corpus token budget split UNIFORMLY
+    // across sources; each source's keep-rate = min(1, share/T_s) so
+    // over-represented domains downsample while small domains keep
+    // everything. The rate quantizes to a 16-bit md5-bucket threshold
+    // (q74's mechanism with COMPUTED rates — lexical compare on
+    // lowercase hex equals the numeric one), so any engine reproduces
+    // the exact same kept set. Scale shape: rates come from a
+    // source-keyed aggregate (thousands of rows) with a window total —
+    // NO corpus-global broadcast row; the keep decision is a per-row
+    // codegen'd predicate on the corpus scan; one rollup ends it.
+    "q97_mixture_sample" -> ((s, dir) => {
+      // no orderBy → default frame is the whole (single) partition;
+      // the frame only ever holds one row per SOURCE, never the corpus
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val toks = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+      val rates = toks.groupBy("source").agg(sum(col("n_tok")).as("t_s"))
+        .withColumn("share",
+          (lit(0.5) * sum(col("t_s")).over(all).cast("double")) /
+            count(lit(1)).over(all).cast("double"))
+        .withColumn("rate", least(lit(1.0),
+          col("share") / col("t_s").cast("double")))
+        .select(col("source"), col("rate"),
+          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0")
+            .as("thr"))
+      toks.join(broadcast(rates), Seq("source"))
+        .withColumn("keep", col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+          first(col("rate")).as("rate"))
+        .orderBy("source")
     })
   )
 
@@ -1185,6 +1224,40 @@ object TextAnalysis {
          SELECT source, start // 2048 AS bin, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM p GROUP BY 1, 2 ORDER BY source, bin"""
+         FROM p GROUP BY 1, 2 ORDER BY source, bin""",
+    // rate spelling mirrors Spark term for term: (0.5 * total) /
+    // n_sources, least(1, share / t_s), floor(rate * 65536) → 4-hex
+    // lowercase threshold, lexical compare
+    "q97_mixture_sample" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         per AS (SELECT source, SUM(n_tok) AS t_s FROM t GROUP BY 1),
+         rates AS (
+           SELECT source,
+             least(1.0,
+               ((0.5 * CAST(SUM(t_s) OVER () AS DOUBLE)) /
+                  CAST(COUNT(*) OVER () AS DOUBLE)) / CAST(t_s AS DOUBLE))
+               AS rate
+           FROM per),
+         rt AS (
+           SELECT source, rate,
+             lpad(lower(hex(CAST(floor(rate * 65536) AS BIGINT))), 4, '0')
+               AS thr
+           FROM rates),
+         k AS (
+           SELECT t.source, t.n_tok,
+             (rt.rate >= 1.0 OR
+              substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < rt.thr) AS keep,
+             rt.rate
+           FROM t JOIN rt ON rt.source = t.source)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ANY_VALUE(rate) AS rate
+         FROM k GROUP BY source ORDER BY source"""
   )
 }
