@@ -196,6 +196,41 @@ object Relational {
                             FROM q84_lineitem l2 WHERE l2.l_partkey = p_partkey)
         GROUP BY p_brand ORDER BY p_brand
       """)
+    }),
+
+    // TPC-H Q5 shape — the suite's largest join graph (6 tables) with
+    // the LOCAL-supplier condition (customer and supplier share a
+    // nation), per-nation revenue for one region-year. Scale shape:
+    // the two fact tables join first on l_orderkey (the only wide
+    // shuffle); region→nation→customer/supplier are dimension hops the
+    // stats-gated broadcast ladder collapses — Catalyst + AQE pick the
+    // build sides, nothing is hand-scheduled. The n_nationkey equality
+    // between c and s rides the join condition, not a post-filter, so
+    // the planner can use it for reordering.
+    "q98_local_supplier_volume" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val asiaN = broadcast(n.join(broadcast(r),
+        n("n_regionkey") === r("r_regionkey")).select("n_nationkey", "n_name"))
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(Tables.maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(Tables.maybeBroadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(asiaN, sup("s_nationkey") === asiaN("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
@@ -282,6 +317,20 @@ object Relational {
          WHERE p_size < 10
            AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
                              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-         GROUP BY p_brand ORDER BY p_brand"""
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q98_local_supplier_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name"""
   )
 }
