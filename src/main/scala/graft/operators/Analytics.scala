@@ -264,6 +264,37 @@ object Analytics {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    }),
+
+    // Rolling anomaly detection — the monitoring pass a metrics stream
+    // runs: each event scores against its trailing-6 window (per type,
+    // event-time order) and flags |z| > 2. The z-test is algebraically
+    // cleared of ALL float math: with v = floor(value·1e4) and window
+    // sums (n, s, ss) over exact longs,
+    //   |v − s/n| > 2·sqrt(ss/n − (s/n)²)  ⇔  (v·n − s)² > 4·(n·ss − s²)
+    // — a pure BIGINT comparison, bit-identical on any engine (no
+    // sqrt, no division, no sum-order sensitivity). Bounds: v ≤ 5.7e6
+    // at value ≤ 570, so every product stays far under 2⁶³. Scale
+    // shape: one exchange on event_type, one ordered pass computes all
+    // three frame sums, then a map-side-combined rollup.
+    "q99_rolling_anomaly" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          floor(col("value") * 1e4).cast("long").as("v"))
+        .withColumn("n", count(col("v")).over(w))
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("ss", sum(col("v") * col("v")).over(w))
+        .filter(col("n") === 6) // score only full windows
+        .withColumn("anom",
+          (col("v") * col("n") - col("s")) * (col("v") * col("n") - col("s")) >
+            lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("event_type")
     })
   )
 
@@ -400,6 +431,22 @@ object Analytics {
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // integer z-test: (v·n − s)² > 4·(n·ss − s²); no float math at all
+    "q99_rolling_anomaly" ->
+      """WITH sc AS (
+           SELECT event_id, ts, event_type,
+             CAST(floor(value * 1e4) AS BIGINT) AS v
+           FROM events),
+         wnd AS (
+           SELECT event_type, v,
+             COUNT(v) OVER w AS n, SUM(v) OVER w AS s, SUM(v * v) OVER w AS ss
+           FROM sc
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN (v * n - s) * (v * n - s) > 4 * (n * ss - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         FROM wnd WHERE n = 6 GROUP BY 1 ORDER BY 1"""
   )
 }
