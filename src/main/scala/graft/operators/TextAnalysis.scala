@@ -812,6 +812,85 @@ object TextAnalysis {
           sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
           first(col("rate")).as("rate"))
         .orderBy("source")
+    }),
+
+    // CORPUS-BUILD CAPSTONE — the full pretraining data pipeline as
+    // ONE query, every stage the hash-matched spelling of an existing
+    // one: quality filter (q80) → exact bag-of-words dedup (q57/q80's
+    // min-id-per-fingerprint) → exact token-5-gram near-dup dedup
+    // (q85's inverted index + components) → mixture rebalancing
+    // (q97's computed md5 rates over the SURVIVORS' token mass) →
+    // sequence packing (q94's exclusive prefix sums) → one funnel/
+    // manifest row per source. Unlike q57/q80 (filter+exact only) and
+    // q65 (dedup only), this is the WHOLE curation-to-packing chain,
+    // DuckDB-oracle-proven end to end. Scale shape: each stage's
+    // documented shape unchanged by composition — the near-dup stage
+    // sees only exact-dedup survivors, the mixture rates see only
+    // near-dup survivors, packing sees only sampled docs; nothing ever
+    // rescans an earlier stage's input.
+    "q100_corpus_build" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("text"))
+      val feat = graft.Caches.cached(docs.select(
+        col("doc_id"), col("source"), col("text"),
+        nTokens.cast("long").as("n_tok"),
+        (lit(1.0) - size(array_distinct(wsToks)).cast("double") /
+          nTokens.cast("double")).as("dup_frac"),
+        (nStopwords.cast("double") / nTokens.cast("double")).as("stop_ratio"),
+        bagOfWordsFp.as("fp")))
+      val quality = feat.filter(col("n_tok") >= 30 &&
+        col("dup_frac") <= 0.70 && col("stop_ratio") >= 0.02)
+      val exact = graft.Caches.cached(quality
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source", "text", "n_tok"))
+      val pairs = graft.Caches.cached(
+        Dedup.jaccardPairsTokens(exact.select("doc_id", "text"), 5)
+          .filter(col("jaccard") >= 0.7))
+      val removed = Dedup.components(pairs)
+        .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+      val near = graft.Caches.cached(
+        exact.join(removed, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source", "n_tok"))
+      val all = W.partitionBy()
+      val rates = near.groupBy("source").agg(sum(col("n_tok")).as("t_s"))
+        .withColumn("share",
+          (lit(0.5) * sum(col("t_s")).over(all).cast("double")) /
+            count(lit(1)).over(all).cast("double"))
+        .withColumn("rate", least(lit(1.0),
+          col("share") / col("t_s").cast("double")))
+        .select(col("source"), col("rate"),
+          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0")
+            .as("thr"))
+      val kept = graft.Caches.cached(near.join(broadcast(rates), Seq("source"))
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .select("doc_id", "source", "n_tok"))
+      val packed = kept
+        .withColumn("start", coalesce(sum(col("n_tok")).over(
+          W.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr("start DIV 2048"))
+      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy("source").agg(count(lit(1)).as(as))
+      docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(cnt(quality, "n_quality"), Seq("source"), "left")
+        .join(cnt(exact, "n_exact"), Seq("source"), "left")
+        .join(cnt(near, "n_near"), Seq("source"), "left")
+        .join(packed.groupBy("source").agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tok")).as("n_tokens_packed")), Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+          coalesce(col("n_tokens_packed"), lit(0L)).as("n_tokens_packed"))
+        .orderBy("source")
     })
   )
 
@@ -1258,6 +1337,96 @@ object TextAnalysis {
            CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
              AS kept_tokens,
            ANY_VALUE(rate) AS rate
-         FROM k GROUP BY source ORDER BY source"""
+         FROM k GROUP BY source ORDER BY source""",
+    // q80's features → q85's closure → q97's rates → q94's prefix
+    // sums, composed; each CTE is its source query's proven spelling
+    "q100_corpus_build" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+         feat AS (
+           SELECT doc_id, source, toks, len(toks) AS n_tok,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS dup_frac,
+             CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d),
+         quality AS (
+           SELECT * FROM feat
+           WHERE n_tok >= 30 AND dup_frac <= 0.70 AND stop_ratio >= 0.02),
+         exact AS (
+           SELECT doc_id, source, toks, n_tok FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS rn FROM quality) WHERE rn = 1),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' '))) AS g
+           FROM exact WHERE len(toks) >= 5)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         removed AS (SELECT id FROM r GROUP BY id HAVING MIN(label) <> id),
+         near AS (
+           SELECT e.doc_id, e.source, e.n_tok
+           FROM exact e LEFT JOIN removed rm ON rm.id = e.doc_id
+           WHERE rm.id IS NULL),
+         per AS (SELECT source, SUM(n_tok) AS t_s FROM near GROUP BY 1),
+         rates AS (
+           SELECT source,
+             least(1.0,
+               ((0.5 * CAST(SUM(t_s) OVER () AS DOUBLE)) /
+                  CAST(COUNT(*) OVER () AS DOUBLE)) / CAST(t_s AS DOUBLE))
+               AS rate
+           FROM per),
+         rt AS (
+           SELECT source, rate,
+             lpad(lower(hex(CAST(floor(rate * 65536) AS BIGINT))), 4, '0')
+               AS thr
+           FROM rates),
+         kept AS (
+           SELECT n.doc_id, n.source, n.n_tok
+           FROM near n JOIN rt ON rt.source = n.source
+           WHERE rt.rate >= 1.0 OR
+             substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) < rt.thr),
+         packed AS (
+           SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+               AS bin
+           FROM kept),
+         base AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+         f1 AS (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY 1),
+         f2 AS (SELECT source, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+         f3 AS (SELECT source, COUNT(*) AS n_near FROM near GROUP BY 1),
+         f4 AS (
+           SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT bin) AS n_bins,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens_packed
+           FROM packed GROUP BY 1)
+         SELECT base.source, base.n_raw,
+           COALESCE(f1.n_quality, 0) AS n_quality,
+           COALESCE(f2.n_exact, 0) AS n_exact,
+           COALESCE(f3.n_near, 0) AS n_near,
+           COALESCE(f4.n_kept, 0) AS n_kept,
+           COALESCE(f4.n_bins, 0) AS n_bins,
+           COALESCE(f4.n_tokens_packed, 0) AS n_tokens_packed
+         FROM base LEFT JOIN f1 USING (source) LEFT JOIN f2 USING (source)
+              LEFT JOIN f3 USING (source) LEFT JOIN f4 USING (source)
+         ORDER BY base.source"""
   )
 }

@@ -449,4 +449,22 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("corpus build: the funnel only ever narrows (q100 law)") {
+    val rows = SparkEntry.queries("q100_corpus_build")(spark, sf)
+      .select("n_raw", "n_quality", "n_exact", "n_near", "n_kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (raw, q, e, n, k) =>
+      assert(raw >= q && q >= e && e >= n && n >= k && k >= 0,
+        s"funnel must be monotone: $raw >= $q >= $e >= $n >= $k")
+    }
+    // every stage must actually bite somewhere on the fixture, or the
+    // capstone is testing composition of no-ops
+    val (raw, q, e, n, k) = rows.reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+    assert(q < raw, "quality filter never fired")
+    assert(n < e || e < q, "neither dedup stage fired")
+    assert(k < n, "mixture sampling never fired")
+  }
 }
