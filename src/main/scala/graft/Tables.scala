@@ -18,13 +18,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros — exactly
-    * what DuckDB does on the same file, keeping oracle parity. */
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only surfaces as a long under the legacy flag) vs plain
+    * TIMESTAMP(MICROS). Adapt on the READ schema, normalizing every
+    * generation to the same session-local TimestampType column so the
+    * 20+ event queries and their DuckDB oracles (which reads either
+    * file natively, truncating nanos to micros) see identical values —
+    * the session timezone is UTC in Verify/Bench/specs, so the
+    * NTZ→LTZ cast is value-preserving. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val df = load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df // already session-local timestamp
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
