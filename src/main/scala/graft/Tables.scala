@@ -34,8 +34,20 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanos-as-long generation
         df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ cast is value-preserving ONLY under a UTC session; a
+        // host-local timezone would silently shift every ts vs the
+        // DuckDB oracle, so fail loudly instead of corrupting.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events($dir): NTZ ts cast requires spark.sql.session.timeZone=UTC " +
+            s"(got '${s.conf.get("spark.sql.session.timeZone")}')")
         df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
-      case _ => df // already session-local timestamp
+      case org.apache.spark.sql.types.TimestampType => df // already session-local
+      case other =>
+        // a future testdata generation surfacing ts as e.g. StringType
+        // must fail at load, not as a confusing downstream query error
+        throw new IllegalStateException(
+          s"events($dir): unsupported physical type for ts: $other " +
+            "(expected nanos-as-LongType, TimestampNTZType, or TimestampType)")
     }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")

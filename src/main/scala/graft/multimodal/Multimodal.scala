@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns with typed metadata, batch-shaped decode /
   * feature-extraction / resize / frame-sampling over partitions.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (clearly marked below): it derives pixel-like
-  * statistics from the blob bytes. Everything around it — the schema
-  * contract, binary ingestion, partition-batched execution via
-  * mapPartitions (the Scala analogue of mapInPandas batches), metadata
-  * projection and the aggregate rollup — is real, tested plumbing that
-  * a real codec drops into without touching any call site.
+  * IMAGE payloads are REAL PNG containers decoded with the JDK-standard
+  * `javax.imageio` codec (see [[Codec]]): the synthetic media table
+  * encodes each image signal as a 1×n grayscale PNG (pixel i = byte i),
+  * and every kernel sniffs the PNG magic and round-trips through
+  * `ImageIO.read`. PNG is lossless, so the DuckDB byte-replay oracles
+  * keep holding over the DECODED pixels — the queries now exercise a
+  * genuine container-decode boundary while staying hash-checkable.
+  * AUDIO/VIDEO payloads remain deterministic stand-in signals (no
+  * pure-JVM codec exists for them in this container); their kernels are
+  * the same sniff-then-decode call sites, so a real codec drops in
+  * without touching any query.
   *
   * Scale notes: blobs never pass through a shuffle here — decode is a
   * narrow mapPartitions; only the small extracted-feature rows move.
@@ -23,6 +27,46 @@ import org.apache.spark.sql.types._
   * decode map-side, aggregate features only.
   */
 object Multimodal {
+
+  /** Real image codec boundary — JDK `javax.imageio`, no external deps.
+    * Encode: byte signal → 1×n TYPE_BYTE_GRAY PNG. Decode: any PNG →
+    * row-major grayscale pixel bytes. Lossless round-trip (spec-pinned),
+    * which is what lets the byte-replay oracles survive the container
+    * hop. `signalOf` is the kernel entry: PNG containers decode, other
+    * payloads ARE the raw signal. */
+  object Codec {
+    def isPng(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+    def encodeGrayPng(signal: Array[Byte]): Array[Byte] = {
+      import java.awt.image.BufferedImage
+      require(signal.nonEmpty, "cannot encode an empty signal")
+      val img = new BufferedImage(signal.length, 1, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, signal.length, 1, signal)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decodeGrayPixels(png: Array[Byte]): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) { // getSample is type-agnostic across decoded rasters
+        out(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
+      }
+      out
+    }
+
+    def signalOf(payload: Array[Byte]): Array[Byte] =
+      if (isPng(payload)) decodeGrayPixels(payload) else payload
+  }
 
   /** Media-table schema contract: metadata columns + opaque payload. */
   val mediaSchema: StructType = StructType(Seq(
@@ -34,40 +78,65 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),    // audio/video
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Deterministic synthetic media table derived from documents: the
-    * payload is the utf-8 text (stand-in blob), metadata derived from
-    * doc fields. Lets every sf dir double as a media corpus. */
+  /** Deterministic synthetic media table derived from documents:
+    * image-kind payloads are REAL PNG containers (the utf-8 text bytes
+    * encoded as a 1×n grayscale image via [[Codec.encodeGrayPng]]);
+    * audio/video payloads are the raw signal bytes. Metadata derived
+    * from doc fields. Lets every sf dir double as a media corpus. */
   def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     val kinds = Seq("image", "audio", "video")
     // empty payloads are excluded by contract: the DuckDB oracles replay
     // byte math via unnest(generate_series(1, length(text))), which
     // drops zero-length groups the Spark side would keep
-    Tables.documents(s, dir).filter(length(col("text")) > 0).select(
+    val base = Tables.documents(s, dir).filter(length(col("text")) > 0).select(
       col("doc_id").as("media_id"),
       element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      concat(lit("application/x-fake-"),
-        element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int"))).as("mime"),
+      when(col("doc_id") % 3 === 0, lit("image/png"))
+        .otherwise(concat(lit("application/x-fake-"),
+          element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")))).as("mime"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1920 + 16).cast("int")).as("width"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1080 + 16).cast("int")).as("height"),
       when(col("doc_id") % 3 =!= 0, col("n_chars") * 100).as("duration_ms"),
       col("text").cast("binary").as("payload"))
+    encodeImagePayloads(base)
+  }
+
+  /** Narrow per-partition PNG encode of image-kind payloads — the write
+    * side of the codec boundary. Row-encoder mapPartitions keeps the
+    * full media schema; blobs never shuffle. */
+  private def encodeImagePayloads(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val kindIdx = schema.fieldIndex("kind")
+    val payIdx = schema.fieldIndex("payload")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.getString(kindIdx) == "image") {
+          val vals = r.toSeq.toArray
+          vals(payIdx) = Codec.encodeGrayPng(r.getAs[Array[Byte]](payIdx))
+          Row.fromSeq(vals.toIndexedSeq)
+        } else r
+      }
+    }
   }
 
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            mean_byte: Double, byte_entropy_proxy: Double,
                            head_sig: String)
 
-  /** ??? REAL-CODEC BOUNDARY ??? — stand-in decode kernel.
-    * A production build replaces this function body with the actual
-    * image/audio decode (e.g. javax.imageio / ffmpeg bindings); the
-    * signature (bytes in, features out) and the partition-batched call
-    * site below stay unchanged. Deterministic: derived from bytes only. */
-  private def fakeDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
-    val n = payload.length
-    val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
-    val distinct = payload.map(b => b & 0xff).toSet.size
+  /** Decode kernel: PNG payloads (image kind) go through the REAL
+    * `javax.imageio` decode ([[Codec.signalOf]]) and the statistics run
+    * over the decoded PIXELS; non-container payloads (audio/video
+    * stand-ins) are already the signal. An ffmpeg-style binding for
+    * audio/video would extend `signalOf` — this call site is final. */
+  private def decodeFeatures(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+    val signal = Codec.signalOf(payload)
+    val n = signal.length
+    val mean = if (n == 0) 0.0 else signal.map(b => (b & 0xff).toDouble).sum / n
+    val distinct = signal.map(b => b & 0xff).toSet.size
     val entropyProxy = if (n == 0) 0.0 else distinct.toDouble / math.min(n, 256)
-    val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+    val head = signal.take(8).map(b => f"${b & 0xff}%02x").mkString
     MediaFeatures(id, kind, n, mean, entropyProxy, head)
   }
 
@@ -78,22 +147,29 @@ object Multimodal {
     graft.Tables.fanOut(media.select("media_id", "kind", "payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec init would go here (once per task, not per row)
-        it.map { case (id, kind, bytes) => fakeDecode(id, kind, bytes) }
+        // codec is initialized once per task here (ImageIO cache off),
+        // not per row
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, kind, bytes) => decodeFeatures(id, kind, bytes) }
       }
       .toDF()
   }
 
-  /** "Resize"/downsample stub: keep every k-th byte — shape-preserving
-    * stand-in for pixel resampling; real kernel swaps in at the same
-    * call site. */
+  /** Resize/downsample: decode the container (real PNG decode for
+    * image payloads), then keep every k-th PIXEL — nearest-neighbor
+    * resampling along the signal axis. Narrow mapPartitions; blobs
+    * never shuffle. */
   def downsample(media: DataFrame, k: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        (id, Iterator.range(0, bytes.length, k).map(bytes(_)).toArray)
-      })
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val signal = Codec.signalOf(bytes)
+          (id, Iterator.range(0, signal.length, k).map(signal(_)).toArray)
+        }
+      }
       .toDF("media_id", "payload_small")
   }
 
@@ -154,10 +230,15 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.fanOut(media.select("media_id", "payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
-        val ascii = p.filter(b => (b & 0xff) < 0x80)
-        (id, ascii.length, if (ascii.length >= 63) pHash63(ascii) else 0L)
-      })
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          // image payloads: REAL PNG decode, hash the pixels (aHash's
+          // actual contract); stand-in signals hash their raw bytes
+          val ascii = Codec.signalOf(p).filter(b => (b & 0xff) < 0x80)
+          (id, ascii.length, if (ascii.length >= 63) pHash63(ascii) else 0L)
+        }
+      }
       .toDF("media_id", "n_bytes", "phash")
       .filter(col("n_bytes") >= 63)
   }
@@ -358,7 +439,7 @@ object Multimodal {
                generate_series(1, length(text), 4),
                i -> substr(text, CAST(i AS INT), 1)), '') AS payload_small
            FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
-         SELECT media_id, length(payload_small) AS n_small_bytes,
+         SELECT media_id, CAST(length(payload_small) AS INT) AS n_small_bytes,
            CAST(SUM(unicode(substr(payload_small, CAST(i AS INT), 1))) AS BIGINT) AS byte_sum
          FROM (SELECT media_id, payload_small,
                  unnest(generate_series(1, length(payload_small))) AS i

@@ -342,10 +342,10 @@ object Analytics {
     "q25_window_suite" ->
       """SELECT * FROM (
            SELECT c_nationkey, c_custkey, c_acctbal,
-             row_number() OVER w AS rn,
-             rank() OVER w AS rnk,
-             dense_rank() OVER w AS drnk,
-             ntile(4) OVER w AS quartile,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal,

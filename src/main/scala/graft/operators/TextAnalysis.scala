@@ -902,8 +902,8 @@ object TextAnalysis {
       s"""SELECT lang, $langIdSql AS pred_lang, COUNT(*) AS n
           FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "q32_quality_score" ->
-      s"""SELECT doc_id, length(text) AS n_chars_obs,
-          len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs,
+          CAST(len(str_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(str_split_regex(trim(text), '\\s+')) AS avg_token_len,
           CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
@@ -942,7 +942,7 @@ object TextAnalysis {
                AS chunk_id
            FROM d)
          SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-           len(toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS n_chunk_tokens,
+           CAST(len(toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS INT) AS n_chunk_tokens,
            md5(array_to_string(toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' '))
              AS chunk_fp
          FROM c ORDER BY doc_id, chunk_id""",
@@ -1300,7 +1300,7 @@ object TextAnalysis {
              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
            FROM t)
-         SELECT source, start // 2048 AS bin, COUNT(*) AS n_docs,
+         SELECT source, CAST(start // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM p GROUP BY 1, 2 ORDER BY source, bin""",

@@ -619,7 +619,7 @@ object Similarity {
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
            SELECT a_id, b_id, cos,
-             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+             CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rank
            FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank"""),
     "q39_embedding_neardup" -> (cosSql("WHERE vec_id < 300", "WHERE vec_id < 300", "a.vec_id < b.vec_id") +
       """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id"""),

@@ -74,6 +74,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG codec round-trips any byte signal losslessly") {
+    // full byte range, incl. >= 0x80 — PNG is lossless so the decoded
+    // pixels must be bit-identical to the encoded signal
+    val signal = Array.tabulate(300)(i => ((i * 7 + 13) % 256).toByte)
+    val png = Multimodal.Codec.encodeGrayPng(signal)
+    assert(Multimodal.Codec.isPng(png))
+    assert(!Multimodal.Codec.isPng(signal))
+    assert(Multimodal.Codec.decodeGrayPixels(png).toSeq == signal.toSeq)
+    // signalOf: containers decode, raw signals pass through
+    assert(Multimodal.Codec.signalOf(png).toSeq == signal.toSeq)
+    assert(Multimodal.Codec.signalOf(signal).toSeq == signal.toSeq)
+  }
+
+  test("synthetic image payloads are real PNG containers decoding to the text bytes") {
+    val imgs = Multimodal.syntheticMedia(spark, sf)
+      .filter($"kind" === "image")
+      .join(Tables.documents(spark, sf), $"media_id" === $"doc_id")
+      .select($"media_id", $"mime", $"payload", $"text")
+      .limit(5).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      assert(r.getAs[String]("mime") == "image/png")
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.Codec.isPng(payload))
+      assert(Multimodal.Codec.decodeGrayPixels(payload).toSeq ==
+        r.getAs[String]("text").getBytes("UTF-8").toSeq)
+    }
+  }
+
+  test("feature extraction decodes PNG containers before computing stats") {
+    val png = Multimodal.Codec.encodeGrayPng("abc".getBytes("UTF-8"))
+    val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.getAs[Int]("n_bytes") == 3) // pixels, not container bytes
+    assert(math.abs(f.getAs[Double]("mean_byte") - (97 + 98 + 99) / 3.0) < 1e-12)
+    assert(f.getAs[String]("head_sig") == "616263")
+  }
+
   test("q42 aggregates cover every kind with exact totals") {
     val rows = SparkEntry.queries("q42_multimodal_features")(spark, sf).collect()
     assert(rows.length == 3)

@@ -6,6 +6,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads each <outDir>/<name>/ parquet (Spark output), runs the matching
 oracle_sql.json query in DuckDB with views over <sfDir>/*.parquet, sorts
 columns by name and rows by all columns, and compares values exactly.
+
+Type pre-flight (driver-hash semantics): the driver hashes *typed*
+arrow values, so a DuckDB result whose column arrives as
+decimal128/hugeint (e.g. window SUM(BIGINT) -> HUGEINT widening) can
+never hash-equal Spark's int64 even when every value is numerically
+equal. We therefore fetch both sides as arrow and FAIL on:
+  - any decimal/hugeint-typed oracle column (unless Spark emits the
+    same decimal type), and
+  - any arrow type mismatch between the oracle column and the Spark
+    parquet column (int width, float/double, date/timestamp, ...).
 """
 import sys, json, glob, os
 import duckdb
@@ -18,6 +28,25 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in order) for r in rows]
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def arrow_types(tbl):
+    """column name -> canonical arrow type string, nullability ignored."""
+    return {f.name: str(f.type) for f in tbl.schema}
+
+def type_preflight(name, stbl, otbl):
+    """Return a list of type-mismatch error strings (empty = clean)."""
+    errs = []
+    st, ot = arrow_types(stbl), arrow_types(otbl)
+    for col in sorted(set(st) & set(ot)):
+        s, o = st[col], ot[col]
+        if s == o:
+            continue
+        if o.startswith("decimal") or o == "hugeint":
+            errs.append(f"oracle col '{col}' is {o} (Spark: {s}) — "
+                        f"DuckDB widening; CAST it in the oracle SQL")
+        else:
+            errs.append(f"typed mismatch col '{col}': spark {s} vs oracle {o}")
+    return errs
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -29,20 +58,26 @@ def main():
         if not os.path.isdir(d):
             continue
         name = os.path.basename(d)
-        rel = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        scols = [c[0] for c in rel.description]
-        srows = rel.fetchall()
+        stbl = con.execute(f"SELECT * FROM '{d}/*.parquet'").arrow()
+        scols = stbl.column_names
+        srows = [tuple(r.values()) for r in stbl.to_pylist()]
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(srows)} rows "
                   f"{'OK' if len(srows) > 0 else 'EMPTY!'}")
             continue
         try:
-            orel = con.execute(oracle[name])
-            ocols = [c[0] for c in orel.description]
-            orows = orel.fetchall()
+            otbl = con.execute(oracle[name]).arrow()
+            ocols = otbl.column_names
+            orows = [tuple(r.values()) for r in otbl.to_pylist()]
         except Exception as e:
             print(f"  [FAIL] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        terrs = type_preflight(name, stbl, otbl)
+        if terrs:
+            for e in terrs:
+                print(f"  [FAIL] {name}: {e}")
             n_fail += 1
             continue
         sc, sr = canon(srows, scols)
