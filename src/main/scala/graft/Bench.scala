@@ -33,10 +33,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional debug filter: SPARK_GRAFT_ONLY=regex runs a subset
+    // optional debug filter: SPARK_GRAFT_ONLY=regex runs a subset.
+    // Full runs skip the fixed-size semantics audits (benchExcluded) —
+    // an explicit ONLY regex still selects them for dev timing.
     val selected = sys.env.get(Env.Only) match {
       case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
-      case None => SparkEntry.queries
+      case None => SparkEntry.queries -- SparkEntry.benchExcluded
     }
     // Consume via the noop sink, NOT count(): Dataset.count() rewrites
     // to Aggregate(count(1)) and column pruning then deletes the very
@@ -59,7 +61,10 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.flatMap { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      // scale-shape pins (q86) time ONE rep: min-of-reps exists to cut
+      // host noise on throughput queries, not to double a pin's cost
+      val qReps = if (SparkEntry.singleRep(name)) 1 else reps
+      val times = (1 to qReps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>

@@ -218,6 +218,175 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Driver-visible audit of [[nearDupAdmit]]'s three-run admission law
+    * (r6 verdict #4): runs the REAL streaming loop three times over a
+    * deterministic landing fixture in a fresh temp store —
+    *   run 1 (bootstrap): 10 base docs + one exact copy of doc rn1 —
+    *     the copy's cluster admits only its canonical;
+    *   run 2 (store-hit): 5 fresh docs + a copy of STORE doc rn2
+    *     (rejected wholly — store content wins) + a batch-internal
+    *     dup pair built from rn16's text (admits its canonical only);
+    *   run 3 (replay): run 2's rows re-delivered as new landing files
+    *     (at-least-once ingest) — everything either anti-joins out
+    *     against the admitted store or re-rejects via its store pair,
+    *     so the loop is replay-idempotent.
+    * Output: per-run (n_landed, n_admitted, n_store_docs) accounting.
+    * The DuckDB oracle replays the ENTIRE admission algebra from exact
+    * token-5-gram Jaccard pairs (the loop's own verify is exact, and
+    * with k=16 single-row bands the constructed J=1 copies collide in
+    * every band deterministically), so this entry is hash-checked, not
+    * rows-only. The 17-doc fixture collect is a bounded driver action;
+    * at corpus scale the audit stays 17 docs by construction. */
+  def admissionLoopAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = graft.Tables.documents(spark, dir)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 5)
+      .orderBy("doc_id").limit(17)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    require(base.length == 17, s"fixture needs 17 docs, got ${base.length}")
+    def doc(rn: Int): (Long, String) = base(rn - 1)
+    val b1 = base.take(10).toSeq :+ (1000001L, doc(1)._2)
+    val b2 = base.slice(10, 15).toSeq ++
+      Seq((1000002L, doc(2)._2), (1000003L, doc(16)._2), (1000004L, doc(16)._2))
+    val tmp = java.nio.file.Files.createTempDirectory("q101_admit").toString
+    val (landing, sig, adm, ckpt) =
+      (s"$tmp/landing", s"$tmp/sigs", s"$tmp/admitted", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def storeCount(): Long =
+      try spark.read.parquet(adm).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // every join in the audit is 17-doc-sized: a wide session shuffle
+    // width only adds empty-task scheduling overhead to the ~30 stages
+    // the three runs execute. Narrow it for the audit, restore after.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      Seq(b1, b2, b2).zipWithIndex.map { case (batch, i) =>
+        batch.toDF("doc_id", "text")
+          .write.mode("append").parquet(landing) // new files = new delivery
+        nearDupAdmit(spark, landing, sig, adm, ckpt, schema,
+          w = 5, k = 16, bands = 16, threshold = 0.7)
+        (i + 1L, batch.length.toLong, storeCount())
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+    // recursive temp cleanup — the audit's stores are per-invocation
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    runs.map { case (run, landed, cum) =>
+      val prev = runs.takeWhile(_._1 < run).lastOption.map(_._3).getOrElse(0L)
+      (run, landed, cum - prev, cum)
+    }.toDF("run", "n_landed", "n_admitted", "n_store_docs").orderBy("run")
+  }
+
+  val queries: Map[String, graft.Q] = Map(
+    "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)))
+
+  /** Exact-Jaccard replay of the three-run admission algebra: fixture
+    * construction, token-5-gram Jaccard pairs, per-run components
+    * (recursive CTEs), store-hit infection, canonical-only admission. */
+  val oracles: Map[String, String] = Map(
+    "q101_admission_loop" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         base AS MATERIALIZED (
+           SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id, text FROM toks WHERE len(t) >= 5
+                 ORDER BY doc_id LIMIT 17)),
+         b1 AS MATERIALIZED (SELECT doc_id, text FROM base WHERE rn <= 10
+                UNION ALL SELECT 1000001, text FROM base WHERE rn = 1),
+         b2 AS MATERIALIZED (SELECT doc_id, text FROM base WHERE rn BETWEEN 11 AND 15
+                UNION ALL SELECT 1000002, text FROM base WHERE rn = 2
+                UNION ALL SELECT 1000003, text FROM base WHERE rn = 16
+                UNION ALL SELECT 1000004, text FROM base WHERE rn = 16),
+         fixture AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+         sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS t
+                       FROM fixture))),
+         sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS MATERIALIZED (
+           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         jac AS MATERIALIZED (
+           SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = inter.a
+           JOIN sizes sb ON sb.doc_id = inter.b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7),
+         e AS MATERIALIZED (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+         -- run 1: bootstrap, batch-internal components only
+         p1 AS MATERIALIZED (SELECT a, b FROM jac
+                WHERE a IN (SELECT doc_id FROM b1) AND b IN (SELECT doc_id FROM b1)),
+         e1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p1 UNION SELECT b, a FROM p1),
+         r1(id, label) AS (
+           SELECT DISTINCT src, src FROM e1
+           UNION SELECT e1.src, r1.label FROM e1 JOIN r1 ON e1.dst = r1.id),
+         c1 AS MATERIALIZED (SELECT id, MIN(label) AS canonical FROM r1 GROUP BY id),
+         adm1 AS MATERIALIZED (SELECT doc_id FROM b1
+                  WHERE doc_id NOT IN (SELECT id FROM c1 WHERE id <> canonical)),
+         -- run 2: store = adm1; store-hits reject whole clusters
+         hit2 AS MATERIALIZED (SELECT DISTINCT e.a AS doc_id FROM e
+                  WHERE e.a IN (SELECT doc_id FROM b2)
+                    AND e.b IN (SELECT doc_id FROM adm1)),
+         p2 AS MATERIALIZED (SELECT a, b FROM jac
+                WHERE a IN (SELECT doc_id FROM b2) AND b IN (SELECT doc_id FROM b2)),
+         e2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p2 UNION SELECT b, a FROM p2),
+         r2(id, label) AS (
+           SELECT DISTINCT src, src FROM e2
+           UNION SELECT e2.src, r2.label FROM e2 JOIN r2 ON e2.dst = r2.id),
+         c2 AS MATERIALIZED (SELECT id, MIN(label) AS canonical FROM r2 GROUP BY id),
+         inf2 AS MATERIALIZED (SELECT DISTINCT canonical FROM c2
+                  WHERE id IN (SELECT doc_id FROM hit2)),
+         rej2 AS MATERIALIZED (SELECT id FROM c2 WHERE canonical IN (SELECT canonical FROM inf2)
+                  UNION SELECT id FROM c2 WHERE id <> canonical),
+         adm2 AS MATERIALIZED (SELECT doc_id FROM b2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM hit2)
+                    AND doc_id NOT IN (SELECT id FROM rej2)),
+         -- run 3: replay of b2; store = adm1 ∪ adm2; survivors = b2 \ adm2
+         n3 AS MATERIALIZED (SELECT doc_id FROM b2
+                WHERE doc_id NOT IN (SELECT doc_id FROM adm2)),
+         s3 AS MATERIALIZED (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2),
+         hit3 AS MATERIALIZED (SELECT DISTINCT e.a AS doc_id FROM e
+                  WHERE e.a IN (SELECT doc_id FROM n3)
+                    AND e.b IN (SELECT doc_id FROM s3)),
+         p3 AS MATERIALIZED (SELECT a, b FROM jac
+                WHERE a IN (SELECT doc_id FROM n3) AND b IN (SELECT doc_id FROM n3)),
+         e3 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p3 UNION SELECT b, a FROM p3),
+         r3(id, label) AS (
+           SELECT DISTINCT src, src FROM e3
+           UNION SELECT e3.src, r3.label FROM e3 JOIN r3 ON e3.dst = r3.id),
+         c3 AS MATERIALIZED (SELECT id, MIN(label) AS canonical FROM r3 GROUP BY id),
+         inf3 AS MATERIALIZED (SELECT DISTINCT canonical FROM c3
+                  WHERE id IN (SELECT doc_id FROM hit3)),
+         rej3 AS MATERIALIZED (SELECT id FROM c3 WHERE canonical IN (SELECT canonical FROM inf3)
+                  UNION SELECT id FROM c3 WHERE id <> canonical),
+         adm3 AS MATERIALIZED (SELECT doc_id FROM n3
+                  WHERE doc_id NOT IN (SELECT doc_id FROM hit3)
+                    AND doc_id NOT IN (SELECT id FROM rej3))
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS run,
+             (SELECT COUNT(*) FROM b1) AS n_landed,
+             (SELECT COUNT(*) FROM adm1) AS n_admitted,
+             (SELECT COUNT(*) FROM adm1) AS n_store_docs
+           UNION ALL
+           SELECT 2, (SELECT COUNT(*) FROM b2),
+             (SELECT COUNT(*) FROM adm2),
+             (SELECT COUNT(*) FROM adm1) + (SELECT COUNT(*) FROM adm2)
+           UNION ALL
+           SELECT 3, (SELECT COUNT(*) FROM b2),
+             (SELECT COUNT(*) FROM adm3),
+             (SELECT COUNT(*) FROM adm1) + (SELECT COUNT(*) FROM adm2)
+               + (SELECT COUNT(*) FROM adm3)
+         ) ORDER BY run""")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
