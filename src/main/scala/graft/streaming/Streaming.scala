@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -216,6 +216,67 @@ object Streaming {
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Store lifecycle for the [[nearDupAdmit]] stores (r6 verdict #7) —
+    * the document-side analogue of the reference's snapshot rotation /
+    * delisted-ticker archive (P5, `TickerStore.archiveDelisted`):
+    *
+    *  - RETIRE: rows whose doc_id is in `retireIds` (takedown, TTL,
+    *    supersession) move from the admitted-doc store AND the
+    *    signature store into an append-only archive partitioned by
+    *    retire date — retired content stays auditable, and its
+    *    signatures stop vetoing future admissions;
+    *  - COMPACT: the appends-forever stores (one small parquet file
+    *    per micro-batch) are rewritten into ceil(bytes/target) files,
+    *    so store reads stop paying per-file open cost as batches
+    *    accumulate (the 100 TB failure mode of append-only layouts).
+    *
+    * Swap protocol: survivors are written to `<dir>.compacting`, then
+    * the old dir is renamed aside, the new one renamed in, and the old
+    * one deleted — the non-atomic window is two renames wide. This is
+    * a MAINTENANCE operation run while the admission loop is quiescent
+    * (single-writer, like the reference's rotation between daily runs);
+    * a transactional table format would subsume the swap at production
+    * scale, but the retire/compact algebra stays exactly this.
+    *
+    * Returns (docs retired, sig rows retired, admitted files after,
+    * sig files after) for observability. */
+  def retireAndCompact(spark: SparkSession, admittedDir: String,
+                       sigStoreDir: String, archiveRoot: String,
+                       retireIds: DataFrame, retireDate: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(admittedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = retireIds.select("doc_id")
+    def lifecycle(dir: String): (Long, Int) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      require(fs.exists(p), s"store $dir does not exist — nothing to maintain")
+      val all = spark.read.parquet(dir)
+      val retired = all.join(ids, Seq("doc_id"), "left_semi")
+        .withColumn("retire_date", lit(retireDate))
+      // archive FIRST: if the job dies between archive and swap, the
+      // store is untouched and the archive merely holds a duplicate
+      // the next run overwrites semantically (append of same rows)
+      retired.write.partitionBy("retire_date").mode(SaveMode.Append)
+        .parquet(s"$archiveRoot/${p.getName}")
+      val nRetired = retired.count()
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      all.join(ids, Seq("doc_id"), "left_anti")
+        .repartition(nFiles)
+        .write.parquet(tmp.toString)
+      require(fs.rename(p, old), s"could not rename $p aside")
+      require(fs.rename(tmp, p), s"could not swap in compacted $tmp")
+      fs.delete(old, true)
+      (nRetired, nFiles)
+    }
+    val (admRetired, admFiles) = lifecycle(admittedDir)
+    val (sigRetired, sigFiles) = lifecycle(sigStoreDir)
+    (admRetired, sigRetired, admFiles, sigFiles)
   }
 
   /** Driver-visible audit of [[nearDupAdmit]]'s three-run admission law

@@ -147,6 +147,60 @@ class StreamingSpec extends SparkSpec {
       s"re-delivery must be idempotent, got ${admAll.toSeq}")
   }
 
+  test("store lifecycle: retire archives docs+sigs, compaction shrinks files, retired sigs stop vetoing") {
+    val landing = tmp("lc_landing")
+    val sig = tmp("lc_sig") + "/store"
+    val adm = tmp("lc_adm") + "/admitted"
+    val ckpt = tmp("lc_ckpt")
+    val archive = tmp("lc_archive")
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val vA  = (1 to 100).map(i => s"tok$i")
+    val vA2 = vA.updated(50, "CHANGED")
+    val vA3 = vA.updated(51, "OTHER")     // near-dup of vA
+    val vB  = (1 to 100).map(i => s"zzz$i")
+    val vC  = (1 to 100).map(i => s"qqq$i")
+    // two admission runs → each store accumulates one append file per run
+    Seq(doc(1, vA), doc(2, vA2), doc(5, vB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    Streaming.nearDupAdmit(spark, landing, sig, adm, ckpt, schema)
+    Seq(doc(8, vC)).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    Streaming.nearDupAdmit(spark, landing, sig, adm, ckpt, schema)
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 5L, 8L))
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(adm) >= 2, "two admission runs must leave >= 2 append files")
+    // retire doc 1 (takedown analogue) and compact both stores
+    val (admRet, sigRet, admFiles, sigFiles) = Streaming.retireAndCompact(
+      spark, adm, sig, archive, Seq(1L).toDF("doc_id"), "2026-08-13")
+    assert((admRet, sigRet) == (1L, 1L))
+    assert((admFiles, sigFiles) == (1, 1)) // tiny stores → one target file each
+    assert(partFiles(adm) == 1 && partFiles(sig) == 1,
+      "compaction must rewrite the store to the computed file count")
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(5L, 8L))
+    assert(spark.read.parquet(sig).select("doc_id").as[Long].collect().toSet
+      == Set(5L, 8L))
+    // the archive holds exactly the retired rows, partitioned by date
+    assert(spark.read.parquet(s"$archive/admitted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$archive/store")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // compacted stores keep full admission-loop function, and the
+    // RETIRED signature no longer vetoes: vA3 near-dups retired doc 1
+    // (its twin doc 7 was rejected for exactly this in the q88 spec) —
+    // with 1 retired it must now admit
+    Seq(doc(11, vA3)).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    Streaming.nearDupAdmit(spark, landing, sig, adm, ckpt, schema)
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(5L, 8L, 11L),
+      "a retired doc's signature must stop rejecting future near-dups")
+  }
+
   test("streaming dedup drops replayed keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
