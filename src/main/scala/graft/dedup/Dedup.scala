@@ -114,7 +114,7 @@ object Dedup {
     * layout can never silently diverge between them. The result is
     * cached: the signature pipeline must run once, not once per side of
     * the self-join. */
-  private def meltedBands(sigs: DataFrame, bands: Int, rows: Int,
+  private[graft] def meltedBands(sigs: DataFrame, bands: Int, rows: Int,
                           carry: Seq[String]): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
@@ -415,7 +415,7 @@ object Dedup {
     * the output equals the unsalted join — salting only spreads a
     * mega-bucket's pair emission over `blocks` reducers. blocks = 1 is
     * the unsalted join, no salt columns added. */
-  private def saltedSelfJoin(xs: DataFrame, ys: DataFrame, keys: Seq[String],
+  private[graft] def saltedSelfJoin(xs: DataFrame, ys: DataFrame, keys: Seq[String],
                              yIdCol: String, blocks: Int): DataFrame = {
     require(blocks >= 1, s"blocks=$blocks must be >= 1")
     if (blocks == 1) xs.join(ys, keys)

@@ -107,6 +107,74 @@ class ScaleSpec extends SparkSpec {
     } finally Caches.releaseAll()
   }
 
+  test("adversarial skew: one mega-cluster's pair emission spreads across salt blocks") {
+    import graft.dedup.Dedup
+    // skewed corpus (r6 verdict #5): 10% of the docs are ONE near-dup
+    // cluster — identical signatures, so every band has one mega bucket
+    // holding C(60,2) = 1770 of the pair emission. The law must hold on
+    // exactly the distribution salting exists for.
+    val megaWords = (1 to 80).map(i => s"dup$i").mkString(" ")
+    val docs = ((1 to 60).map(i => (i.toLong, megaWords)) ++
+      (61 to 600).map(i => (i.toLong, (1 to 80).map(j => s"u${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // salting pays off when reducers outnumber band buckets — the
+      // cluster regime (32 reducers vs 8 mega buckets); with reducers
+      // <= bands the mega buckets saturate every reducer either way
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val sigs = Caches.cached(Dedup.minhashSignaturesTokens(docs, 5, 32))
+      // 1. correctness under skew: salted narrow == wide pair set
+      val wide = Dedup.lshSurvivorsWide(sigs, 8, 4, 0.7)
+        .as[(Long, Long)].collect().toSet
+      val narrow = Dedup.lshSurvivorsNarrow(sigs, 8, 4, 0.7)
+        .as[(Long, Long)].collect().toSet
+      assert(wide.count { case (a, b) => a <= 60 && b <= 60 } == 60 * 59 / 2,
+        "the mega cluster's full pair set must survive both shapes")
+      assert(narrow == wide,
+        s"skewed pair sets diverged: only-wide=${wide.diff(narrow).take(5)} " +
+          s"only-narrow=${narrow.diff(wide).take(5)}")
+      // 2. the salting ENGAGES: measure per-reducer emission of the band
+      // join directly (spark_partition_id on the join output). A/B at
+      // blocks=1 (unsalted: each band's mega bucket lands on ONE
+      // reducer, >= 1770 rows) vs blocks=8 (the bucket spreads).
+      // The probe pins the CLUSTER regime the salt exists for: no
+      // broadcast (locally the small melted side would broadcast and
+      // every probe task streams its own slice — salting moot) and no
+      // AQE (its skew splitting would mask a dead salt; salting is the
+      // DETERMINISTIC layer underneath it).
+      def maxPerTask(blocks: Int): Long = {
+        val melted = Dedup.meltedBands(sigs, 8, 4, carry = Nil)
+        val xs = melted.select($"doc_id".as("a_id"), $"band", $"key")
+        val ys = melted.select($"doc_id".as("b_id"), $"band", $"key")
+        val m = Dedup.saltedSelfJoin(xs, ys, Seq("band", "key"), "b_id", blocks)
+          .filter($"a_id" < $"b_id")
+          .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+          .groupBy("pid").count()
+          .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+        Caches.releaseAll(); m
+      }
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val (unsalted, salted) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        (maxPerTask(1), maxPerTask(8))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      assert(unsalted >= 60L * 59 / 2,
+        s"unsalted baseline must concentrate a full mega bucket, got $unsalted")
+      assert(salted * 2 <= unsalted,
+        s"salting must spread the mega bucket's emission: salted max/task " +
+          s"$salted vs unsalted $unsalted — the salt has silently stopped engaging")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      Caches.releaseAll()
+    }
+  }
+
   test("q86 (narrow+salted route) emits exactly q37's pair set, through a salted join") {
     try {
       val wide = SparkEntry.queries("q37_minhash_lsh")(spark, sf)
