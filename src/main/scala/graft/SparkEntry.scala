@@ -19,7 +19,8 @@ object SparkEntry {
       operators.TimeSeries.queries ++ operators.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ operators.Analytics.queries ++
-      operators.Scale.queries ++ streaming.Streaming.queries
+      operators.Scale.queries ++ streaming.Streaming.queries ++
+      operators.Sketches.queries
 
   /** Fixed-size SEMANTICS AUDITS, excluded from Bench's timing set (but
     * always in Verify/CORRECTNESS): q101 drives the real nearDupAdmit
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.TimeSeries.oracles ++ operators.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ operators.Analytics.oracles ++
-      operators.Scale.oracles ++ streaming.Streaming.oracles
+      operators.Scale.oracles ++ streaming.Streaming.oracles ++
+      operators.Sketches.oracles
 }

@@ -334,6 +334,24 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // INCREMENTAL SERVING PATH: q87's persisted index built on the
+    // initial corpus slice, tonight's batch appended against the
+    // STORED centroids (no corpus re-read, no retrain), then served.
+    // Build-then-append == one-shot union assignment under the same
+    // centroids (SimilaritySpec pins content + serving equality), so
+    // this entry is rows-only like q87/q43 — the approximation is the
+    // IVF probe, not the append. Queries probe from the ORIGINAL slice
+    // so results exercise cross-generation candidates (old query, new
+    // neighbors).
+    "q103_ivf_append_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfa_${dir.hashCode & Int.MaxValue}"
+      writeIvfIndex(e.filter(col("vec_id") < 400), idxDir, nCentroids = 16)
+      appendToIvfIndex(s, idxDir, e.filter(col("vec_id") >= 400))
+      ivfTopKIndexed(s, idxDir, e.filter(col("vec_id") < 10), k = 5, nprobe = 6)
+        .orderBy("q_id", "rank")
+    }),
+
     // One full Lloyd iteration (assign → update → REassign) — q56 is
     // the update half; this closes the loop, oracle-exactly. Seed
     // assignment is vec_id % 8; centroids are exact rationals
@@ -521,7 +539,7 @@ object Similarity {
     * (ties by cent_id) → (vec_id, embedding, nrm, cent_id, crank).
     * Shared by assignment (crank = 1) and probing (crank ≤ nprobe) in
     * both IVF paths. */
-  private def rankCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def rankCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val withNorm = vecs.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val scored = withNorm.crossJoin(broadcast(cents))
@@ -562,6 +580,28 @@ object Similarity {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+  }
+
+  /** Incremental IVF maintenance — the nightly-ingest analogue of
+    * [[graft.dedup.Dedup.writeSignatureStore]] for the vector side:
+    * assign ONLY the new batch against the index's STORED centroids
+    * and append its cell rows to the partitioned layout. No corpus
+    * re-read, no centroid re-train — at 100 TB the nightly cost is
+    * batch-sized, and because assignment depends only on (vector,
+    * stored centroids), build-then-append is EXACTLY the one-shot
+    * assignment of the union corpus under the same centroids
+    * (SimilaritySpec pins that equality, content and serving).
+    * Centroid drift across many appends is the documented trade: a
+    * production deployment retrains centroids on rotation (the
+    * [[graft.streaming.Streaming.retireAndCompact]] maintenance
+    * window) and rebuilds — the append path never does it silently. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    rankCells(Tables.fanOut(batch.select("vec_id", "embedding")), cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
   }
 
   /** Serve top-k from a persisted IVF index: rank cells per query

@@ -73,6 +73,8 @@ class PlanSpec extends SparkSpec {
     //        embeds q38's documented broadcast cross product
     //  q87 — query-side cell ranking × 16 broadcast stored centroids
     //        (the serve half of q43's documented assignment shape)
+    //  q103 — the same serve shape as q87 over the append-maintained
+    //        index (plus the batch-assignment pass, q43's shape)
     //  q90 — corpus × 8 broadcast centroids (semantic-dedup cell
     //        assignment, the same lloydAssign shape as q79); the pair
     //        stage itself is an equi-join on cell, not a cross product
@@ -83,7 +85,8 @@ class PlanSpec extends SparkSpec {
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
-      "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset")
+      "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset",
+      "q103_ivf_append_serve")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -213,6 +213,57 @@ class SimilaritySpec extends SparkSpec {
       "persisted-index serve must reproduce the transient q43 exactly")
   }
 
+  test("IVF incremental append == one-shot union assignment under the stored centroids") {
+    val t1 = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val t2 = java.nio.file.Files.createTempDirectory("ivf_one").toString
+    try {
+      val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      val e1 = e.filter(col("vec_id") < 400)
+      val e2 = e.filter(col("vec_id") >= 400)
+      // build on the initial slice, append tonight's batch
+      Similarity.writeIvfIndex(e1, t1, nCentroids = 16)
+      Similarity.appendToIvfIndex(spark, t1, e2)
+      // one-shot reference: the SAME stored centroids assign the union
+      val cents = spark.read.parquet(s"$t1/centroids")
+      cents.write.parquet(s"$t2/centroids")
+      Similarity.rankCells(e, cents).filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        .write.partitionBy("cell").parquet(s"$t2/index")
+      // content equality: every vector in the same cell with the same norm
+      def content(d: String) = spark.read.parquet(s"$d/index")
+        .select($"vec_id", $"cell".cast("long"), $"nrm")
+        .as[(Long, Long, Double)].collect().toSet
+      val appended = content(t1)
+      assert(appended.map(_._1) == e.select("vec_id").as[Long].collect().toSet,
+        "append must cover exactly the union corpus")
+      assert(appended == content(t2),
+        "append-built index content diverged from one-shot assignment")
+      // serving equality on cross-generation queries (old queries must
+      // see appended vectors as candidates)
+      val qs = e.filter(col("vec_id") < 10)
+      def serve(d: String) = Similarity.ivfTopKIndexed(spark, d, qs, k = 5, nprobe = 6)
+        .select($"q_id", $"c_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val got = serve(t1)
+      assert(got == serve(t2), "append-built index serves differently")
+      val newNeighbors = got.count(_._2 >= 400)
+      assert(newNeighbors > 0,
+        "fixture must surface appended vectors in served top-k — otherwise the law is vacuous")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t2))
+    }
+  }
+
+  test("q103 serves the appended index partition-pruned with non-empty results") {
+    val df = SparkEntry.queries("q103_ivf_append_serve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("FileScan") &&
+        l.contains("/index") && l.contains("PartitionFilters: [cell")),
+      s"q103 must prune index partitions by probed cell:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("signature: deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val e = Tables.embeddings(spark, sf).limit(20)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // adversarial stream: vocabulary (1000) >> sketch capacity (10), so
+  // every partition's summary is under constant eviction pressure —
+  // the path the 31-token corpus never exercises. Deterministically
+  // shuffled so heavy tokens interleave with the rare-token flood.
+  private def skewedTokens(): Seq[String] = {
+    val heavy = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++ Seq.fill(150)("h3")
+    val rare = (1 to 1000).map(i => s"rare$i")
+    val all = (heavy ++ rare).zipWithIndex
+      .sortBy { case (t, i) => ((i * 2654435761L + t.hashCode) & 0x7fffffffL, t) }
+      .map(_._1)
+    all
+  }
+
+  test("MG candidates contain every true heavy hitter under eviction pressure") {
+    val k = 10
+    val toks = spark.createDataset(skewedTokens()).repartition(8).as[String]
+    val n = toks.count()
+    val exactHeavy = toks.groupBy("value").count()
+      .filter(col("count") * k > n).select("value").as[String].collect().toSet
+    assert(exactHeavy == Set("h1", "h2"), s"fixture drift: $exactHeavy")
+    val cands = Sketches.mgCandidates(toks, k).as[String].collect().toSet
+    // completeness (the law the exact recount relies on): any token
+    // with global count > N/k must survive SOME partition's summary
+    assert(exactHeavy.subsetOf(cands),
+      s"MG lost a true heavy hitter: missing ${exactHeavy.diff(cands)}")
+    // boundedness: at most k survivors per partition
+    assert(cands.size <= 8 * k,
+      s"candidate set ${cands.size} exceeds k×partitions = ${8 * k}")
+    // the eviction path actually ran: a no-eviction sketch would
+    // surface the whole 1003-token vocabulary as candidates
+    assert(cands.size < 1003,
+      "sketch never evicted — the fixture must overflow capacity")
+  }
+
+  test("sketch+verify composition equals the exact aggregate regardless of layout") {
+    val k = 10
+    for (parts <- Seq(1, 3, 8)) {
+      val toks = spark.createDataset(skewedTokens()).repartition(parts).as[String]
+      val n = toks.count()
+      val cands = Sketches.mgCandidates(toks, k)
+      val verified = toks.toDF("token")
+        .join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .filter(col("c") * k > n)
+        .as[(String, Long)].collect().toSet
+      val exact = toks.groupBy("value").count()
+        .filter(col("count") * k > n)
+        .as[(String, Long)].collect().toSet
+      assert(verified == exact,
+        s"verified heavy hitters diverged from exact at $parts partitions")
+    }
+  }
+
+  test("q102 returns the corpus's exact heavy-hitter set") {
+    val rows = SparkEntry.queries("q102_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), "\\s+")).as("token"))
+      .filter(length($"token") > 0)
+    val n = toks.count()
+    val exact = toks.groupBy("token").count().filter(col("count") * 40 > n)
+      .as[(String, Long)].collect().toMap
+    assert(rows == exact)
+  }
+}
