@@ -66,6 +66,37 @@ object Multimodal {
 
     def signalOf(payload: Array[Byte]): Array[Byte] =
       if (isPng(payload)) decodeGrayPixels(payload) else payload
+
+    /** 2-D encode: row-major signal into a width-w grayscale PNG,
+      * zero-padding the final row (height = ceil(n/w)). The padding is
+      * part of the container contract — oracles replay it as 0. */
+    def encodeGrayPng2D(signal: Array[Byte], width: Int): Array[Byte] = {
+      import java.awt.image.BufferedImage
+      require(signal.nonEmpty && width > 0)
+      val h = (signal.length + width - 1) / width
+      val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, h,
+        java.util.Arrays.copyOf(signal, width * h))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 2-D decode: (width, height, row-major pixel bytes). */
+    def decodeGrayImage(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
+      }
+      (w, h, out)
+    }
   }
 
   /** Media-table schema contract: metadata columns + opaque payload. */
@@ -243,7 +274,7 @@ object Multimodal {
       .filter(col("n_bytes") >= 63)
   }
 
-  val queries: Map[String, Q] = Map(
+  private val queriesBase: Map[String, Q] = Map(
     // Perceptual fingerprints of every media payload, oracle-checked:
     // the DuckDB twin replays the segment/mean byte math over the same
     // source column (q42's established byte-replay pattern).
@@ -332,7 +363,91 @@ object Multimodal {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** 2×2 sum-pooling over a decoded 2-D image — the real resize
+    * kernel (integer block sums: exact, order-free, oracle-replayable;
+    * a mean pool is the same numbers divided by 4). Only complete
+    * blocks pool: out dims = (w/2, h/2). */
+  private def poolStats2x2(w: Int, h: Int, px: Array[Byte]): (Long, Long) = {
+    val pw = w / 2; val ph = h / 2
+    var weighted = 0L; var total = 0L
+    var bi = 0
+    while (bi < ph * pw) {
+      val r0 = (bi / pw) * 2; val c0 = (bi % pw) * 2
+      val s4 = (px(r0 * w + c0) & 0xff) + (px(r0 * w + c0 + 1) & 0xff) +
+        (px((r0 + 1) * w + c0) & 0xff) + (px((r0 + 1) * w + c0 + 1) & 0xff)
+      total += s4
+      weighted += (bi + 1L) * s4 // position-sensitive checksum: a
+      bi += 1                    // transposed/reordered pool cannot match
+    }
+    (total, weighted)
+  }
+
+  val queries: Map[String, Q] = queriesBase ++ Map(
+    // REAL 2-D IMAGE PIPELINE: each image doc's bytes encode into a
+    // genuine width-64 grayscale PNG (zero-padded final row), decode
+    // through javax.imageio, and 2×2 sum-pool — encode, container,
+    // decode, and resize kernel all real; the oracle replays the pixel
+    // math from the text bytes with row-major index arithmetic (pad =
+    // 0), all-integer so the hash is bit-stable. Narrow mapPartitions;
+    // containers never shuffle.
+    "q104_image_pool" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.fanOut(Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text")))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, text) =>
+            val png = Codec.encodeGrayPng2D(text.getBytes("UTF-8"), 64)
+            val (w, h, px) = Codec.decodeGrayImage(png)
+            val (total, weighted) = poolStats2x2(w, h, px)
+            (id, w, h, w / 2, h / 2, total, weighted)
+          }
+        }
+        .toDF("media_id", "img_w", "img_h", "pool_w", "pool_h",
+          "pool_total", "pool_weighted")
+        .orderBy("media_id")
+    })
+  )
+
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // row-major replay: pixel(r,c) = code unit at r*64+c when < n, 0
+    // in the padded tail; only complete 2×2 blocks pool
+    "q104_image_pool" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, text, length(text) AS n,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS h
+           FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+         blocks AS (
+           SELECT media_id,
+             unnest(generate_series(0, (h // 2) * 32 - 1)) AS bi,
+             text, n FROM d WHERE h >= 2),
+         sums AS (
+           SELECT media_id, bi,
+             (CASE WHEN (bi // 32) * 2 * 64 + (bi % 32) * 2 < n
+               THEN unicode(substr(text, CAST((bi // 32) * 2 * 64 + (bi % 32) * 2 + 1 AS INT), 1)) ELSE 0 END)
+           + (CASE WHEN (bi // 32) * 2 * 64 + (bi % 32) * 2 + 1 < n
+               THEN unicode(substr(text, CAST((bi // 32) * 2 * 64 + (bi % 32) * 2 + 2 AS INT), 1)) ELSE 0 END)
+           + (CASE WHEN ((bi // 32) * 2 + 1) * 64 + (bi % 32) * 2 < n
+               THEN unicode(substr(text, CAST(((bi // 32) * 2 + 1) * 64 + (bi % 32) * 2 + 1 AS INT), 1)) ELSE 0 END)
+           + (CASE WHEN ((bi // 32) * 2 + 1) * 64 + (bi % 32) * 2 + 1 < n
+               THEN unicode(substr(text, CAST(((bi // 32) * 2 + 1) * 64 + (bi % 32) * 2 + 2 AS INT), 1)) ELSE 0 END)
+             AS s4
+           FROM blocks),
+         agg AS (
+           SELECT media_id, CAST(SUM(s4) AS BIGINT) AS pool_total,
+             CAST(SUM((bi + 1) * s4) AS BIGINT) AS pool_weighted
+           FROM sums GROUP BY media_id)
+         SELECT d.media_id, CAST(64 AS INT) AS img_w, CAST(h AS INT) AS img_h,
+           CAST(32 AS INT) AS pool_w, CAST(h // 2 AS INT) AS pool_h,
+           COALESCE(pool_total, 0) AS pool_total,
+           COALESCE(pool_weighted, 0) AS pool_weighted
+         FROM d LEFT JOIN agg ON d.media_id = agg.media_id
+         ORDER BY d.media_id"""
+  )
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q82_media_phash" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

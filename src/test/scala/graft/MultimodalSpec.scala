@@ -112,6 +112,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f.getAs[String]("head_sig") == "616263")
   }
 
+  test("2-D PNG codec round-trips with zero-padded final row") {
+    val signal = Array.tabulate(10)(i => (i + 1).toByte) // 10 bytes, width 4
+    val png = Multimodal.Codec.encodeGrayPng2D(signal, 4)
+    assert(Multimodal.Codec.isPng(png))
+    val (w, h, px) = Multimodal.Codec.decodeGrayImage(png)
+    assert((w, h) == (4, 3)) // ceil(10/4) rows
+    assert(px.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 0, 0))
+  }
+
+  test("q104 pools a hand-computed image exactly") {
+    // doc 0's replay: width 64; verify one q104 row against scalar math
+    val row = SparkEntry.queries("q104_image_pool")(spark, sf)
+      .filter($"media_id" === 0).collect()(0)
+    val text = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .select("text").as[String].head()
+    val b = text.getBytes("UTF-8"); val n = b.length
+    val h = (n + 63) / 64
+    def pix(r: Int, c: Int): Int = {
+      val i = r * 64 + c; if (i < n) b(i) & 0xff else 0
+    }
+    var total = 0L; var weighted = 0L
+    for (bi <- 0 until (h / 2) * 32) {
+      val r0 = (bi / 32) * 2; val c0 = (bi % 32) * 2
+      val s4 = pix(r0, c0) + pix(r0, c0 + 1) + pix(r0 + 1, c0) + pix(r0 + 1, c0 + 1)
+      total += s4; weighted += (bi + 1L) * s4
+    }
+    assert(row.getAs[Int]("img_h") == h)
+    assert(row.getAs[Long]("pool_total") == total)
+    assert(row.getAs[Long]("pool_weighted") == weighted)
+  }
+
   test("q42 aggregates cover every kind with exact totals") {
     val rows = SparkEntry.queries("q42_multimodal_features")(spark, sf).collect()
     assert(rows.length == 3)
