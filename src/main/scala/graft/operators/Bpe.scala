@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary TRAINING (Sennrich et al. 2016) — the tokenizer-side
+  * half of the training-data pipeline (q33 only counts with a fixed
+  * BPE-ish regex; this LEARNS the merge table).
+  *
+  * Scale shape: the corpus is touched ONCE, by the word-frequency
+  * aggregate; every merge round then runs on the (word, count) VOCAB
+  * table — orders of magnitude smaller than the corpus and the reason
+  * production BPE trainers are feasible at all. Per round: one
+  * adjacent-pair aggregate over the vocab (map-side combined), one
+  * 1-row argmax driver action (the learned merge IS driver state by
+  * construction — it must be broadcast into the next round), one
+  * narrow re-segmentation kernel. No round ever re-reads documents.
+  *
+  * Determinism: ties on pair count break lexicographically, so the
+  * merge sequence is a pure function of the corpus. (Approximate
+  * nothing — but the ITERATIVE argmax is not expressible in one DuckDB
+  * query, so the driver entry is rows-only; BpeSpec hand-computes the
+  * merge sequence on the classic hug/pug/pun corpus.)
+  */
+object Bpe {
+
+  /** Apply one learned merge to a symbol sequence (left-to-right,
+    * non-overlapping — the standard BPE application order). */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `nMerges` BPE merges from a (word, count) vocab table.
+    * Returns (rank, left, right, pair_count) — deterministic. */
+  def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    var vocab = wordFreq.select(col("word"), col("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+      .toDF("syms", "cnt").as[(Array[String], Long)]
+      // the vocab table is re-derived every round; pin it once
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    while (round <= nMerges) {
+      val pairs = vocab.toDF("syms", "cnt")
+        .select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("cnt"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"), col("syms").getItem(col("i") + 1).as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+      // 1-row argmax, deterministic tie-break — a bounded driver
+      // action; the winner must reach the driver anyway to be
+      // broadcast into the re-segmentation kernel
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) round = nMerges + 1 // vocab fully merged
+      else {
+        val (l, r, n) = top(0)
+        merges += ((merges.length + 1, l, r, n))
+        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+          // cut the per-round lineage (each round otherwise re-plans
+          // every previous kernel); vocab-table-sized, never corpus
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Learn the corpus's first 10 merges from the one-pass word
+    // frequency table. Rows-only (iterative argmax has no single-query
+    // DuckDB spelling); BpeSpec pins the algorithm on a hand-computed
+    // corpus and q105's output shape/determinism.
+    "q105_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val wf = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      trainMerges(s, wf, nMerges = 10)
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}
