@@ -20,7 +20,8 @@ object SparkEntry {
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ operators.Analytics.queries ++
       operators.Scale.queries ++ streaming.Streaming.queries ++
-      operators.Sketches.queries ++ operators.Bpe.queries
+      operators.Sketches.queries ++ operators.Bpe.queries ++
+      sources.StatsStore.queries
 
   /** Fixed-size SEMANTICS AUDITS, excluded from Bench's timing set (but
     * always in Verify/CORRECTNESS): q101 drives the real nearDupAdmit
@@ -46,5 +47,5 @@ object SparkEntry {
       dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ operators.Analytics.oracles ++
       operators.Scale.oracles ++ streaming.Streaming.oracles ++
-      operators.Sketches.oracles
+      operators.Sketches.oracles ++ sources.StatsStore.oracles
 }

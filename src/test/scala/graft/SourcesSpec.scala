@@ -159,4 +159,36 @@ class SourcesSpec extends SparkSpec {
       stage("next", crit = false, ok = true)))
     assert(!r3(0).succeeded && !r3(1).ran) // exceptions = failure
   }
+
+  test("stats store: manifest prunes files, pruned read equals full filter") {
+    import graft.sources.StatsStore
+    val tmp = java.nio.file.Files.createTempDirectory("rstore").toString
+    try {
+      val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
+      StatsStore.writeRangeStore(ev, tmp, "user_id", nBuckets = 16)
+      // the manifest records every file exactly once, covering all rows
+      val manifest = spark.read.parquet(s"$tmp/manifest")
+      assert(manifest.count() == manifest.select("file").distinct().count())
+      assert(manifest.agg(org.apache.spark.sql.functions.sum("n_rows"))
+        .head.getLong(0) == ev.count())
+      // a narrow band must SKIP files: range clustering puts [100,199]
+      // into a few buckets of the 16
+      val maxU = ev.agg(org.apache.spark.sql.functions.max("user_id")).head.getLong(0)
+      val pruned = StatsStore.prunedFiles(spark, tmp, maxU * 2 / 5, maxU * 3 / 5)
+      assert(pruned.nonEmpty && pruned.size < manifest.count(),
+        s"expected a strict subset of files, got ${pruned.size} of ${manifest.count()}")
+      // correctness law: skipping changes which files OPEN, never rows
+      val got = StatsStore.readRange(spark, tmp, "user_id", maxU * 2 / 5, maxU * 3 / 5)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      val want = ev.filter($"user_id".between(maxU * 2 / 5, maxU * 3 / 5))
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+      // out-of-range prune: zero files, empty schema-correct result
+      assert(StatsStore.prunedFiles(spark, tmp, Long.MaxValue - 1, Long.MaxValue).isEmpty)
+      assert(StatsStore.readRange(spark, tmp, "user_id",
+        Long.MaxValue - 1, Long.MaxValue).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
