@@ -59,6 +59,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("MG with capacity >= vocabulary is the identity (no-eviction regime)") {
+    // the corpus regime: k above distinct-token count — every token
+    // must surface as a candidate, summaries never evict
+    val toks = spark.createDataset(skewedTokens()).repartition(4).as[String]
+    val vocab = toks.distinct().collect().toSet
+    val cands = Sketches.mgCandidates(toks, vocab.size + 10).as[String].collect().toSet
+    assert(cands == vocab)
+  }
+
   test("q102 returns the corpus's exact heavy-hitter set") {
     val rows = SparkEntry.queries("q102_heavy_hitters")(spark, sf)
       .as[(String, Long)].collect().toMap

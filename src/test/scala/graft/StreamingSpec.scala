@@ -199,6 +199,13 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
       == Set(5L, 8L, 11L),
       "a retired doc's signature must stop rejecting future near-dups")
+    // retiring an already-retired id is a no-op on the store (the
+    // archive appends a zero-row partition batch, nothing moves)
+    val (r2a, r2s, _, _) = Streaming.retireAndCompact(
+      spark, adm, sig, archive, Seq(1L).toDF("doc_id"), "2026-08-14")
+    assert((r2a, r2s) == (0L, 0L))
+    assert(spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+      == Set(5L, 8L, 11L), "second retire of the same id must not disturb survivors")
   }
 
   test("streaming dedup drops replayed keys within the watermark") {
