@@ -20,8 +20,8 @@ object SparkEntry {
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ operators.Analytics.queries ++
       operators.Scale.queries ++ streaming.Streaming.queries ++
-      operators.Sketches.queries ++ operators.Bpe.queries ++
-      sources.StatsStore.queries
+      operators.Sketches.queries ++ operators.Sketches.queries2 ++
+      operators.Bpe.queries ++ sources.StatsStore.queries
 
   /** Fixed-size SEMANTICS AUDITS, excluded from Bench's timing set (but
     * always in Verify/CORRECTNESS): q101 drives the real nearDupAdmit

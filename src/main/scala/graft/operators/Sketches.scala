@@ -87,7 +87,92 @@ object Sketches {
     })
   )
 
+  /** Bloom-prefiltered benchmark decontamination — q66's semantics
+    * through the third instance of the candidate-then-verify contract
+    * (LSH → exact Jaccard, MG → exact recount, now Bloom → exact
+    * semi-join):
+    *
+    *  1. the eval 13-gram set builds ONE driver-side Bloom filter
+    *     (`df.stat.bloomFilter` — Spark's own mergeable sketch; bits,
+    *     not rows, so an eval set too big to broadcast as a hash
+    *     relation still ships to every executor);
+    *  2. corpus grams probe the broadcast filter in a narrow
+    *     mapPartitions kernel — NO join, no shuffle of corpus grams;
+    *     candidate docs are those with ≥ 1 probable hit (no false
+    *     negatives by the Bloom contract, so candidates ⊇ truth);
+    *  3. ONLY candidate docs' grams pay the exact semi-join, which
+    *     eliminates the false positives.
+    *
+    * The final answer is exact — hash-matched against the SAME oracle
+    * definition as q66; SketchesSpec pins q107 == q66 row-for-row and
+    * that the candidate stage actually prunes. Operating envelope: the
+    * filter sizes at ~10 bits/gram at fpp 0.01 and must fit the
+    * driver + one broadcast — the knob a deployment tunes. */
+  val queries2: Map[String, Q] = Map(
+    "q107_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split(trim(col("text")), "\\s+")
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+      val grams = graft.Caches.cached(docs
+        .filter(size(col("toks")) >= 13)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select("gram").distinct()
+      val nEval = evalGrams.count().max(1L)
+      val bloom = evalGrams.stat.bloomFilter("gram", nEval, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val candidates = grams.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "source", "gram").as[(Long, String, String)]
+        .mapPartitions { it => // membership probe: kernel, not a join
+          val f = bc.value
+          it.filter { case (_, _, g) => f.mightContain(g) }
+        }
+        .toDF("doc_id", "source", "gram")
+      val contaminated = candidates
+        .join(evalGrams, Seq("gram"), "left_semi") // exact verify, candidates only
+        .select("doc_id", "source").distinct()
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val cont = contaminated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated"))
+      base.join(cont, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
+        .orderBy("source")
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    // identical final semantics to q66 (the Bloom stage only prunes
+    // candidates; exact verify restores truth) — the oracle is the
+    // same exact definition
+    "q107_bloom_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             md5(array_to_string(toks[i:i+12], ' ')) AS gram
+           FROM (SELECT doc_id, source, toks,
+                   unnest(generate_series(1, len(toks) - 12)) AS i
+                 FROM d WHERE len(toks) >= 13)),
+         eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         cont AS (
+           SELECT DISTINCT doc_id, source FROM g
+           WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM eval_g)),
+         base AS (
+           SELECT source, COUNT(*) AS n_docs FROM documents
+           WHERE doc_id % 20 <> 0 GROUP BY source),
+         cc AS (SELECT source, COUNT(*) AS n_contaminated FROM cont GROUP BY source)
+         SELECT base.source, n_docs,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           n_docs - COALESCE(n_contaminated, 0) AS n_clean
+         FROM base LEFT JOIN cc ON base.source = cc.source
+         ORDER BY base.source""",
     // the exact definition the sketch+verify composition must equal
     "q102_heavy_hitters" ->
       """WITH t AS (

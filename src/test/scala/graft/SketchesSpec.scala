@@ -68,6 +68,16 @@ class SketchesSpec extends SparkSpec {
     assert(cands == vocab)
   }
 
+  test("q107 Bloom-prefiltered decontamination equals q66 row-for-row") {
+    val bloom = SparkEntry.queries("q107_bloom_decontaminate")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("q66_decontaminate")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(bloom.nonEmpty && bloom == exact,
+      "the Bloom stage must only prune candidates, never change the answer")
+    Caches.releaseAll()
+  }
+
   test("q102 returns the corpus's exact heavy-hitter set") {
     val rows = SparkEntry.queries("q102_heavy_hitters")(spark, sf)
       .as[(String, Long)].collect().toMap
