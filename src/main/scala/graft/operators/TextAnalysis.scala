@@ -775,6 +775,30 @@ object TextAnalysis {
         .orderBy("source", "bin")
     }),
 
+    // PACKED-SEQUENCE BOUNDARY MANIFEST — the attention-mask metadata
+    // q94's bin manifest implies: each doc occupies global token
+    // interval [start, start+n_tok) of its source's stream and
+    // contributes one SEGMENT to every 2048-token bin it overlaps,
+    // with bin-local offset and length — exactly what a packing
+    // pipeline emits so training can cut cross-document attention at
+    // bin boundaries. Pure integer arithmetic over the same one-window
+    // layout as q94 (the explode adds no shuffle), hash-matched.
+    "q108_pack_boundaries" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+        .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin",
+          explode(sequence(expr("start DIV 2048"), expr("(start + n_tok - 1) DIV 2048"))))
+        .select(col("source"), col("bin"), col("doc_id"),
+          (greatest(col("start"), col("bin") * 2048) - col("bin") * 2048).as("local_off"),
+          (least(col("start") + col("n_tok"), (col("bin") + 1) * 2048)
+            - greatest(col("start"), col("bin") * 2048)).as("seg_len"))
+        .orderBy("source", "bin", "local_off")
+    }),
+
     // Mixture rebalancing — the dataset-mixing step of corpus assembly
     // (DoReMi-style static reweighting applied as deterministic
     // sampling): target a 50%-of-corpus token budget split UNIFORMLY
@@ -1304,6 +1328,26 @@ object TextAnalysis {
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM p GROUP BY 1, 2 ORDER BY source, bin""",
+    // same layout as q94's p CTE (start cast to BIGINT immediately —
+    // the HUGEINT-widening lesson); segment arithmetic stays BIGINT
+    "q108_pack_boundaries" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         p AS (
+           SELECT doc_id, source, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+           FROM t),
+         seg AS (
+           SELECT source, doc_id, n_tok, start,
+             unnest(generate_series(start // 2048, (start + n_tok - 1) // 2048)) AS bin
+           FROM p)
+         SELECT source, CAST(bin AS BIGINT) AS bin, doc_id,
+           GREATEST(start, bin * 2048) - bin * 2048 AS local_off,
+           LEAST(start + n_tok, (bin + 1) * 2048) - GREATEST(start, bin * 2048) AS seg_len
+         FROM seg ORDER BY source, bin, local_off""",
     // rate spelling mirrors Spark term for term: (0.5 * total) /
     // n_sources, least(1, share / t_s), floor(rate * 65536) → 4-hex
     // lowercase threshold, lexical compare

@@ -209,4 +209,29 @@ class PropertySpec extends SparkSpec {
       assert(n == span + 1)
     }
   }
+
+  test("q108 boundary segments tile bins exactly and cover every doc") {
+    val segs = SparkEntry.queries("q108_pack_boundaries")(spark, sf)
+      .select($"source", $"bin", $"doc_id", $"local_off", $"seg_len")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    // per-doc coverage: segment lengths sum to the doc's token count
+    val nTok = Tables.documents(spark, sf)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    segs.groupBy(_._3).foreach { case (doc, ss) =>
+      assert(ss.map(_._5).sum == nTok(doc), s"doc $doc segments != n_tok")
+    }
+    // per-bin tiling: segments start at 0, are contiguous, never exceed 2048
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((src, bin), ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"bin ($src,$bin) must start at offset 0")
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._4 + w(0)._5 == w(1)._4,
+          s"bin ($src,$bin) segments must be contiguous")
+      }
+      val fill = sorted.last._4 + sorted.last._5
+      assert(fill <= 2048, s"bin ($src,$bin) overfilled: $fill")
+    }
+  }
 }
