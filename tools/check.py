@@ -97,6 +97,15 @@ def main():
         else:
             n_pass += 1
             print(f"  [pass] {name}: {len(sr)} rows")
+    # a query that CRASHED in Verify leaves no result dir — without this
+    # the self-check would silently skip it while the driver records a
+    # failure (same weaker-than-driver class as the value-level compare)
+    have = {os.path.basename(d) for d in glob.glob(os.path.join(out, "*"))
+            if os.path.isdir(d)}
+    for name in sorted(set(oracle) - have):
+        print(f"  [FAIL] {name}: oracle present but no Spark output dir "
+              f"(query crashed in Verify?)")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
     sys.exit(1 if n_fail else 0)
 
