@@ -915,6 +915,80 @@ object TextAnalysis {
           coalesce(col("n_bins"), lit(0L)).as("n_bins"),
           coalesce(col("n_tokens_packed"), lit(0L)).as("n_tokens_packed"))
         .orderBy("source")
+    }),
+
+    // Cross-document boilerplate removal — the C4/CCNet "drop lines
+    // repeated across many pages" pass, rewritten for scale: each doc
+    // splits into consecutive 8-token lines; a line occurring in ≥3
+    // DISTINCT docs corpus-wide is boilerplate and is STRIPPED from
+    // every doc, and the query emits the rewrite itself (the retained
+    // text, order-preserved) so the pass is hash-checkable end to end
+    // (like q89's masking rewrite, not just an accounting). Scale
+    // shape: the line stream is corpus-sized but narrow; the df
+    // aggregate is keyed by line with map-side partials; the strip is
+    // a left_anti against the (small) boilerplate set — never
+    // corpus×corpus; reassembly is a per-doc sort_array over that
+    // doc's own ≤len/8 lines (partial-agg'd), not a corpus window.
+    "q109_boilerplate_strip" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+        .withColumn("n_lines", expr("CAST((size(toks) + 7) DIV 8 AS BIGINT)"))
+      val lines = graft.Caches.cached(docs
+        .withColumn("c", explode(sequence(lit(0L), col("n_lines") - 1)))
+        .select(col("doc_id"), col("c"),
+          array_join(
+            slice(col("toks"), (col("c") * 8 + 1).cast("int"), lit(8)), " ")
+            .as("line")))
+      val boiler = lines.select("line", "doc_id").distinct()
+        .groupBy("line").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3).select("line")
+      val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept_lines"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("c"), col("line")))),
+              x => x.getField("line")), " ").as("kept_text"))
+      docs.select(col("doc_id"), col("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
+    // PMI phrase mining — the collocation-scoring pass of phrase-vocab
+    // / tokenizer construction (word2phrase-style): corpus bigram and
+    // unigram counts; since log is monotone, PMI ranking equals ranking
+    // by c_xy·N/(c_x·c_y), emitted as ONE scaled BIGINT
+    // (c_xy·N·10^6 DIV c_x·c_y) so the score is bit-stable across
+    // engines (no log, no doubles); df floor 5, top-20 by (score desc,
+    // bigram asc — unique keys ⇒ deterministic cutoff). Scale shape:
+    // two hash aggregates over the exploded token/bigram streams
+    // (map-side partials absorb the fan-out); the scoring join is
+    // vocab-sized on every side (distinct tokens/bigrams, never the
+    // corpus), N arrives as a broadcast 1-row frame, and the top-k is
+    // a TakeOrdered over the bounded scored vocabulary.
+    "q110_phrase_pmi" -> ((s, dir) => {
+      val toks = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(wsToks.as("toks")))
+      val uni = graft.Caches.cached(toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+      val tot = uni.agg(sum(col("c")).as("n"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(element_at(col("toks"), col("i")).as("x"),
+          element_at(col("toks"), col("i") + 1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      bi.join(uni.select(col("w").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("w").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+          col("c_xy"), col("c_x"), col("c_y"),
+          expr("(c_xy * n * 1000000) DIV (c_x * c_y)").as("pmi_score"))
+        .orderBy(col("pmi_score").desc, col("bigram").asc)
+        .limit(20)
     })
   )
 
@@ -1471,6 +1545,66 @@ object TextAnalysis {
            COALESCE(f4.n_tokens_packed, 0) AS n_tokens_packed
          FROM base LEFT JOIN f1 USING (source) LEFT JOIN f2 USING (source)
               LEFT JOIN f3 USING (source) LEFT JOIN f4 USING (source)
-         ORDER BY base.source"""
+         ORDER BY base.source""",
+    // line spelling mirrors Spark term for term: 8-token slices at
+    // c*8+1 (1-based, tail-truncating on both engines), space-join,
+    // df ≥ 3 over DISTINCT docs, order-preserving reassembly
+    "q109_boilerplate_strip" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks,
+             CAST((len(str_split_regex(trim(text), '\s+')) + 7) // 8 AS BIGINT)
+               AS n_lines
+           FROM documents),
+         l AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0, n_lines - 1)) AS c
+           FROM d),
+         lines AS (
+           SELECT doc_id, CAST(c AS BIGINT) AS c,
+             array_to_string(toks[CAST(c*8+1 AS INT):CAST(c*8+8 AS INT)], ' ')
+               AS line
+           FROM l),
+         boiler AS (
+           SELECT line FROM (
+             SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+             FROM lines GROUP BY 1)
+           WHERE n_docs >= 3),
+         reb AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(line, ' ' ORDER BY c) AS kept_text
+           FROM lines
+           WHERE line NOT IN (SELECT line FROM boiler)
+           GROUP BY doc_id)
+         SELECT d.doc_id, d.n_lines,
+           d.n_lines - COALESCE(reb.n_kept, 0) AS n_removed,
+           COALESCE(reb.kept_text, '') AS kept_text
+         FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // all-BIGINT score: COUNT(*) is BIGINT on both engines and the
+    // total token count stays a COUNT (not SUM — DuckDB SUM(BIGINT)
+    // widens to HUGEINT and would drag pmi_score to decimal128)
+    "q110_phrase_pmi" ->
+      """WITH d AS (
+           SELECT str_split_regex(trim(text), '\s+') AS toks FROM documents),
+         u AS (SELECT unnest(toks) AS w FROM d),
+         uni AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM u),
+         bi0 AS (
+           SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM d WHERE len(toks) >= 2),
+         bi AS (
+           SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i + 1 AS INT)] AS y
+           FROM bi0),
+         cb AS (
+           SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+           HAVING COUNT(*) >= 5)
+         SELECT cb.x || ' ' || cb.y AS bigram, cb.c_xy,
+           ux.c AS c_x, uy.c AS c_y,
+           (cb.c_xy * tot.n * 1000000) // (ux.c * uy.c) AS pmi_score
+         FROM cb
+         CROSS JOIN tot
+         JOIN uni ux ON ux.w = cb.x
+         JOIN uni uy ON uy.w = cb.y
+         ORDER BY pmi_score DESC, bigram ASC LIMIT 20"""
   )
 }

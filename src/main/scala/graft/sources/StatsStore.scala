@@ -60,6 +60,68 @@ object StatsStore {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Z-order (Morton) interleave of two 8-bit bucket coords — one
+    * codegen'd HOF pass, no UDF. `bx`/`by` must already be in [0,256). */
+  def zExpr(bx: String, by: String): String =
+    s"""aggregate(sequence(0, 7), 0L, (acc, i) ->
+          acc + shiftleft(CAST(shiftright($bx, i) & 1 AS BIGINT), 2 * i)
+              + shiftleft(CAST(shiftright($by, i) & 1 AS BIGINT), 2 * i + 1))"""
+
+  /** Write `df` clustered by the Z-ORDER of (xCol, yCol) into nBuckets
+    * files, manifesting per-file min/max on BOTH dimensions — the
+    * multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    * ZORDER BY) over plain parquet. 1-D range clustering makes one
+    * dimension's per-file ranges tight and leaves every other column's
+    * [min,max] spanning the whole domain (no skipping); the Morton
+    * curve keeps files axis-aligned-ish rectangles so a 2-D box
+    * predicate prunes on both dimensions at once. Bucket coords are
+    * x DIV step with step = max DIV 256 + 1 (exact integer spelling,
+    * no ranks — rank bucketing would need a corpus sort). Scale shape:
+    * one 2-value driver lookup (maxes), then ONE repartitionByRange
+    * exchange on z — the same shuffle any clustered write pays. */
+  def writeZorderStore(df: DataFrame, dir: String, xCol: String, yCol: String,
+                       nBuckets: Int): Unit = {
+    import org.apache.spark.sql.Row
+    val Row(maxX: Long, maxY: Long) =
+      df.agg(max(col(xCol)), max(col(yCol))).head
+    val (stepX, stepY) = (maxX / 256 + 1, maxY / 256 + 1)
+    df.withColumn("z",
+        expr(zExpr(s"($xCol DIV $stepX)", s"($yCol DIV $stepY)")))
+      .repartitionByRange(nBuckets, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val spark = df.sparkSession
+    spark.read.parquet(s"$dir/data")
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Files whose 2-D [min,max]×[min,max] box intersects the query box.
+    * Bounded driver action: nBuckets manifest rows. */
+  def prunedBoxFiles(spark: SparkSession, dir: String,
+                     loX: Long, hiX: Long, loY: Long, hiY: Long): Seq[String] =
+    spark.read.parquet(s"$dir/manifest")
+      .filter(col("max_x") >= loX && col("min_x") <= hiX &&
+              col("max_y") >= loY && col("min_y") <= hiY)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** 2-D box read through the manifest: open only intersecting files,
+    * keep the residual predicate for row-level exactness. */
+  def readBox(spark: SparkSession, dir: String, xCol: String, yCol: String,
+              loX: Long, hiX: Long, loY: Long, hiY: Long): DataFrame = {
+    val files = prunedBoxFiles(spark, dir, loX, hiX, loY, hiY)
+    val base = spark.read.parquet(s"$dir/data")
+    if (files.isEmpty) base.limit(0)
+    else spark.read.parquet(files: _*)
+      .filter(col(xCol) >= loX && col(xCol) <= hiX &&
+              col(yCol) >= loY && col(yCol) <= hiY)
+  }
+
   val queries: Map[String, graft.Q] = Map(
     // Range query SERVED THROUGH the file-skipping store: build the
     // store from events (range-clustered by user_id, 16 files), read
@@ -83,6 +145,34 @@ object StatsStore {
           countDistinct(col("user_id")).as("n_users"),
           graft.functions.Exact.dsumd(col("value")).as("total_value"))
         .orderBy("event_type")
+    }),
+
+    // 2-D box query SERVED THROUGH the Z-order store: lineitem
+    // clustered by Morton(l_partkey, l_suppkey) into 16 files; the
+    // middle-quintile box on BOTH keys reads only manifest-intersecting
+    // files (SourcesSpec pins that the 2-D prune skips files a 1-D
+    // layout could not, and that pruned == unpruned row-for-row). Box
+    // bounds are SF-relative integer-division quantities; skipping only
+    // changes WHICH FILES OPEN, never the result, so the oracle runs
+    // the same box directly over lineitem and hash-matches.
+    "q111_zorder_scan" -> ((s, dir) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_zstore_${dir.hashCode & Int.MaxValue}"
+      val li = graft.Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount")
+      writeZorderStore(li, store, "l_partkey", "l_suppkey", nBuckets = 16)
+      val org.apache.spark.sql.Row(maxP: Long, maxS: Long) =
+        li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+      readBox(s, store, "l_partkey", "l_suppkey",
+          loX = maxP * 2 / 5, hiX = maxP * 3 / 5,
+          loY = maxS * 2 / 5, hiY = maxS * 3 / 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Exact.dsumd(col("l_quantity")).as("sum_qty"),
+          graft.functions.Exact.dsumd(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -94,6 +184,17 @@ object StatsStore {
          FROM events
          WHERE user_id BETWEEN (SELECT MAX(user_id) * 2 // 5 FROM events)
                            AND (SELECT MAX(user_id) * 3 // 5 FROM events)
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    "q111_zorder_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) * 2 // 5 FROM lineitem)
+                             AND (SELECT MAX(l_partkey) * 3 // 5 FROM lineitem)
+           AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) * 2 // 5 FROM lineitem)
+                             AND (SELECT MAX(l_suppkey) * 3 // 5 FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
