@@ -74,19 +74,23 @@ object StatsStore {
     * dimension's per-file ranges tight and leaves every other column's
     * [min,max] spanning the whole domain (no skipping); the Morton
     * curve keeps files axis-aligned-ish rectangles so a 2-D box
-    * predicate prunes on both dimensions at once. Bucket coords are
-    * x DIV step with step = max DIV 256 + 1 (exact integer spelling,
-    * no ranks — rank bucketing would need a corpus sort). Scale shape:
-    * one 2-value driver lookup (maxes), then ONE repartitionByRange
+    * predicate prunes on both dimensions at once. Bucket coords SCALE
+    * UP: x·256 DIV (max+1) — exact integers, always in [0,256), and
+    * the full 8 high bits engage even for a small key domain (the
+    * naive x DIV step would leave a 10-value domain in the LOW bits,
+    * where every z-contiguous file spans the whole y range and 2-D
+    * pruning dies; rank bucketing would adapt to skew but needs a
+    * corpus sort). Non-negative keys assumed. Scale shape: one
+    * 2-value driver lookup (maxes), then ONE repartitionByRange
     * exchange on z — the same shuffle any clustered write pays. */
   def writeZorderStore(df: DataFrame, dir: String, xCol: String, yCol: String,
                        nBuckets: Int): Unit = {
     import org.apache.spark.sql.Row
     val Row(maxX: Long, maxY: Long) =
       df.agg(max(col(xCol)), max(col(yCol))).head
-    val (stepX, stepY) = (maxX / 256 + 1, maxY / 256 + 1)
     df.withColumn("z",
-        expr(zExpr(s"($xCol DIV $stepX)", s"($yCol DIV $stepY)")))
+        expr(zExpr(s"(($xCol * 256) DIV ${maxX + 1})",
+                   s"(($yCol * 256) DIV ${maxY + 1})")))
       .repartitionByRange(nBuckets, col("z"))
       .sortWithinPartitions("z")
       .drop("z")

@@ -191,4 +191,58 @@ class SourcesSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("zorder store: 2-D manifest prunes on BOTH dims; 1-D layout cannot prune y") {
+    import graft.sources.StatsStore
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, max, min, sum}
+    val tmpZ = java.nio.file.Files.createTempDirectory("zstore").toString
+    val tmpR = java.nio.file.Files.createTempDirectory("rstore1d").toString
+    try {
+      val li = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      StatsStore.writeZorderStore(li, tmpZ, "l_partkey", "l_suppkey", nBuckets = 16)
+      StatsStore.writeRangeStore(li, tmpR, "l_partkey", nBuckets = 16)
+      val manifest = spark.read.parquet(s"$tmpZ/manifest")
+      val nFiles = manifest.count()
+      assert(manifest.agg(sum("n_rows")).head.getLong(0) == li.count())
+      val Row(maxP: Long, maxS: Long) =
+        li.agg(max("l_partkey"), max("l_suppkey")).head
+      val (loP, hiP) = (maxP * 2 / 5, maxP * 3 / 5)
+      val (loS, hiS) = (maxS * 2 / 5, maxS * 3 / 5)
+      // the 2-D box prune engages (strict subset of files)
+      val pruned = StatsStore.prunedBoxFiles(spark, tmpZ, loP, hiP, loS, hiS)
+      assert(pruned.nonEmpty && pruned.size < nFiles,
+        s"2-D box opened ${pruned.size} of $nFiles files")
+      // THE multi-dim claim: a band on y ALONE skips z-ordered files...
+      val yOnly = StatsStore.prunedBoxFiles(spark, tmpZ, 0, maxP, loS, hiS)
+      assert(yOnly.size < nFiles,
+        s"y-band alone should skip z-ordered files, opened ${yOnly.size} of $nFiles")
+      // ...which the 1-D x-clustered layout can NEVER do: every one of
+      // its files' [min,max] suppkey ranges straddles the y band
+      val r1dIntersecting = spark.read.parquet(s"$tmpR/data")
+        .groupBy(col("_metadata.file_path"))
+        .agg(min("l_suppkey").as("mn"), max("l_suppkey").as("mx"))
+        .filter(col("mx") >= loS && col("mn") <= hiS).count()
+      assert(r1dIntersecting == nFiles,
+        s"1-D layout unexpectedly pruned y: $r1dIntersecting of $nFiles intersect")
+      // correctness law: skipping changes which files OPEN, never rows
+      val key = org.apache.spark.sql.functions.concat_ws("#",
+        col("l_orderkey"), col("l_linenumber"))
+      val got = StatsStore.readBox(spark, tmpZ, "l_partkey", "l_suppkey",
+        loP, hiP, loS, hiS).select(key).as[String].collect().sorted.toSeq
+      val want = li.filter($"l_partkey".between(loP, hiP) &&
+          $"l_suppkey".between(loS, hiS))
+        .select(key).as[String].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+      // out-of-box prune: zero files, empty schema-correct result
+      assert(StatsStore.prunedBoxFiles(spark, tmpZ,
+        Long.MaxValue - 1, Long.MaxValue, 0, maxS).isEmpty)
+      assert(StatsStore.readBox(spark, tmpZ, "l_partkey", "l_suppkey",
+        Long.MaxValue - 1, Long.MaxValue, 0, maxS).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpZ))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpR))
+    }
+  }
 }
