@@ -914,8 +914,49 @@ object Dedup {
         .agg(count(lit(1)).as("n_clusters"),
           (col("cluster_size") * count(lit(1))).as("n_docs"))
         .orderBy("cluster_size")
+    }),
+
+    // LEAKAGE-FREE train/val/test split — the split step of corpus
+    // assembly done at CLUSTER granularity: near-duplicate documents
+    // must land in the SAME split, or eval measures memorization of
+    // train (row-wise random splitting leaks every dup pair that
+    // straddles the cut). Exact token-5-gram clusters (q85's proven
+    // spelling); each doc's split is decided by the md5 of its CLUSTER
+    // id (q97's 2-hex threshold mechanism: <'cc' train ~80%, <'e6'
+    // val ~10%, else test), so membership in a cluster fully
+    // determines the split — straddle-freedom is structural, and
+    // TextDedupSpec pins it. Scale shape: the chain is q85's (bucketed
+    // inverted-index pairs, budget-routed components); the split
+    // decision adds one codegen'd projection, and the accounting
+    // aggregates (source, split) — never the corpus twice.
+    "q112_leakage_free_split" -> ((s, dir) => {
+      val assigned = leakageFreeSplit(s, dir)
+      assigned.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "split")
     })
   )
+
+  /** (doc_id, source, n_tok, cluster_id, split) for every document:
+    * q85's exact near-dup closure, unclustered docs are their own
+    * cluster, split chosen by md5(cluster_id) thresholds. Shared by
+    * q112 and the straddle-freedom law in TextDedupSpec. */
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val pairs = graft.Caches.cached(
+      jaccardPairsTokens(docs.select("doc_id", "text"), 5)
+        .filter(col("jaccard") >= 0.7))
+    val h = substring(md5(col("cluster_id").cast("string")), 1, 2)
+    docs.join(components(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .select("doc_id", "source", "n_tok", "cluster_id", "split")
+  }
 
   val oracles: Map[String, String] = Map(
     "q36_ngram_jaccard" ->
@@ -972,6 +1013,52 @@ object Dedup {
            CAST(SUM(CASE WHEN rm.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM documents d LEFT JOIN removed rm ON d.doc_id = rm.id
          GROUP BY source ORDER BY source""",
+    // q85's closure + cluster-keyed md5 split (q97's threshold
+    // mechanism at 2 hex chars): <'cc' train, <'e6' val, else test
+    "q112_leakage_free_split" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' '))) AS g
+           FROM tk WHERE len(toks) >= 5)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         canon AS (SELECT id, MIN(label) AS canonical FROM r GROUP BY id),
+         asg AS (
+           SELECT d.source,
+             CAST(len(str_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tok,
+             COALESCE(c.canonical, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN canon c ON c.id = d.doc_id),
+         sp AS (
+           SELECT source, n_tok, cluster_id,
+             CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM asg)
+         SELECT source, split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM sp GROUP BY source, split ORDER BY source, split""",
     "q49_neardup_components" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
          sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g

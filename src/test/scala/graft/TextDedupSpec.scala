@@ -467,4 +467,24 @@ class TextDedupSpec extends SparkSpec {
     assert(n < e || e < q, "neither dedup stage fired")
     assert(k < n, "mixture sampling never fired")
   }
+
+  test("leakage-free split: no near-dup cluster straddles splits (q112 law)") {
+    import org.apache.spark.sql.functions.countDistinct
+    val asg = graft.dedup.Dedup.leakageFreeSplit(spark, sf).cache()
+    try {
+      // every document is assigned exactly once
+      assert(asg.count() == Tables.documents(spark, sf).count())
+      // structural leakage guard: a cluster maps to exactly ONE split
+      val perCluster = asg.groupBy("cluster_id")
+        .agg(countDistinct("split").as("n_splits"))
+      assert(perCluster.filter($"n_splits" > 1).count() == 0,
+        "a near-dup cluster straddles train/val/test")
+      // the guard is non-vacuous on the fixture: some cluster has >= 2
+      // docs, and all three splits are populated
+      val maxSize = asg.groupBy("cluster_id").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      assert(maxSize >= 2, "fixture has no multi-doc cluster; law is vacuous")
+      assert(asg.select("split").distinct().count() == 3)
+    } finally asg.unpersist()
+  }
 }
