@@ -989,6 +989,63 @@ object TextAnalysis {
           expr("(c_xy * n * 1000000) DIV (c_x * c_y)").as("pmi_score"))
         .orderBy(col("pmi_score").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020) with the
+    // corpus's OWN unigram LM standing in for the external KenLM: each
+    // token's surprisal -log2 p(w) = log2(N/c_w), each doc scored by
+    // mean token surprisal, the corpus cut into head/middle/tail
+    // thirds by score rank. Two bit-stability moves make it
+    // hash-checkable: (1) log2 is computed ALL-INTEGER — the octave is
+    // the bin()-string length of the 2^8-scaled ratio, plus a
+    // 512-granule linear interpolation within the octave
+    // ((r−2^k)·512 DIV 2^k; max 0.086-bit approximation error,
+    // deterministic on both engines — no libm log anywhere); (2) the
+    // global thirds come from RANK arithmetic (1 + (rank−1)·3 DIV N),
+    // not percentile estimation. Scale shape: the vocab join is
+    // stats-gated (vocab is corpus-sublinear but unbounded); N arrives
+    // as a broadcast 1-row COUNT; and the global rank is TWO-PHASE —
+    // per-score counts (score domain is bounded: ≤ ~512·45 distinct
+    // millibit values however large the corpus) roll into broadcast
+    // cumulative offsets, then row_number runs WITHIN each score
+    // partition — so no corpus-sized single-partition sort exists in
+    // the plan. Integer-overflow bound documented at the r spelling:
+    // N·256·512 must fit int64 ⇒ N ≤ 2^45 tokens (≈ 140 TB of text).
+    "q113_surprisal_bucket" -> ((s, dir) => {
+      val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(wsToks).as("w")))
+      val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n")) // COUNT, not SUM: stays BIGINT in the oracle too
+      val perDoc = graft.Caches.cached(tok
+        .join(Tables.maybeBroadcast(voc), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r", expr("(n * 256) DIV c")) // ≥ 256 since c ≤ N
+        .withColumn("k", expr("length(bin(r)) - 1")) // integer floor(log2 r)
+        .withColumn("sbits", expr(
+          """(k - 8) * 512 +
+             ((r - shiftleft(CAST(1 AS BIGINT), k)) * 512)
+               DIV shiftleft(CAST(1 AS BIGINT), k)"""))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("sbits")).as("bits"))
+        .withColumn("score", expr("bits DIV n_tok"))
+        .select("doc_id", "n_tok", "score"))
+      val hist = perDoc.groupBy("score").agg(count(lit(1)).as("cnt"))
+      // bounded-domain window (≤ ~23k score values) — NOT corpus-sized
+      val wS = org.apache.spark.sql.expressions.Window
+        .orderBy("score").rowsBetween(Long.MinValue, 0)
+      val off = hist
+        .withColumn("off", sum(col("cnt")).over(wS) - col("cnt"))
+        .select("score", "off")
+      val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("score").orderBy("doc_id")
+      perDoc.join(broadcast(off), Seq("score"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rank", col("off") + row_number().over(wD))
+        .withColumn("bucket", expr("1 + ((rank - 1) * 3) DIV n_docs"))
+        .select(col("doc_id"), col("n_tok"), col("score"), col("rank"),
+          col("bucket"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1605,6 +1662,42 @@ object TextAnalysis {
          CROSS JOIN tot
          JOIN uni ux ON ux.w = cb.x
          JOIN uni uy ON uy.w = cb.y
-         ORDER BY pmi_score DESC, bigram ASC LIMIT 20"""
+         ORDER BY pmi_score DESC, bigram ASC LIMIT 20""",
+    // surprisal spelling mirrors Spark granule for granule: octave =
+    // length(bin(256N // c)) - 1, 512-granule in-octave interpolation,
+    // mean DIV per doc; thirds by ROW_NUMBER arithmetic (the oracle's
+    // global sort equals Spark's two-phase offset+within-score rank by
+    // construction: both are the (score, doc_id) total order). N is a
+    // COUNT (BIGINT); the SUM of granules is cast back before DIV (the
+    // q94 HUGEINT lesson).
+    "q113_surprisal_bucket" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         u AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         voc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM u),
+         sc AS (
+           SELECT u.doc_id, (tot.n * 256) // voc.c AS r
+           FROM u JOIN voc ON voc.w = u.w CROSS JOIN tot),
+         sb AS (SELECT doc_id, r, length(bin(r)) - 1 AS k FROM sc),
+         st AS (
+           SELECT doc_id, COUNT(*) AS n_tok,
+             SUM((k - 8) * 512 +
+                 ((r - (CAST(1 AS BIGINT) << k)) * 512)
+                   // (CAST(1 AS BIGINT) << k)) AS bits
+           FROM sb GROUP BY 1),
+         p AS (
+           SELECT doc_id, n_tok,
+             CAST(bits AS BIGINT) // n_tok AS score
+           FROM st),
+         r AS (
+           SELECT doc_id, n_tok, score,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rank,
+             COUNT(*) OVER () AS n_docs
+           FROM p)
+         SELECT doc_id, n_tok, score, rank,
+           1 + ((rank - 1) * 3) // n_docs AS bucket
+         FROM r ORDER BY doc_id"""
   )
 }

@@ -234,4 +234,25 @@ class PropertySpec extends SparkSpec {
       assert(fill <= 2048, s"bin ($src,$bin) overfilled: $fill")
     }
   }
+
+  test("q113 thirds are balanced, score-monotone, and rank-complete") {
+    val rows = SparkEntry.queries("q113_surprisal_bucket")(spark, sf)
+      .select($"doc_id", $"score", $"rank", $"bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    // rank is the complete 1..N sequence (the two-phase offset+within-
+    // score row_number reconstruction lost or duplicated nothing)
+    assert(rows.map(_._3).sorted.toSeq == (1L to n))
+    // bucket sizes differ by at most 1 (rank-arithmetic thirds)
+    val sizes = rows.groupBy(_._4).values.map(_.length).toSeq
+    assert(sizes.size == 3 && sizes.max - sizes.min <= 1, s"sizes=$sizes")
+    // monotone: head scores never exceed middle scores, middle never tail
+    def scores(b: Long) = rows.filter(_._4 == b).map(_._2)
+    assert(scores(1).max <= scores(2).min, "head must score <= middle")
+    assert(scores(2).max <= scores(3).min, "middle must score <= tail")
+    // buckets are rank-contiguous (rank order reproduces bucket order)
+    val byRank = rows.sortBy(_._3).map(_._4)
+    assert(byRank.sameElements(byRank.sorted), "buckets must be rank-contiguous")
+  }
 }
