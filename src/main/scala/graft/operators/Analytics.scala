@@ -295,6 +295,47 @@ object Analytics {
         .agg(count(lit(1)).as("n_scored"),
           sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
         .orderBy("event_type")
+    }),
+
+    // Iterative graph analytics beyond connected components (q49):
+    // two rounds of degree-normalized mass propagation (the PageRank
+    // step, unrolled) over the bipartite customer⇄supplier trade
+    // graph. Each customer starts with 10^6 mass, splits it equally
+    // over its distinct suppliers (integer DIV — bit-stable, no
+    // damping double), suppliers aggregate and split back; the
+    // customers that end up heaviest are the ones trading with
+    // well-connected suppliers. Scale shape: this is Pregel-as-joins —
+    // the edge list is built ONCE (distinct (cust, supp) via the
+    // orders⋈lineitem equi-join) and cached; every iteration is an
+    // equi-join of edges with the current mass frame plus one hash
+    // aggregate keyed on the receiving endpoint, i.e. k iterations =
+    // k shuffle rounds, never a growing plan over the raw fact table.
+    // At 100 TB the edge list is bucketed by BOTH endpoints so the
+    // alternating join key reuses a co-located layout instead of
+    // re-exchanging edges every round. Degrees are edge aggregates
+    // (never fact-table rescans); mass frames are node-sized.
+    "q114_graph_mass_rank" -> ((s, dir) => {
+      val edges = graft.Caches.cached(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct())
+      val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cdeg"))
+      val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pdeg"))
+      // iteration 1: customers → suppliers
+      val m1 = edges.join(cdeg, Seq("c"))
+        .select(col("p"), expr("CAST(1000000 AS BIGINT) DIV cdeg").as("frag"))
+        .groupBy("p").agg(sum(col("frag")).as("m1"))
+      // iteration 2: suppliers → customers
+      val m2 = edges.join(m1, Seq("p")).join(pdeg, Seq("p"))
+        .select(col("c"), expr("m1 DIV pdeg").as("frag"))
+        .groupBy("c").agg(sum(col("frag")).as("mass"))
+      m2.join(cdeg, Seq("c"))
+        .select(col("c").as("custkey"), col("cdeg").as("n_suppliers"),
+          col("mass"))
+        .orderBy(col("mass").desc, col("custkey").asc)
+        .limit(20)
     })
   )
 
@@ -447,6 +488,29 @@ object Analytics {
          SELECT event_type, COUNT(*) AS n_scored,
            CAST(SUM(CASE WHEN (v * n - s) * (v * n - s) > 4 * (n * ss - s * s)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
-         FROM wnd WHERE n = 6 GROUP BY 1 ORDER BY 1"""
+         FROM wnd WHERE n = 6 GROUP BY 1 ORDER BY 1""",
+    // mass spelling mirrors Spark round for round: per-edge integer
+    // fragments (10^6 DIV degree), SUM cast back to BIGINT before the
+    // next round's DIV (the q94 HUGEINT lesson), top-20 by (mass desc,
+    // custkey asc) — unique keys ⇒ deterministic cutoff
+    "q114_graph_mass_rank" ->
+      """WITH edges AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         cdeg AS (SELECT c, COUNT(*) AS cdeg FROM edges GROUP BY 1),
+         pdeg AS (SELECT p, COUNT(*) AS pdeg FROM edges GROUP BY 1),
+         m1 AS (
+           SELECT e.p,
+             CAST(SUM(CAST(1000000 AS BIGINT) // cd.cdeg) AS BIGINT) AS m1
+           FROM edges e JOIN cdeg cd ON cd.c = e.c GROUP BY 1),
+         m2 AS (
+           SELECT e.c,
+             CAST(SUM(m1.m1 // pd.pdeg) AS BIGINT) AS mass
+           FROM edges e JOIN m1 ON m1.p = e.p
+             JOIN pdeg pd ON pd.p = e.p
+           GROUP BY 1)
+         SELECT m2.c AS custkey, cd.cdeg AS n_suppliers, m2.mass
+         FROM m2 JOIN cdeg cd ON cd.c = m2.c
+         ORDER BY m2.mass DESC, custkey ASC LIMIT 20"""
   )
 }

@@ -122,4 +122,30 @@ class AnalyticsSpec extends SparkSpec {
       assert(row.getAs[Long]("sum_k") >= row.getAs[Long]("n") * row.getAs[Long]("min_k"))
     }
   }
+
+  test("q114 mass propagation conserves mass up to DIV truncation") {
+    import org.apache.spark.sql.functions._
+    // rebuild the round-1 frame with the query's own spelling and check
+    // the conservation envelope: each customer emits cdeg fragments of
+    // 1e6 DIV cdeg, so Σ m1 ∈ (1e6·nCust − Σ cdeg, 1e6·nCust] — DIV
+    // truncation loses < 1 unit per edge, and nothing else may leak
+    val edges = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("p")).distinct().cache()
+    val nCust = edges.select("c").distinct().count()
+    val nEdges = edges.count()
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cdeg"))
+    val m1tot = edges.join(cdeg, Seq("c"))
+      .select(expr("CAST(1000000 AS BIGINT) DIV cdeg").as("frag"))
+      .agg(sum($"frag")).collect()(0).getLong(0)
+    assert(m1tot <= 1000000L * nCust, "mass must never be created")
+    assert(m1tot > 1000000L * nCust - nEdges, "only DIV truncation may lose mass")
+    // and the query's top-20 is well-formed: strictly ordered, positive
+    val top = SparkEntry.queries("q114_graph_mass_rank")(spark, sf).collect()
+    assert(top.length == 20)
+    val masses = top.map(_.getAs[Long]("mass"))
+    assert(masses.sameElements(masses.sorted.reverse) && masses.forall(_ > 0))
+    edges.unpersist()
+  }
 }
