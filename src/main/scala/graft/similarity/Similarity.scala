@@ -475,6 +475,44 @@ object Similarity {
           expr("CAST(array_min(q) AS INT)").as("q_min"),
           expr("CAST(array_max(q) AS INT)").as("q_max"))
         .orderBy("vec_id")
+    }),
+
+    // Johnson–Lindenstrauss random projection 64-d → 8-d: the standard
+    // dimensionality cut before clustering/ANN at 100 TB (Achlioptas
+    // 2003 ±1 database-friendly projections). The sign matrix is
+    // DETERMINISTIC — sign(j,k) = parity of the first hex char of
+    // md5("j:k") — so both engines derive the identical matrix with no
+    // RNG, no shipped table; elements are floored to 1e-6 fixed point
+    // first, so each projected coordinate is an exact integer sum.
+    // Scale shape: the whole projection is ONE narrow per-row pass —
+    // 8 fold-left HOF sums against per-k literal sign vectors compiled
+    // into the plan (no posexplode fan-out, no d×8 join, no shuffle
+    // before the output sort); the long-form (vec_id, k, proj) output
+    // comes from a stack() Generate, also narrow. At a 1000-executor
+    // scale-up the pass stays embarrassingly parallel.
+    "q115_random_projection" -> ((s, dir) => {
+      val kOut = 8
+      val dIn = 64
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(j: Int, k: Int): Long = {
+        val hex = md.digest(s"$j:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("02468ace".contains(hex.head)) 1L else -1L
+      }
+      val projCols = (0 until kOut).map { k =>
+        val signs = (0 until dIn).map(j => sign(j, k))
+        aggregate(
+          zip_with(col("embedding"), typedlit(signs),
+            (x, r) => floor(x.cast("double") * lit(1e6)).cast("long") * r),
+          lit(0L), (acc, t) => acc + t).as(s"p$k")
+      }
+      val stackExpr = (0 until kOut)
+        .map(k => s"CAST($k AS BIGINT), p$k").mkString(", ")
+      Tables.fanOut(Tables.embeddings(s, dir))
+        .select(col("vec_id") +: projCols: _*)
+        .select(col("vec_id"),
+          expr(s"stack($kOut, $stackExpr)").as(Seq("k", "proj")))
+        .orderBy("vec_id", "k")
     })
   )
 
@@ -682,6 +720,31 @@ object Similarity {
            CAST(list_aggregate(q, 'min') AS INT) AS q_min,
            CAST(list_aggregate(q, 'max') AS INT) AS q_max
          FROM q ORDER BY vec_id""",
+    // projection spelling mirrors Spark element for element: 1e-6
+    // fixed-point floor, md5("j:k") first-hex-char parity sign, exact
+    // integer sums; the oracle's unnest+group replays Spark's
+    // fold-left HOF (integer addition is order-independent)
+    "q115_random_projection" ->
+      """WITH e AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS j
+           FROM embeddings),
+         f AS (
+           SELECT vec_id, j,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vf
+           FROM e),
+         g AS (
+           SELECT f.*, k.k
+           FROM f CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k),
+         s AS (
+           SELECT vec_id, k,
+             SUM(CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                      CAST(k AS VARCHAR)), 1, 1)
+                      IN ('0','2','4','6','8','a','c','e')
+                      THEN vf ELSE -vf END) AS proj
+           FROM g GROUP BY 1, 2)
+         SELECT vec_id, CAST(k AS BIGINT) AS k, CAST(proj AS BIGINT) AS proj
+         FROM s ORDER BY vec_id, k""",
     "q56_embedding_centroid" ->
       """SELECT vec_id % 8 AS cluster, CAST(i AS INT) AS dim, COUNT(*) AS n,
            (CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e14)

@@ -273,4 +273,35 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(s1 == s2 && s1.nonEmpty)
   }
+
+  test("q115 JL projection preserves pairwise distance in expectation") {
+    // For a ±1 sign projection, each projected coordinate of a
+    // difference vector u has mean 0 and variance |u|², so
+    // E[|proj(u)|²] = 8·|u|². The per-pair ratio concentrates but has
+    // real variance at k=8 — the MEDIAN over all C(40,2) fixture pairs
+    // is the stable statistic (measured ~1.0; bounds leave 2× head-
+    // room). The projection is linear, so pinning difference vectors
+    // via proj(a)−proj(b) also exercises exactly the emitted values.
+    val proj = SparkEntry.queries("q115_random_projection")(spark, sf)
+      .filter($"vec_id" < 40).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("proj").toDouble)
+      }
+    val orig = Tables.embeddings(spark, sf).filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(v => math.floor(v.toDouble * 1e6)) }
+      .toMap
+    val ratios = (for {
+      i <- orig.keys.toSeq; j <- orig.keys.toSeq if i < j
+    } yield {
+      val dOrig = orig(i).zip(orig(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val dProj = proj(i).zip(proj(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      dProj / (8.0 * dOrig)
+    }).sorted
+    val median = ratios(ratios.length / 2)
+    assert(ratios.nonEmpty && median > 0.5 && median < 2.0,
+      s"JL median distance ratio out of band: $median")
+  }
 }
