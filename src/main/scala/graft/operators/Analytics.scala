@@ -336,6 +336,41 @@ object Analytics {
           col("mass"))
         .orderBy(col("mass").desc, col("custkey").asc)
         .limit(20)
+    }),
+
+    // First-order Markov transition matrix over sessionized behavior:
+    // q61's session derivation (30-min gap, (ts, event_id) total
+    // order), then within-session (prev → next) bigram counts and
+    // integer transition probabilities (n·1000 DIV row-total — the
+    // bit-stable fixed-point spelling). The model behind next-event
+    // prediction / funnel simulation. Scale shape: both window passes
+    // ride ONE hash exchange on user_id (sessionize and lag share the
+    // partition key); the transition matrix itself is |types|² tiny,
+    // so its row-total window is bounded-domain, never corpus-sized.
+    "q116_session_markov" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("gap_ms",
+          unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
+        .withColumn("new_sess",
+          (col("gap_ms").isNull || col("gap_ms") > lit(30 * 60 * 1000L)).cast("int"))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val counts = sess
+        .withColumn("prev", lag(col("event_type"), 1).over(bySess))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wPrev = Window.partitionBy("prev") // |types|-bounded domain
+      counts
+        .withColumn("tot", sum(col("n")).over(wPrev))
+        .select(col("prev"), col("next"), col("n"),
+          expr("(n * 1000) DIV tot").as("prob_milli"))
+        .orderBy("prev", "next")
     })
   )
 
@@ -511,6 +546,32 @@ object Analytics {
            GROUP BY 1)
          SELECT m2.c AS custkey, cd.cdeg AS n_suppliers, m2.mass
          FROM m2 JOIN cdeg cd ON cd.c = m2.c
-         ORDER BY m2.mass DESC, custkey ASC LIMIT 20"""
+         ORDER BY m2.mass DESC, custkey ASC LIMIT 20""",
+    // session + lag spelling mirrors q61's oracle; row totals come
+    // from a grouped subquery (not a window SUM) so they stay BIGINT
+    "q116_session_markov" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS new_sess
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g),
+         t AS (
+           SELECT event_type AS next,
+             lag(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS prev
+           FROM s),
+         c AS (
+           SELECT prev, next, COUNT(*) AS n
+           FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.prev, c.next, c.n, (c.n * 1000) // o.tot AS prob_milli
+         FROM c JOIN o USING (prev) ORDER BY prev, next"""
   )
 }

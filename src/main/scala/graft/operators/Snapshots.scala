@@ -300,6 +300,43 @@ object Snapshots {
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
       latestSnapshot(o, col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
         .orderBy("o_custkey")
+    }),
+
+    // SCD type-2 history build — the S15 change log generalized to the
+    // warehouse dimension-history shape: a per-key change stream
+    // (here: each user's event_type acts as the tracked attribute)
+    // run-length-encodes into validity intervals [valid_from,
+    // valid_to), open-ended on the current version. Two window passes
+    // + one aggregate, all riding the SAME user_id hash partitioning
+    // (sessionless (ts, event_id) total order): flag attribute
+    // changes with lag, number versions with a running sum, aggregate
+    // each run, then lead() closes each interval with its successor's
+    // start. At 100 TB this is one exchange on the key and bounded
+    // per-key state — the standard distributed SCD2 rebuild.
+    "q117_scd2_intervals" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val versioned = Tables.events(s, dir)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("chg",
+          (lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"))
+            .cast("int"))
+        .withColumn("version", sum(col("chg")).over(run))
+      val runs = versioned.groupBy(col("user_id"), col("version"))
+        .agg(min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"),
+          min(col("event_type")).as("attr")) // constant within the run
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("attr"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("is_current"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -391,6 +428,33 @@ object Snapshots {
            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-           FROM orders) WHERE rn = 1 ORDER BY o_custkey"""
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    // run-length spelling mirrors Spark pass for pass; the version
+    // running SUM is cast to BIGINT (window SUM widens to HUGEINT)
+    "q117_scd2_intervals" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id < 100),
+         g AS (
+           SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (
+           SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS version
+           FROM g),
+         runs AS (
+           SELECT user_id, version, MIN(ts) AS valid_from,
+             COUNT(*) AS n_events, MIN(event_type) AS attr
+           FROM v GROUP BY 1, 2)
+         SELECT user_id, version, attr, valid_from,
+           lead(valid_from) OVER w2 AS valid_to, n_events,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+         FROM runs
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+         ORDER BY user_id, version"""
   )
 }

@@ -148,4 +148,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(masses.sameElements(masses.sorted.reverse) && masses.forall(_ > 0))
     edges.unpersist()
   }
+
+  test("q116 transition rows are a probability matrix up to DIV truncation") {
+    val rows = SparkEntry.queries("q116_session_markov")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, ts) =>
+      val total = ts.map(_.getAs[Long]("prob_milli")).sum
+      // each row truncates < 1 millis-unit, so the row sums to
+      // (1000 - |next states|, 1000]
+      assert(total <= 1000 && total > 1000 - ts.length,
+        s"row '$prev' sums to $total over ${ts.length} states")
+      ts.foreach(r => assert(r.getAs[Long]("n") > 0))
+    }
+  }
 }

@@ -119,4 +119,36 @@ class SnapshotsSpec extends SparkSpec {
       added.select($"symbol".as("new_symbol"), $"name".as("new_name")))
     assert(ren.count() == 30)     // all mod5 + mod6 pairs, nothing else
   }
+
+  test("q117 SCD2 intervals tile each key's timeline exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q117_scd2_intervals")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val evCount = Tables.events(spark, sf).filter($"user_id" < 100)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    byUser.foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n with exactly one open (current) interval
+      assert(sorted.map(_.getAs[Long]("version")).sameElements(1L to sorted.length))
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1)
+      // contiguous: each interval closes at its successor's start
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), s"gap in user $uid")
+        case _ =>
+      }
+      // run-length: consecutive versions never share the attribute
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("attr") != b.getAs[String]("attr"),
+            s"user $uid has an unmerged run")
+        case _ =>
+      }
+      // coverage: run sizes sum to the key's event count
+      assert(vs.map(_.getAs[Long]("n_events")).sum == evCount(uid))
+    }
+  }
 }
