@@ -89,6 +89,42 @@ object Bpe {
       trainMerges(s, wf, nMerges = 10)
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
+    }),
+
+    // BPE ENCODE — the apply half of q105's train: tokenize the corpus
+    // under the learned merge table and report per-source token
+    // accounting + fertility (bpe tokens per word, fixed-point). The
+    // production trick that makes this corpus-scale cheap: encode the
+    // DISTINCT-WORD VOCAB once (vocab-sized, 10 narrow merge kernels),
+    // then equi-join word occurrences to their encoded length — the
+    // corpus is never re-segmented per occurrence, and the vocab join
+    // is stats-gated like every unbounded broadcast. Rows-only (the
+    // learned table is corpus-state, not expressible in one DuckDB
+    // query); BpeSpec pins exact encodings on the hand corpus plus the
+    // merge-monotonicity and concatenation-round-trip laws.
+    "q118_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val wf = graft.Caches.cached(
+        words.groupBy("word").agg(count(lit(1)).as("cnt")))
+      val merges = trainMerges(s, wf, nMerges = 10).map(m => (m._2, m._3))
+      val encoded = wf.select(col("word")).as[String].map { w =>
+        var syms = w.split("").filter(_.nonEmpty)
+        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        (w, syms.length.toLong)
+      }.toDF("word", "n_bpe")
+      words.join(Tables.maybeBroadcast(encoded), Seq("word"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .withColumn("fertility_milli",
+          expr("(n_bpe_tokens * 1000) DIV n_words"))
+        .orderBy("source")
     })
   )
 

@@ -39,4 +39,49 @@ class BpeSpec extends SparkSpec {
     // merge can create a more frequent pair); rank order is the law
     assert(a.map(_._4).forall(_ > 0))
   }
+
+  test("encode round-trips and merges only shorten (q118 mechanism)") {
+    // encode under the classic corpus's learned merges: ug, un, h+ug
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    def encode(w: String): Seq[String] = {
+      var syms = w.split("").filter(_.nonEmpty)
+      merges.foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+      syms.toSeq
+    }
+    assert(encode("hug") == Seq("hug"))
+    assert(encode("pug") == Seq("p", "ug"))
+    assert(encode("pun") == Seq("p", "un"))
+    assert(encode("hugs") == Seq("hug", "s"))
+    assert(encode("bun") == Seq("b", "un"))
+    // laws on arbitrary words: concatenation round-trips; token count
+    // never exceeds char count; each extra merge never lengthens
+    Seq("hugh", "gug", "ununun", "x", "snug").foreach { w =>
+      assert(encode(w).mkString == w)
+      assert(encode(w).length <= w.length)
+      val progressive = merges.indices.map { k =>
+        var syms = w.split("").filter(_.nonEmpty)
+        merges.take(k + 1).foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+        syms.length
+      }
+      assert(progressive.sameElements(progressive.sorted.reverse),
+        s"$w: token count must be non-increasing in merges, got $progressive")
+    }
+  }
+
+  test("q118 per-source accounting is consistent and deterministic") {
+    val rows = SparkEntry.queries("q118_bpe_encode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val chars = r.getAs[Long]("n_chars")
+      val bpe = r.getAs[Long]("n_bpe_tokens")
+      // one token minimum per word; never more tokens than characters
+      assert(bpe >= words && bpe <= chars, s"row $r")
+      // fertility is the integer mean, so it lives in [1000, chars/words*1000]
+      val f = r.getAs[Long]("fertility_milli")
+      assert(f >= 1000 && f <= (chars * 1000) / words)
+    }
+    val again = SparkEntry.queries("q118_bpe_encode")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
