@@ -1046,6 +1046,56 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tok"), col("score"), col("rank"),
           col("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Length-bucketed padding-waste analysis — the measurement behind
+    // dynamic-batching bucket design: under power-of-two length
+    // buckets (floor 64), how many pad tokens does each (source,
+    // bucket) burn, as a fixed-point share of the batch volume? The
+    // next-power-of-two is all-integer via bin() length (q113's
+    // octave trick: 1 << len(bin(n−1)) for n > 64), so the report is
+    // bit-stable. Scale shape: one narrow pass + one map-side-combined
+    // aggregate on a (sources × ~10 buckets) bounded key space.
+    "q119_pad_waste" -> ((s, dir) => {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          wsToks.as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"))
+        .withColumn("bucket", expr(
+          """CASE WHEN n_tok <= 64 THEN CAST(64 AS BIGINT)
+             ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1))) END"""))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("bucket") - col("n_tok")).as("n_pad"))
+        .withColumn("waste_milli",
+          expr("(n_pad * 1000) DIV (n_docs * bucket)"))
+        .orderBy("source", "bucket")
+    }),
+
+    // Deterministic epoch shuffle — reproducible per-epoch corpus
+    // permutations with no RNG state: epoch e orders by
+    // md5(doc_id:e), so any worker (or either engine) derives the
+    // same order, and different epochs decorrelate. The rank<=k
+    // filter compiles to WindowGroupLimit (PlanSpec-pinned), i.e.
+    // per-partition top-k BEFORE the exchange — the plan never
+    // globally sorts the corpus to serve a bounded prefix, which is
+    // what makes "give me the first k docs of epoch e" 100 TB-safe.
+    "q120_epoch_shuffle" -> ((s, dir) => {
+      val wE = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch")).orderBy(col("skey"))
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(1L), lit(3L))))
+        .withColumn("skey",
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))))
+        .withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 20)
+        .select(col("epoch"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("skey"))
+        .orderBy("epoch", "rank")
     })
   )
 
@@ -1698,6 +1748,43 @@ object TextAnalysis {
            FROM p)
          SELECT doc_id, n_tok, score, rank,
            1 + ((rank - 1) * 3) // n_docs AS bucket
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+    // bucket spelling mirrors Spark: 1 << len(bin(n-1)) above the 64
+    // floor; SUMs cast back to BIGINT before the fixed-point DIV
+    "q119_pad_waste" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT source, n_tok,
+             CASE WHEN n_tok <= 64 THEN CAST(64 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1)) END AS bucket
+           FROM t),
+         g AS (
+           SELECT source, bucket, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(bucket - n_tok) AS BIGINT) AS n_pad
+           FROM b GROUP BY 1, 2)
+         SELECT source, bucket, n_docs, n_tokens, n_pad,
+           (n_pad * 1000) // (n_docs * bucket) AS waste_milli
+         FROM g ORDER BY source, bucket""",
+    // the md5 permutation key is engine-identical; ROW_NUMBER over
+    // (epoch, key) replays Spark's WindowGroupLimit-pruned rank
+    "q120_epoch_shuffle" ->
+      """WITH e AS (
+           SELECT doc_id, unnest(generate_series(1, 3)) AS epoch
+           FROM documents),
+         k AS (
+           SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+               AS skey
+           FROM e),
+         r AS (
+           SELECT epoch, doc_id, skey,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY skey) AS rank
+           FROM k)
+         SELECT epoch, rank, doc_id, skey
+         FROM r WHERE rank <= 20 ORDER BY epoch, rank"""
   )
 }

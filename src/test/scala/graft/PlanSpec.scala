@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpec {
       s"q69 must not shuffle beyond the deterministic output sort:\n$p")
   }
 
+  test("epoch-shuffle rank filter compiles to WindowGroupLimit (q120)") {
+    val p = plan("q120_epoch_shuffle")
+    // rank <= 20 must prune per-partition BEFORE the window exchange —
+    // without WindowGroupLimit the plan fully sorts the corpus per
+    // epoch to serve a 20-row prefix
+    assert(p.contains("WindowGroupLimit"),
+      s"q120's rank filter must push into the window as a group limit:\n${p.take(3000)}")
+  }
+
   test("gap detection pushes its window filter into the fact scan (q17)") {
     val p = plan("q17_gap_detect")
     // fragments asserted independently: pushed-filter ORDER inside the

@@ -255,4 +255,23 @@ class PropertySpec extends SparkSpec {
     val byRank = rows.sortBy(_._3).map(_._4)
     assert(byRank.sameElements(byRank.sorted), "buckets must be rank-contiguous")
   }
+
+  test("q119 buckets are tight powers of two and waste accounts exactly") {
+    val rows = SparkEntry.queries("q119_pad_waste")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 64 && (b & (b - 1)) == 0, s"bucket $b not a pow2 >= 64")
+      val nDocs = r.getAs[Long]("n_docs")
+      val nTok = r.getAs[Long]("n_tokens")
+      val nPad = r.getAs[Long]("n_pad")
+      // every doc in the bucket fits it and (above the floor) would
+      // not fit the next smaller bucket: b/2·n < n_tokens <= b·n
+      assert(nTok + nPad == b * nDocs, "pad must complete the volume")
+      assert(nTok <= b * nDocs)
+      if (b > 64) assert(nTok > (b / 2) * nDocs, s"bucket $b not tight")
+      val w = r.getAs[Long]("waste_milli")
+      assert(w >= 0 && w < 1000)
+    }
+  }
 }
