@@ -484,37 +484,39 @@ object Similarity {
     // md5("j:k") — so both engines derive the identical matrix with no
     // RNG, no shipped table; elements are floored to 1e-6 fixed point
     // first, so each projected coordinate is an exact integer sum.
-    // Scale shape: the whole projection is ONE narrow per-row pass —
-    // 8 fold-left HOF sums against per-k literal sign vectors compiled
-    // into the plan (no posexplode fan-out, no d×8 join, no shuffle
-    // before the output sort); the long-form (vec_id, k, proj) output
-    // comes from a stack() Generate, also narrow. At a 1000-executor
-    // scale-up the pass stays embarrassingly parallel.
+    // Scale shape: ONE narrow per-row pass through the codegen'd
+    // random_project kernel (each element read once, all 8 sums
+    // accumulated in a primitive long[] — the HOF spelling below is
+    // the interpreted reference, 8 CodegenFallback folds), then a
+    // posexplode Generate to long form (no d×8 join, no shuffle
+    // before the output sort). At a 1000-executor scale-up the pass
+    // stays embarrassingly parallel.
     "q115_random_projection" -> ((s, dir) => {
-      val kOut = 8
-      val dIn = 64
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def sign(j: Int, k: Int): Long = {
-        val hex = md.digest(s"$j:$k".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if ("02468ace".contains(hex.head)) 1L else -1L
-      }
-      val projCols = (0 until kOut).map { k =>
-        val signs = (0 until dIn).map(j => sign(j, k))
-        aggregate(
-          zip_with(col("embedding"), typedlit(signs),
-            (x, r) => floor(x.cast("double") * lit(1e6)).cast("long") * r),
-          lit(0L), (acc, t) => acc + t).as(s"p$k")
-      }
-      val stackExpr = (0 until kOut)
-        .map(k => s"CAST($k AS BIGINT), p$k").mkString(", ")
+      graft.plans.RandomProject.register(s)
       Tables.fanOut(Tables.embeddings(s, dir))
-        .select(col("vec_id") +: projCols: _*)
         .select(col("vec_id"),
-          expr(s"stack($kOut, $stackExpr)").as(Seq("k", "proj")))
+          call_function(graft.plans.RandomProject.NAME,
+            col("embedding"), lit(8), lit(64)).as("proj8"))
+        .select(col("vec_id"), posexplode(col("proj8")).as(Seq("k", "proj")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("proj"))
         .orderBy("vec_id", "k")
     })
   )
+
+  /** The interpreted REFERENCE spelling of the random_project kernel —
+    * kOut fold-left HOF sums against per-k literal sign vectors from
+    * the same canonical [[graft.plans.RandomProject.signMatrix]];
+    * SimilaritySpec pins their lockstep. Returns columns p0..p{k-1}. */
+  def randomProjectHof(v: Column, kOut: Int, dIn: Int): Seq[Column] = {
+    val signs = graft.plans.RandomProject.signMatrix(dIn, kOut)
+    (0 until kOut).map { k =>
+      val sk = (0 until dIn).map(j => signs(j * kOut + k))
+      aggregate(
+        zip_with(v, typedlit(sk),
+          (x, r) => floor(x.cast("double") * lit(1e6)).cast("long") * r),
+        lit(0L), (acc, t) => acc + t).as(s"p$k")
+    }
+  }
 
   /** IVF (inverted-file) ANN: deterministic coarse centroids, cell
     * assignment by max cosine, nprobe-cell probe + exact re-rank; the

@@ -274,6 +274,25 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 == s2 && s1.nonEmpty)
   }
 
+  test("codegen'd random_project matches the HOF reference spelling") {
+    import org.apache.spark.sql.functions._
+    graft.plans.RandomProject.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val kernel = e.select($"vec_id",
+        call_function("random_project", $"embedding", lit(8), lit(64)).as("p"))
+      .select($"vec_id", posexplode($"p").as(Seq("k", "proj")))
+      .as[(Long, Int, Long)].collect().toSet
+    val hof = e.select($"vec_id" +: Similarity.randomProjectHof($"embedding", 8, 64): _*)
+      .collect().flatMap { r =>
+        (0 until 8).map(k => (r.getAs[Long]("vec_id"), k, r.getAs[Long](s"p$k")))
+      }.toSet
+    assert(kernel.nonEmpty && kernel == hof)
+    // length-discipline parity: a wrong-dimension array is NULL in both
+    val bad = spark.sql("SELECT random_project(array(CAST(1.0 AS DOUBLE)), 8, 64) AS p")
+      .collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("q115 JL projection preserves pairwise distance in expectation") {
     // For a ±1 sign projection, each projected coordinate of a
     // difference vector u has mean 0 and variance |u|², so
