@@ -500,6 +500,51 @@ object Similarity {
         .select(col("vec_id"), posexplode(col("proj8")).as(Seq("k", "proj")))
         .select(col("vec_id"), col("k").cast("long").as("k"), col("proj"))
         .orderBy("vec_id", "k")
+    }),
+
+    // Index drift report — the rebuild advisor for the q103 append
+    // loop: after appends, how far has each cell's TRUE centroid moved
+    // from the one the index was built with, and how much of the cell
+    // is new? Spelled STATE-FREE (the q85/q65 exact-twin pattern) so
+    // the whole computation is oracle-checkable: base = the build-time
+    // stride blocks ((vec_id DIV 8) % 2 = 0 — every cell keeps base
+    // members by construction), cells = the q56 cluster notion
+    // (vec_id % 8). Drift compares the two per-cell means EXACTLY as
+    // integer rationals with a common denominator — max_d |sa_d·n2 −
+    // sb_d·n1| DIV (n1·n2), in 1e-6 element units — so no double sum
+    // ever crosses engines. Policy: rebuild when the new-vector share
+    // exceeds 25% OR the max per-dim mean shift exceeds 0.002. Scale
+    // shape: ONE map-side-combined aggregate over the corpus (128
+    // conditional sums + counts per cell), then bounded per-cell
+    // arithmetic; overflow bound documented at the drift spelling —
+    // n_cell·5.3e5·n_cell must fit int64 ⇒ ~4·10^6 vectors/cell.
+    "q121_index_drift" -> ((s, dir) => {
+      val dims = 64
+      def fx(i: Int): Column =
+        floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6))
+          .cast("long")
+      val agg = Tables.fanOut(Tables.embeddings(s, dir))
+        .select((col("vec_id") % 8).as("cell") +:
+          (expr("(vec_id DIV 8) % 2 = 0").as("base")) +:
+          (0 until dims).map(i => fx(i).as(s"x$i")): _*)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n2"),
+          sum(when(col("base"), 1L).otherwise(0L)).as("n1") +:
+            (0 until dims).flatMap(i => Seq(
+              sum(when(col("base"), col(s"x$i")).otherwise(0L)).as(s"sa$i"),
+              sum(col(s"x$i")).as(s"sb$i"))): _*)
+      val num = (0 until dims).map(i =>
+        abs(col(s"sa$i") * col("n2") - col(s"sb$i") * col("n1")))
+      agg
+        .withColumn("mx", greatest(num: _*))
+        .withColumn("drift_micro", expr("mx DIV (n1 * n2)"))
+        .select(col("cell"), col("n1").as("n_base"),
+          (col("n2") - col("n1")).as("n_new"),
+          expr("((n2 - n1) * 1000) DIV n2").as("new_share_milli"),
+          col("drift_micro"),
+          (col("drift_micro") > 2000 ||
+            expr("((n2 - n1) * 1000) DIV n2") > 250).as("rebuild"))
+        .orderBy("cell")
     })
   )
 
@@ -754,6 +799,35 @@ object Similarity {
          FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // generated 128-sum spelling mirroring the query's one-pass
+    // aggregate; every SUM is cast back to BIGINT (HUGEINT lesson) and
+    // the drift stays an integer rational — no double crosses engines
+    "q121_index_drift" -> {
+      val dims = 64
+      val fxs = (0 until dims).map(i =>
+        s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS fx$i")
+        .mkString(", ")
+      val sums = (0 until dims).flatMap(i => Seq(
+        s"CAST(SUM(CASE WHEN (vec_id // 8) % 2 = 0 THEN fx$i ELSE 0 END) AS BIGINT) AS sa$i",
+        s"CAST(SUM(fx$i) AS BIGINT) AS sb$i")).mkString(", ")
+      val nums = (0 until dims).map(i => s"abs(sa$i * n2 - sb$i * n1)")
+        .mkString(", ")
+      s"""WITH f AS (
+           SELECT vec_id % 8 AS cell, vec_id, $fxs FROM embeddings),
+         g AS (
+           SELECT cell, COUNT(*) AS n2,
+             CAST(SUM(CASE WHEN (vec_id // 8) % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             $sums
+           FROM f GROUP BY 1),
+         d AS (SELECT cell, n1, n2, greatest($nums) AS mx FROM g)
+         SELECT cell, n1 AS n_base, n2 - n1 AS n_new,
+           ((n2 - n1) * 1000) // n2 AS new_share_milli,
+           mx // (n1 * n2) AS drift_micro,
+           (mx // (n1 * n2) > 2000
+             OR ((n2 - n1) * 1000) // n2 > 250) AS rebuild
+         FROM d ORDER BY cell"""
+    },
     "q79_kmeans_step" -> {
       // generated 64-term spellings; addition stays LEFT-ASSOCIATED to
       // mirror the Spark reduce exactly (see the query's doc comment)

@@ -293,6 +293,31 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("q121 drift report matches a driver-side recomputation") {
+    val rows = SparkEntry.queries("q121_index_drift")(spark, sf).collect()
+    assert(rows.length == 8)
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val members = vecs.filter(_._1 % 8 == cell)
+      val base = members.filter(v => (v._1 / 8) % 2 == 0)
+      assert(r.getAs[Long]("n_base") == base.length)
+      assert(r.getAs[Long]("n_new") == members.length - base.length)
+      assert(base.nonEmpty, "every cell must keep build-time members")
+      // exact integer-rational drift, recomputed independently
+      val n1 = base.length.toLong; val n2 = members.length.toLong
+      val mx = (0 until 64).map { d =>
+        val sa = base.map(v => math.floor(v._2(d).toDouble * 1e6).toLong).sum
+        val sb = members.map(v => math.floor(v._2(d).toDouble * 1e6).toLong).sum
+        math.abs(sa * n2 - sb * n1)
+      }.max
+      assert(r.getAs[Long]("drift_micro") == mx / (n1 * n2))
+      assert(r.getAs[Boolean]("rebuild") ==
+        (mx / (n1 * n2) > 2000 || (n2 - n1) * 1000 / n2 > 250))
+    }
+  }
+
   test("q115 JL projection preserves pairwise distance in expectation") {
     // For a ±1 sign projection, each projected coordinate of a
     // difference vector u has mean 0 and variance |u|², so
