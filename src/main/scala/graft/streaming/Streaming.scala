@@ -627,4 +627,57 @@ object Streaming {
           packed.iterator
       }
   }
+
+  case class Scd2Ev(user_id: Long, event_id: Long,
+                    ts: java.sql.Timestamp, event_type: String)
+  case class Scd2Row(user_id: Long, version: Long, attr: String,
+                     valid_from: java.sql.Timestamp,
+                     valid_to: Option[java.sql.Timestamp],
+                     n_events: Long, is_current: Boolean)
+  case class Scd2State(version: Long, attr: String,
+                       valid_from: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming twin of the q117 SCD2 history build: each key's OPEN
+    * interval is the only state (O(keys), independent of history
+    * length); a micro-batch's events extend it, CLOSE it (emitting the
+    * finalized interval the moment its successor arrives — the
+    * streaming advantage over the nightly batch rebuild), or both.
+    * Every batch also re-emits the key's current open interval, so in
+    * Update mode the latest row per (key, version) is always the
+    * truth — the spec folds emissions that way and pins equality with
+    * the batch q117 manifest across chunked replays.
+    *
+    * Same ordering contract as [[sequencePack]]: batches must deliver
+    * (ts, event_id)-monotone slices per key (append-only time-ordered
+    * ingest); within a batch the group sorts itself. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[Scd2Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Scd2Ev], state: GroupState[Scd2State]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Row]()
+          var cur = state.getOption
+          it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case Some(st) if st.attr == e.event_type =>
+                cur = Some(st.copy(n_events = st.n_events + 1))
+              case Some(st) =>
+                out += Scd2Row(uid, st.version, st.attr, st.valid_from,
+                  Some(e.ts), st.n_events, is_current = false)
+                cur = Some(Scd2State(st.version + 1, e.event_type, e.ts, 1L))
+              case None =>
+                cur = Some(Scd2State(1L, e.event_type, e.ts, 1L))
+            }
+          }
+          cur.foreach { st =>
+            state.update(st)
+            out += Scd2Row(uid, st.version, st.attr, st.valid_from,
+              None, st.n_events, is_current = true)
+          }
+          out.iterator
+      }
+  }
 }

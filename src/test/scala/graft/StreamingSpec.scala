@@ -403,4 +403,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"streaming manifest diverged from batch:\nstream=${streamed.take(5)}\nbatch=${batch.take(5)}")
   }
+
+  test("streaming SCD2 equals the batch q117 manifest across chunked replays") {
+    // three ts-ordered landing chunks (the time-ordered-ingest
+    // contract); same-ts ties stay within one chunk so per-key
+    // (ts, event_id) order is monotone across batches
+    val landing = tmp("scd2_landing")
+    val ev = Tables.events(spark, sf).filter($"user_id" < 100)
+      .select("user_id", "event_id", "ts", "event_type")
+    val times = ev.select($"ts").as[java.sql.Timestamp].collect().sorted
+    val cuts = Seq(times(times.length / 3), times(2 * times.length / 3))
+    ev.filter($"ts" <= cuts(0))
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    ev.filter($"ts" > cuts(0) && $"ts" <= cuts(1))
+      .coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"ts" > cuts(1))
+      .coalesce(1).write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = Streaming.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update-mode fold: the latest emission per (key, version) wins —
+    // it is the one with the largest n_events, closed beating open
+    val folded = spark.table("scd2").collect()
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")))
+      .map { case (_, emissions) =>
+        emissions.maxBy(r =>
+          (r.getAs[Long]("n_events"), !r.getAs[Boolean]("is_current")))
+      }
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("attr"), r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+      .toSet
+    val batch = SparkEntry.queries("q117_scd2_intervals")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("attr"), r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+      .toSet
+    assert(folded == batch,
+      s"streaming SCD2 diverged from batch: only-stream=${(folded -- batch).take(3)} " +
+        s"only-batch=${(batch -- folded).take(3)}")
+  }
 }
