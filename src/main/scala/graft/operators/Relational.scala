@@ -231,6 +231,44 @@ object Relational {
         .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // The TPC-H Q21 shape (suppliers-who-kept-orders-waiting) on this
+    // schema's columns: suppliers whose RETURNED item ('R' standing in
+    // for receipt>commit lateness) sits in a finished multi-supplier
+    // order where NO other supplier's item was returned — the classic
+    // mixed EXISTS + NOT-EXISTS correlated pair over the same fact
+    // table, the optimizer shape decorrelation is hardest on. Spark
+    // spelling: both subqueries become explicit left_semi/left_anti
+    // self-joins keyed on l_orderkey, so all three legs share ONE
+    // hash-partitioning family (the exchange is planned once and
+    // reused; no per-row re-scan of lineitem as a naive correlated
+    // rewrite would). The supplier hop is stats-gated; top-20 by
+    // (numwait desc, s_name) — unique names ⇒ deterministic cutoff.
+    "q122_waiting_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val waited = l1
+        .join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      waited
+        .join(Tables.maybeBroadcast(
+          Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
     })
   )
 
@@ -331,6 +369,25 @@ object Relational {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-         GROUP BY n_name ORDER BY revenue DESC, n_name"""
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // the classic Q21 EXISTS / NOT EXISTS correlated spelling — the
+    // oracle keeps the subquery form the Spark side decorrelates
+    "q122_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC LIMIT 20"""
   )
 }

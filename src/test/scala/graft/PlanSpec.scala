@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
       s"q69 must not shuffle beyond the deterministic output sort:\n$p")
   }
 
+  test("Q21 shape: semi and anti legs plan as equi-joins on the order key (q122)") {
+    val p = plan("q122_waiting_suppliers")
+    // the suppkey inequality must ride the orderkey equi-join as a
+    // residual condition — never downgrade either leg to a nested loop
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"q122 must keep explicit semi/anti legs:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q122's legs degraded to a non-equi join:\n${p.take(3000)}")
+  }
+
   test("epoch-shuffle rank filter compiles to WindowGroupLimit (q120)") {
     val p = plan("q120_epoch_shuffle")
     // rank <= 20 must prune per-partition BEFORE the window exchange —
