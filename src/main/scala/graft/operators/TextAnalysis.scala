@@ -65,6 +65,48 @@ object TextAnalysis {
     * mirror this exact spelling); a tokenization tweak applied here
     * cannot diverge the two queries. */
   private def wsToks: Column = split(trim(col("text")), "\\s+")
+
+  /** The q92 BM25-style scorer, unfiltered: (query_id, doc_id, sts,
+    * rank) per (query, candidate doc) — rational idf, floor-scaled
+    * order-independent long sums (see q92's doc comment). Shared by
+    * q92 (top-3 report) and q123 (hybrid-fusion leg). */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val qterms = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
+      2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
+      4L -> "scan", 5L -> "customer", 5L -> "query")
+      .toDF("query_id", "token")
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), wsToks.as("toks"))
+    val dl = graft.Caches.cached(
+      d.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val scored = tf.join(broadcast(qterms), Seq("token"))
+      .join(dfT, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1 row: (N, avgdl)
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("nrm",
+        lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+      .withColumn("ts", floor(col("idf") *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * col("nrm"))) * lit(1e6))
+        .cast("long"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("ts")).as("sts"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sts").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(rk))
+  }
   private def nTokens: Column = size(wsToks)
   private def nStopwords: Column =
     size(expr(s"filter(split(trim(text), '\\\\s+'), t -> t IN ($stopList))"))
@@ -669,40 +711,7 @@ object TextAnalysis {
     // wide exchange carries matching postings keyed by (query, doc);
     // the rank window partitions by query over ≤ N rows per query.
     "q92_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val qterms = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
-        2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
-        4L -> "scan", 5L -> "customer", 5L -> "query")
-        .toDF("query_id", "token")
-      val d = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), wsToks.as("toks"))
-      val dl = graft.Caches.cached(
-        d.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
-      val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-        .select(col("n_docs"),
-          (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-      val scored = tf.join(broadcast(qterms), Seq("token"))
-        .join(dfT, Seq("token"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats)) // 1 row: (N, avgdl)
-        .withColumn("idf",
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))
-        .withColumn("nrm",
-          lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
-        .withColumn("ts", floor(col("idf") *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * col("nrm"))) * lit(1e6))
-          .cast("long"))
-      val perDoc = scored.groupBy("query_id", "doc_id")
-        .agg(sum(col("ts")).as("sts"))
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("sts").desc, col("doc_id").asc)
-      perDoc.withColumn("rank", row_number().over(rk))
+      bm25Ranked(s, dir)
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("doc_id"),
           (col("sts").cast("double") / lit(1e6)).as("score"))
@@ -1046,6 +1055,41 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tok"), col("score"), col("rank"),
           col("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    // of the two ranking modalities the engine already serves: q92's
+    // BM25 keyword leg and the exact-cosine embedding leg (query
+    // vector = the query's id, the synthetic corpus correspondence).
+    // RRF stays ALL-INTEGER: 10^6 DIV (60 + rank) per leg, summed —
+    // rank fusion needs no score calibration, which is exactly why
+    // production hybrid search uses it. Scale shape: each leg is
+    // already a bounded top-10-per-query frame when fusion sees it
+    // (WindowGroupLimit prunes the vector leg; the BM25 leg only
+    // ranks candidate docs containing a query term), so the
+    // full-outer fusion join and the final top-5 window run on
+    // |queries|·≤20 rows however large the corpus.
+    "q123_hybrid_retrieval" -> ((s, dir) => {
+      val bm = bm25Ranked(s, dir).filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("rank_b"))
+      val e = Tables.embeddings(s, dir)
+      val vec = graft.similarity.Similarity
+        .topK(e.filter(col("vec_id").between(1, 5)), e, 10)
+        .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+          col("rank").cast("long").as("rank_v"))
+      val fused = bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_scaled", expr(
+          """coalesce(1000000 DIV (60 + rank_b), 0) +
+             coalesce(1000000 DIV (60 + rank_v), 0)"""))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_scaled"), col("rank_b"), col("rank_v"))
+        .orderBy("query_id", "rank")
     }),
 
     // Length-bucketed padding-waste analysis — the measurement behind
@@ -1769,6 +1813,71 @@ object TextAnalysis {
          SELECT source, bucket, n_docs, n_tokens, n_pad,
            (n_pad * 1000) // (n_docs * bucket) AS waste_milli
          FROM g ORDER BY source, bucket""",
+    // composed from the two legs' own proven spellings: cosSql's
+    // decimal-pinned cosine ranks (the q38 oracle's core) + q92's
+    // BM25 CTEs at rank<=10, fused with the identical integer RRF
+    "q123_hybrid_retrieval" ->
+      (graft.similarity.Similarity.cosSql(
+        "WHERE vec_id BETWEEN 1 AND 5", "", "a.vec_id <> b.vec_id") +
+      """, vrank AS (
+           SELECT a_id AS query_id, b_id AS doc_id,
+             CAST(row_number() OVER (PARTITION BY a_id
+               ORDER BY cos DESC, b_id) AS BIGINT) AS rank_v
+           FROM cosines),
+         vtop AS (SELECT * FROM vrank WHERE rank_v <= 10),
+         qt(query_id, token) AS (
+           VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'agg'),
+                  (3, 'stream'), (3, 'batch'), (4, 'vector'), (4, 'scan'),
+                  (5, 'customer'), (5, 'query')),
+         d2 AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d2),
+         t2 AS (SELECT doc_id, unnest(toks) AS token FROM d2),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                  (CAST(df.df AS DOUBLE) + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) +
+                   1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) *
+               1e6) AS BIGINT) AS ts
+           FROM tf JOIN qt ON qt.token = tf.token
+                JOIN df ON df.token = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s),
+         bagg AS (
+           SELECT query_id, doc_id, SUM(ts) AS sts
+           FROM scored GROUP BY 1, 2),
+         brank AS (
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sts DESC, doc_id ASC) AS BIGINT) AS rank_b
+           FROM bagg),
+         btop AS (SELECT * FROM brank WHERE rank_b <= 10),
+         fused AS (
+           SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank_b, v.rank_v,
+             COALESCE(1000000 // (60 + b.rank_b), 0) +
+               COALESCE(1000000 // (60 + v.rank_v), 0) AS rrf_scaled
+           FROM btop b FULL OUTER JOIN vtop v
+             ON v.query_id = b.query_id AND v.doc_id = b.doc_id),
+         franked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank,
+             doc_id, rrf_scaled, rank_b, rank_v
+           FROM fused)
+         SELECT query_id, rank, doc_id, rrf_scaled, rank_b, rank_v
+         FROM franked WHERE rank <= 5 ORDER BY query_id, rank"""),
     // the md5 permutation key is engine-identical; ROW_NUMBER over
     // (epoch, key) replays Spark's WindowGroupLimit-pruned rank
     "q120_epoch_shuffle" ->

@@ -717,7 +717,7 @@ object Similarity {
   /** Oracle CTE: exact pairwise cosine with the same decimal pinning.
     * DuckDB 1.0 can't lateral-join range() on a column, so indices come
     * from unnest(generate_series(1, 64)) (embeddings are 64-dim). */
-  private def cosSql(aFilter: String, bFilter: String, pairPred: String): String =
+  private[graft] def cosSql(aFilter: String, bFilter: String, pairPred: String): String =
     s"""WITH a AS (SELECT vec_id, embedding FROM embeddings $aFilter),
         b AS (SELECT vec_id, embedding FROM embeddings $bFilter),
         norms AS (

@@ -88,11 +88,16 @@ class PlanSpec extends SparkSpec {
     //  q113 — token stream × the broadcast 1-row corpus-total row and
     //        per-doc scores × the broadcast 1-row doc-count row (both
     //        q92's 1-row-stats shape); the vocab join is an equi-join
+    //  q123 — COMPOSES both documented baselines: q38's broadcast
+    //        query-set cross product (vector leg) and q92's 1-row
+    //        global-stats row (BM25 leg); the fusion join itself is a
+    //        (query_id, doc_id) equi-join
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
       "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset",
-      "q103_ivf_append_serve", "q110_phrase_pmi", "q113_surprisal_bucket")
+      "q103_ivf_append_serve", "q110_phrase_pmi", "q113_surprisal_bucket",
+      "q123_hybrid_retrieval")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

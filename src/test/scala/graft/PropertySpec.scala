@@ -256,6 +256,24 @@ class PropertySpec extends SparkSpec {
     assert(byRank.sameElements(byRank.sorted), "buckets must be rank-contiguous")
   }
 
+  test("q123 fusion rows come from a leg and score exactly the RRF sum") {
+    val rows = SparkEntry.queries("q123_hybrid_retrieval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getAs[Long]("rank"))
+      val scores = sorted.map(_.getAs[Long]("rrf_scaled"))
+      assert(scores.sameElements(scores.sorted.reverse), "rrf must be rank-ordered")
+      sorted.foreach { r =>
+        val rb = Option(r.getAs[java.lang.Long]("rank_b")).map(_.toLong)
+        val rv = Option(r.getAs[java.lang.Long]("rank_v")).map(_.toLong)
+        assert(rb.isDefined || rv.isDefined, "a fused doc must come from a leg")
+        val expect = rb.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+          rv.map(x => 1000000L / (60 + x)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_scaled") == expect, s"RRF mismatch in $r")
+      }
+    }
+  }
+
   test("q119 buckets are tight powers of two and waste accounts exactly") {
     val rows = SparkEntry.queries("q119_pad_waste")(spark, sf).collect()
     assert(rows.nonEmpty)
