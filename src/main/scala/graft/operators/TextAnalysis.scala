@@ -1038,17 +1038,29 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_tok"), sum(col("sbits")).as("bits"))
         .withColumn("score", expr("bits DIV n_tok"))
         .select("doc_id", "n_tok", "score"))
-      val hist = perDoc.groupBy("score").agg(count(lit(1)).as("cnt"))
-      // bounded-domain window (≤ ~23k score values) — NOT corpus-sized
+      // TWO-LEVEL two-phase rank: offsets key on (score, doc_id DIV
+      // 4096), not score alone — a hot score (worst case: the whole
+      // corpus sharing one value) would otherwise serialize its
+      // entire population into ONE row_number partition. The
+      // sub-bucket histogram stays ≤ N/4096 + |scores| rows (its
+      // cumulative window is that frame's size, not the corpus), the
+      // offsets join is a plain equi-join (no broadcast assumption),
+      // and every row_number partition holds ≤ 4096 rows by
+      // construction. The (score, doc_id) total order — and therefore
+      // the oracle hash — is unchanged.
+      val hist = perDoc
+        .groupBy(col("score"), expr("doc_id DIV 4096").as("sb"))
+        .agg(count(lit(1)).as("cnt"))
       val wS = org.apache.spark.sql.expressions.Window
-        .orderBy("score").rowsBetween(Long.MinValue, 0)
+        .orderBy("score", "sb").rowsBetween(Long.MinValue, 0)
       val off = hist
         .withColumn("off", sum(col("cnt")).over(wS) - col("cnt"))
-        .select("score", "off")
+        .select("score", "sb", "off")
       val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
       val wD = org.apache.spark.sql.expressions.Window
-        .partitionBy("score").orderBy("doc_id")
-      perDoc.join(broadcast(off), Seq("score"))
+        .partitionBy("score", "sb").orderBy("doc_id")
+      perDoc.withColumn("sb", expr("doc_id DIV 4096"))
+        .join(off, Seq("score", "sb"))
         .crossJoin(broadcast(nDocs))
         .withColumn("rank", col("off") + row_number().over(wD))
         .withColumn("bucket", expr("1 + ((rank - 1) * 3) DIV n_docs"))
