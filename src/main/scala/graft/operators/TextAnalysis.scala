@@ -1069,6 +1069,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Compression-ratio quality signal (the Gopher/RefinedWeb filter
+    // family's "does it deflate like prose?" rule): per-doc raw-
+    // DEFLATE length over byte length via the codegen'd deflate_len
+    // kernel, rolled up per source with integer fixed-point ratios
+    // and a band histogram (repetitive < 300 milli ≤ prose < 700 ≤
+    // random). Rows-only by design — the byte-exact length is a
+    // function of the JDK's zlib, deterministic within this
+    // environment but not cross-engine; the kernel's SEMANTICS are
+    // law-pinned on constructed fixtures (see ExtensionsSpec). Scale:
+    // one narrow codegen'd pass + a source-keyed aggregate.
+    "q124_compress_ratio" -> ((s, dir) => {
+      graft.plans.DeflateLen.register(s)
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          call_function(graft.plans.DeflateLen.NAME, col("text")).as("n_defl"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("ratio_milli", expr("(n_defl * 1000) DIV n_bytes"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("raw_bytes"),
+          sum(col("n_defl")).as("deflate_bytes"),
+          sum(when(col("ratio_milli") < 300, 1L).otherwise(0L)).as("n_repetitive"),
+          sum(when(col("ratio_milli") >= 300 && col("ratio_milli") < 700, 1L)
+            .otherwise(0L)).as("n_prose"),
+          sum(when(col("ratio_milli") >= 700, 1L).otherwise(0L)).as("n_random"))
+        .withColumn("corpus_ratio_milli",
+          expr("(deflate_bytes * 1000) DIV raw_bytes"))
+        .orderBy("source")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     // of the two ranking modalities the engine already serves: q92's
     // BM25 keyword leg and the exact-cosine embedding leg (query

@@ -67,4 +67,53 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.conf.unset("spark.graft.maxBroadcastBytes")
       }
   }
+
+  test("deflate_len orders repetition below prose below randomness") {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.DeflateLen.register(spark)
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "considers whether compression ratios separate text quality bands ") * 8
+    val fixtures = Seq(
+      ("rep", "ab" * 500),
+      ("prose", prose),
+      ("rand", (0 until 60).flatMap(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"salt$i".getBytes("UTF-8"))
+          // full printable alphabet (~6.5 bits/char) — hex's 16
+          // symbols would deflate to ~0.56 and land in the prose band
+          .map(b => (33 + ((b & 0xff) % 94)).toChar)).mkString))
+      .toDF("kind", "text")
+    val got = fixtures
+      .select($"kind", octet_length($"text").cast("long").as("n"),
+        call_function("deflate_len", $"text").as("d"))
+      .collect().map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("d").toDouble / r.getAs[Long]("n"))).toMap
+    assert(got("rep") < 0.05, s"pure repetition must collapse, got ${got("rep")}")
+    assert(got("prose") > 0.1 && got("prose") < 0.7, s"prose band, got ${got("prose")}")
+    assert(got("rand") > 0.7, s"hex noise must resist deflate, got ${got("rand")}")
+    assert(got("rep") < got("prose") && got("prose") < got("rand"))
+    // codegen vs interpreted lockstep: the expression's eval equals the
+    // companion kernel called directly on the same bytes
+    fixtures.collect().foreach { r =>
+      val t = r.getAs[String]("text")
+      val viaSql = fixtures.filter($"kind" === r.getAs[String]("kind"))
+        .select(call_function("deflate_len", $"text")).as[Long].head()
+      assert(viaSql == graft.plans.DeflateLen.compressedLen(t.getBytes("UTF-8")))
+    }
+    // q124 rolls it up without crashing and with coherent accounting
+    val rows = SparkEntry.queries("q124_compress_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_repetitive") + r.getAs[Long]("n_prose") +
+          r.getAs[Long]("n_random"))
+      assert(r.getAs[Long]("deflate_bytes") > 0)
+    }
+  }
 }
