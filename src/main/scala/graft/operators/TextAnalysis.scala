@@ -66,6 +66,31 @@ object TextAnalysis {
     * cannot diverge the two queries. */
   private def wsToks: Column = split(trim(col("text")), "\\s+")
 
+  /** The q113 per-doc surprisal score — (doc_id, n_tok, score) in
+    * 1/512-bit granules under the corpus's own unigram LM (all-integer
+    * log2; see q113's doc comment). Shared by q113 (thirds report) and
+    * q126 (filter-AUC evaluation); cached, consumed multiple times. */
+  private def surprisalPerDoc(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(wsToks).as("w")))
+    val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n")) // COUNT, not SUM: stays BIGINT in the oracle too
+    graft.Caches.cached(tok
+      .join(Tables.maybeBroadcast(voc), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr("(n * 256) DIV c")) // ≥ 256 since c ≤ N
+      .withColumn("k", expr("length(bin(r)) - 1")) // integer floor(log2 r)
+      .withColumn("sbits", expr(
+        """(k - 8) * 512 +
+           ((r - shiftleft(CAST(1 AS BIGINT), k)) * 512)
+             DIV shiftleft(CAST(1 AS BIGINT), k)"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("sbits")).as("bits"))
+      .withColumn("score", expr("bits DIV n_tok"))
+      .select("doc_id", "n_tok", "score"))
+  }
+
   /** The q92 BM25-style scorer, unfiltered: (query_id, doc_id, sts,
     * rank) per (query, candidate doc) — rational idf, floor-scaled
     * order-independent long sums (see q92's doc comment). Shared by
@@ -1021,23 +1046,7 @@ object TextAnalysis {
     // the plan. Integer-overflow bound documented at the r spelling:
     // N·256·512 must fit int64 ⇒ N ≤ 2^45 tokens (≈ 140 TB of text).
     "q113_surprisal_bucket" -> ((s, dir) => {
-      val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(wsToks).as("w")))
-      val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      val tot = tok.agg(count(lit(1)).as("n")) // COUNT, not SUM: stays BIGINT in the oracle too
-      val perDoc = graft.Caches.cached(tok
-        .join(Tables.maybeBroadcast(voc), Seq("w"))
-        .crossJoin(broadcast(tot))
-        .withColumn("r", expr("(n * 256) DIV c")) // ≥ 256 since c ≤ N
-        .withColumn("k", expr("length(bin(r)) - 1")) // integer floor(log2 r)
-        .withColumn("sbits", expr(
-          """(k - 8) * 512 +
-             ((r - shiftleft(CAST(1 AS BIGINT), k)) * 512)
-               DIV shiftleft(CAST(1 AS BIGINT), k)"""))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("sbits")).as("bits"))
-        .withColumn("score", expr("bits DIV n_tok"))
-        .select("doc_id", "n_tok", "score"))
+      val perDoc = surprisalPerDoc(s, dir)
       // TWO-LEVEL two-phase rank: offsets key on (score, doc_id DIV
       // 4096), not score alone — a hot score (worst case: the whole
       // corpus sharing one value) would otherwise serialize its
@@ -1067,6 +1076,71 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tok"), col("score"), col("rank"),
           col("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Exact filter-evaluation AUC — "how well does the surprisal
+    // score separate English from the rest?" — computed ENTIRELY at
+    // histogram level: Mann-Whitney U needs only each score group's
+    // rank RANGE, so per-score (count, positives) + cumulative
+    // offsets give the exact tie-averaged rank-sum with NO per-row
+    // ranking and no global sort anywhere in the plan. Everything is
+    // 2×-scaled integer (avg2rank = 2·off + cnt + 1), so the AUC is
+    // bit-stable: auc_micro = (U2 · 10^6) DIV (2·n_pos·n_neg).
+    // Exactness bound: ranksum2 ≤ 2N² must fit int64 ⇒ N ≤ 2·10^9
+    // docs (beyond, stratify or widen). The ML-eval counterpart of
+    // the q113 filter itself.
+    "q126_filter_auc" -> ((s, dir) => {
+      val lab = surprisalPerDoc(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("pos")), Seq("doc_id"))
+      val h = lab.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .orderBy("score").rowsBetween(Long.MinValue, -1)
+      h.withColumn("off", coalesce(sum(col("cnt")).over(wS), lit(0L)))
+        .agg(sum(expr("npos * (2 * off + cnt + 1)")).as("ranksum2"),
+          sum(col("npos")).as("n_pos"), sum(col("cnt")).as("n"))
+        .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+          expr("""((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
+                  DIV (2 * n_pos * (n - n_pos))""").as("auc_micro"))
+    }),
+
+    // Exact duplicated-substring manifest (the span-level view of
+    // Lee et al. 2022's substring dedup; q72 counts, THIS emits the
+    // cut list): positions whose 8-token gram occurs in ≥ 2 distinct
+    // docs merge into MAXIMAL spans — fixed gram length makes interval
+    // ends monotone in start, so the island rule is just
+    // p − lag(p) > 8, one window pass per doc. Output: per (doc,
+    // island) the token interval [span_start, span_end) a rewriter
+    // would cut. Scale shape: gram df is an aggregate + semi-join
+    // (q72's no-fan-out shape — duplicated POSITIONS come back
+    // doc-keyed, never gram×gram); both windows partition by doc_id.
+    "q125_dup_span_manifest" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+        .filter(size(col("toks")) >= 8)
+      val grams = graft.Caches.cached(docs
+        .withColumn("p", explode(sequence(lit(1L), size(col("toks")) - 7)))
+        .select(col("doc_id"), col("p"),
+          array_join(slice(col("toks"), col("p").cast("int"), lit(8)), " ")
+            .as("gram")))
+      val dup = grams.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select("gram")
+      val hits = grams.join(dup, Seq("gram"), "left_semi")
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val run = wP.rowsBetween(Long.MinValue, 0)
+      hits
+        .withColumn("newi",
+          (lag(col("p"), 1).over(wP).isNull ||
+            col("p") - lag(col("p"), 1).over(wP) > 8).cast("int"))
+        .withColumn("island", sum(col("newi")).over(run))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("p")).as("span_start"),
+          (max(col("p")) + 8).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .orderBy("doc_id", "island")
     }),
 
     // Compression-ratio quality signal (the Gopher/RefinedWeb filter
@@ -1185,6 +1259,31 @@ object TextAnalysis {
         .orderBy("epoch", "rank")
     })
   )
+
+  /** Shared CTE prefix for the q113/q126 surprisal oracles: mirrors
+    * surprisalPerDoc granule for granule, ending at `p` =
+    * (doc_id, n_tok, score). */
+  private val surprisalCteSql: String =
+    """WITH d AS (
+         SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS w FROM d),
+       voc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS n FROM u),
+       sc AS (
+         SELECT u.doc_id, (tot.n * 256) // voc.c AS r
+         FROM u JOIN voc ON voc.w = u.w CROSS JOIN tot),
+       sb AS (SELECT doc_id, r, length(bin(r)) - 1 AS k FROM sc),
+       st AS (
+         SELECT doc_id, COUNT(*) AS n_tok,
+           SUM((k - 8) * 512 +
+               ((r - (CAST(1 AS BIGINT) << k)) * 512)
+                 // (CAST(1 AS BIGINT) << k)) AS bits
+         FROM sb GROUP BY 1),
+       p AS (
+         SELECT doc_id, n_tok,
+           CAST(bits AS BIGINT) // n_tok AS score
+         FROM st)"""
 
   val oracles: Map[String, String] = Map(
     "q30_lang_id" ->
@@ -1807,35 +1906,41 @@ object TextAnalysis {
     // construction: both are the (score, doc_id) total order). N is a
     // COUNT (BIGINT); the SUM of granules is cast back before DIV (the
     // q94 HUGEINT lesson).
-    "q113_surprisal_bucket" ->
-      """WITH d AS (
-           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         u AS (SELECT doc_id, unnest(toks) AS w FROM d),
-         voc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
-         tot AS (SELECT COUNT(*) AS n FROM u),
-         sc AS (
-           SELECT u.doc_id, (tot.n * 256) // voc.c AS r
-           FROM u JOIN voc ON voc.w = u.w CROSS JOIN tot),
-         sb AS (SELECT doc_id, r, length(bin(r)) - 1 AS k FROM sc),
-         st AS (
-           SELECT doc_id, COUNT(*) AS n_tok,
-             SUM((k - 8) * 512 +
-                 ((r - (CAST(1 AS BIGINT) << k)) * 512)
-                   // (CAST(1 AS BIGINT) << k)) AS bits
-           FROM sb GROUP BY 1),
-         p AS (
-           SELECT doc_id, n_tok,
-             CAST(bits AS BIGINT) // n_tok AS score
-           FROM st),
-         r AS (
+    "q113_surprisal_bucket" -> (surprisalCteSql +
+      """, r AS (
            SELECT doc_id, n_tok, score,
              ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rank,
              COUNT(*) OVER () AS n_docs
            FROM p)
          SELECT doc_id, n_tok, score, rank,
            1 + ((rank - 1) * 3) // n_docs AS bucket
-         FROM r ORDER BY doc_id""",
+         FROM r ORDER BY doc_id"""),
+    // histogram-level Mann-Whitney: per-score (cnt, npos) + cumulative
+    // offsets replay Spark's sort-free rank ranges exactly
+    "q126_filter_auc" -> (surprisalCteSql +
+      """, lab AS (
+           SELECT p.doc_id, p.score,
+             CASE WHEN d2.lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM p JOIN documents d2 ON d2.doc_id = p.doc_id),
+         h AS (
+           SELECT score, COUNT(*) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS npos
+           FROM lab GROUP BY 1),
+         c AS (
+           SELECT score, cnt, npos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM h),
+         agg AS (
+           SELECT CAST(SUM(npos * (2 * off + cnt + 1)) AS BIGINT) AS ranksum2,
+             CAST(SUM(npos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) AS BIGINT) AS n
+           FROM c)
+         SELECT n_pos, n - n_pos AS n_neg,
+           ((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
+             // (2 * n_pos * (n - n_pos)) AS auc_micro
+         FROM agg"""),
     // bucket spelling mirrors Spark: 1 << len(bin(n-1)) above the 64
     // floor; SUMs cast back to BIGINT before the fixed-point DIV
     "q119_pad_waste" ->
@@ -1856,6 +1961,44 @@ object TextAnalysis {
          SELECT source, bucket, n_docs, n_tokens, n_pad,
            (n_pad * 1000) // (n_docs * bucket) AS waste_milli
          FROM g ORDER BY source, bucket""",
+    // island spelling mirrors Spark pass for pass: 1-based 8-token
+    // slices, distinct-doc df >= 2, p − lag(p) > 8 island rule; the
+    // island running SUM is cast to BIGINT (window-HUGEINT lesson)
+    "q125_dup_span_manifest" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         d8 AS (SELECT * FROM d WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS p
+           FROM d8),
+         grams AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             array_to_string(toks[CAST(p AS INT):CAST(p + 7 AS INT)], ' ')
+               AS gram
+           FROM g),
+         dup AS (
+           SELECT gram FROM (
+             SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+           WHERE nd >= 2),
+         hits AS (
+           SELECT doc_id, p FROM grams
+           WHERE gram IN (SELECT gram FROM dup)),
+         fl AS (
+           SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+                  THEN 1 ELSE 0 END AS newi
+           FROM hits
+           WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         isl AS (
+           SELECT doc_id, p,
+             CAST(SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM fl)
+         SELECT doc_id, island, MIN(p) AS span_start,
+           MAX(p) + 8 AS span_end, COUNT(*) AS n_grams
+         FROM isl GROUP BY 1, 2 ORDER BY doc_id, island""",
     // composed from the two legs' own proven spellings: cosSql's
     // decimal-pinned cosine ranks (the q38 oracle's core) + q92's
     // BM25 CTEs at rank<=10, fused with the identical integer RRF

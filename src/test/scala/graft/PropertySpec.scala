@@ -256,6 +256,46 @@ class PropertySpec extends SparkSpec {
     assert(byRank.sameElements(byRank.sorted), "buckets must be rank-contiguous")
   }
 
+  test("q125 spans are maximal: separated, >= one gram long, coverage-exact") {
+    val rows = SparkEntry.queries("q125_dup_span_manifest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_.getAs[Long]("span_start"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("span_end") - r.getAs[Long]("span_start") >= 8)
+        assert(r.getAs[Long]("n_grams") >= 1)
+      }
+      // maximality: islands merged everything mergeable, so consecutive
+      // spans are STRICTLY separated (a touching pair would have merged)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end"),
+            s"doc $doc has mergeable spans")
+        case _ =>
+      }
+    }
+  }
+
+  test("q126 AUC equals the brute-force pairwise recomputation") {
+    val auc = SparkEntry.queries("q126_filter_auc")(spark, sf).collect()(0)
+    val scored = SparkEntry.queries("q113_surprisal_bucket")(spark, sf)
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toMap
+    val langs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    // keys.toSeq BEFORE map: mapping a Set of ids to scores would
+    // deduplicate equal scores and silently shrink both samples
+    val pos = scored.keys.toSeq.filter(d => langs(d) == "en").map(scored)
+    val neg = scored.keys.toSeq.filterNot(d => langs(d) == "en").map(scored)
+    assert(auc.getAs[Long]("n_pos") == pos.length &&
+      auc.getAs[Long]("n_neg") == neg.length)
+    // U counted pair by pair, ties at half weight, in 2x integer units
+    val u2 = pos.iterator.map(p =>
+      neg.iterator.map(n => if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+    val expect = u2 * 1000000L / (2L * pos.length * neg.length)
+    assert(auc.getAs[Long]("auc_micro") == expect,
+      s"histogram AUC ${auc.getAs[Long]("auc_micro")} != pairwise $expect")
+  }
+
   test("q123 fusion rows come from a leg and score exactly the RRF sum") {
     val rows = SparkEntry.queries("q123_hybrid_retrieval")(spark, sf).collect()
     assert(rows.nonEmpty)
