@@ -126,6 +126,69 @@ object StatsStore {
               col(yCol) >= loY && col(yCol) <= hiY)
   }
 
+  /** Per-file token BLOOM manifest — the file-skipping layer for
+    * NEEDLE lookups ("which files contain term X?"), where min/max
+    * ranges (q106) and Z-order boxes (q111) can't help because token
+    * membership has no key order. The same layer Parquet/Delta expose
+    * as bloom filter indexes, built here over plain parquet with the
+    * engine's own codegen'd hashing: each file's distinct tokens set
+    * k=3 positions in an m-bit filter via xxhash64(token, j); the
+    * manifest stores (file, word-index, OR-ed bits) rows. The BUILD is
+    * fully distributed (explode positions → bit_or aggregate keyed on
+    * (file, idx)) — no driver-side filter construction, unlike
+    * stat.bloomFilter. A probe needs ALL k bits present; false
+    * positives only cost an extra file open, never a wrong result. */
+  def writeBloomStore(docs: DataFrame, dir: String, nBuckets: Int,
+                      mBits: Int = 1 << 16, k: Int = 3): Unit = {
+    docs.repartitionByRange(nBuckets, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$dir/data")
+      .select(col("_metadata.file_path").as("file"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+      .select(col("file"), explode(expr(
+        s"transform(sequence(0, ${k - 1}, 1), j -> pmod(xxhash64(w, j), $mBits))"))
+        .as("pos"))
+      .select(col("file"), expr("pos DIV 64").as("idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("file", "idx").agg(expr("bit_or(bit)").as("bits"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Files whose bloom has ALL of the needle's k bits — the candidate
+    * set (superset of the true set; false-positive rate is the m/n
+    * trade). Bounded driver action: k probe positions against the
+    * nBuckets × m/64 manifest. */
+  def bloomCandidateFiles(spark: SparkSession, dir: String, needle: String,
+                          mBits: Int = 1 << 16, k: Int = 3): Seq[String] = {
+    // compute positions with the SAME engine hash the build used —
+    // never a reimplementation that could drift from xxhash64
+    val posRows = spark.range(1).withColumn("w", lit(needle))
+      .select(explode(expr(
+        s"transform(sequence(0, ${k - 1}, 1), j -> pmod(xxhash64(w, j), $mBits))"))
+        .as("pos")).distinct().collect().map(_.getAs[Long]("pos"))
+    val need = posRows.map(p => (p / 64, 1L << (p % 64).toInt)).toSeq
+    val manifest = spark.read.parquet(s"$dir/manifest")
+      .collect().map(r => (r.getAs[String]("file"), r.getAs[Long]("idx")) ->
+        r.getAs[Long]("bits")).toMap
+    manifest.keys.map(_._1).toSeq.distinct.filter { f =>
+      need.forall { case (idx, bit) =>
+        (manifest.getOrElse((f, idx), 0L) & bit) != 0L }
+    }
+  }
+
+  /** Needle read through the bloom manifest: open only candidate
+    * files, keep the exact membership predicate for row-level truth. */
+  def readNeedle(spark: SparkSession, dir: String, needle: String,
+                 mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val files = bloomCandidateFiles(spark, dir, needle, mBits, k)
+    val base = spark.read.parquet(s"$dir/data")
+    if (files.isEmpty) base.limit(0)
+    else spark.read.parquet(files: _*)
+      .filter(array_contains(split(trim(col("text")), "\\s+"), needle))
+  }
+
   val queries: Map[String, graft.Q] = Map(
     // Range query SERVED THROUGH the file-skipping store: build the
     // store from events (range-clustered by user_id, 16 files), read
@@ -177,6 +240,34 @@ object StatsStore {
             col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy("l_returnflag")
+    }),
+
+    // Needle lookup SERVED THROUGH the bloom manifest: build the
+    // store from documents (16 doc_id-range files + per-file token
+    // blooms), pick a deterministic needle BOTH engines can derive —
+    // the RAREST token (fewest distinct docs, lexicographic
+    // tie-break) — probe the blooms, open only candidate files, return
+    // the matching docs. The needle derivation is a 1-value bounded
+    // driver action; skipping only changes WHICH FILES OPEN, never
+    // the rows, so the result hash-matches the oracle's direct scan
+    // (SourcesSpec pins candidate⊇true, strict pruning, and
+    // miss-needle behavior).
+    "q127_bloom_pruned_scan" -> ((s, dir) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_bstore_${dir.hashCode & Int.MaxValue}"
+      val docs = graft.Tables.documents(s, dir)
+        .select("doc_id", "source", "text")
+      writeBloomStore(docs, store, nBuckets = 16)
+      val needle = docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+        .groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
+        .orderBy("nd", "w").limit(1)
+        .collect()(0).getString(0) // 1-value bounded driver action
+      readNeedle(s, store, needle)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          lit(needle).as("needle"))
+        .orderBy("doc_id")
     })
   )
 
@@ -199,6 +290,24 @@ object StatsStore {
                              AND (SELECT MAX(l_partkey) * 3 // 5 FROM lineitem)
            AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) * 2 // 5 FROM lineitem)
                              AND (SELECT MAX(l_suppkey) * 3 // 5 FROM lineitem)
-         GROUP BY l_returnflag ORDER BY l_returnflag"""
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the oracle scans directly — file skipping must be invisible in
+    // the rows; the needle derivation mirrors Spark's (fewest
+    // distinct docs, lexicographic tie-break)
+    "q127_bloom_pruned_scan" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_distinct(str_split_regex(trim(text), '\s+'))) AS w
+           FROM documents),
+         n AS (
+           SELECT w FROM (
+             SELECT w, COUNT(DISTINCT doc_id) AS nd FROM t GROUP BY 1)
+           ORDER BY nd, w LIMIT 1)
+         SELECT d.doc_id, d.source,
+           CAST(len(str_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tok,
+           n.w AS needle
+         FROM documents d JOIN n
+           ON list_contains(str_split_regex(trim(d.text), '\s+'), n.w)
+         ORDER BY d.doc_id"""
   )
 }

@@ -245,4 +245,43 @@ class SourcesSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpR))
     }
   }
+
+  test("bloom manifest: candidates cover truth, prune engages, misses skip all") {
+    import org.apache.spark.sql.functions._
+    val tmpB = s"${System.getProperty("java.io.tmpdir")}/graft_bspec_${System.nanoTime()}"
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      sources.StatsStore.writeBloomStore(docs, tmpB, nBuckets = 16)
+      val total = spark.read.parquet(s"$tmpB/manifest")
+        .select("file").distinct().count()
+      assert(total == 16)
+      val needle = docs
+        .select($"doc_id",
+          explode(array_distinct(split(trim($"text"), "\\s+"))).as("w"))
+        .groupBy("w").agg(countDistinct($"doc_id").as("nd"))
+        .orderBy("nd", "w").limit(1).collect()(0).getString(0)
+      // truth: the files that actually hold a matching doc
+      val trueFiles = spark.read.parquet(s"$tmpB/data")
+        .filter(array_contains(split(trim($"text"), "\\s+"), needle))
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val candidates = sources.StatsStore.bloomCandidateFiles(spark, tmpB, needle).toSet
+      assert(trueFiles.subsetOf(candidates),
+        "bloom pruning must never lose a true file")
+      assert(candidates.size < total,
+        s"prune must engage: ${candidates.size}/$total files probed positive")
+      // row-level equality: the needle read equals the unpruned scan
+      val pruned = sources.StatsStore.readNeedle(spark, tmpB, needle)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val full = spark.read.parquet(s"$tmpB/data")
+        .filter(array_contains(split(trim($"text"), "\\s+"), needle))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(pruned == full && pruned.nonEmpty)
+      // a token no document contains prunes everything (up to bloom
+      // false positives, the read itself must be EMPTY regardless)
+      assert(sources.StatsStore.readNeedle(spark, tmpB, "zz_no_such_token_zz").count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpB))
+    }
+  }
 }
