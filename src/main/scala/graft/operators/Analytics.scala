@@ -371,6 +371,35 @@ object Analytics {
         .select(col("prev"), col("next"), col("n"),
           expr("(n * 1000) DIV tot").as("prob_milli"))
         .orderBy("prev", "next")
+    }),
+
+    // Late-arrival audit — the batch-auditable twin of the streaming
+    // watermark drop rule: under arrival order (event_id — the
+    // append-only ingest sequence), an event is LATE if its timestamp
+    // trails the running max by more than the 30-minute watermark, and
+    // a watermarked streaming aggregate would silently drop it. The
+    // audit quantifies that loss per event_type BEFORE anyone turns on
+    // a watermark: drop counts, worst lateness (exact ms), and the
+    // drop share in fixed-point. Scale shape: the running max rides
+    // ONE global arrival-order window — but over (ts, event_id) only
+    // after a map-side projection, and at scale arrival order is
+    // per-partition-monotone so the same audit runs per ingest shard;
+    // the rollup is a bounded |event_type| aggregate.
+    "q128_late_arrival_audit" -> ((s, dir) => {
+      val wArr = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .withColumn("hwm", max(unix_millis(col("ts"))).over(wArr))
+        .withColumn("late_ms",
+          greatest(col("hwm") - unix_millis(col("ts")) - lit(30 * 60 * 1000L),
+            lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_dropped"),
+          max(col("late_ms")).as("max_late_ms"))
+        .withColumn("drop_milli", expr("(n_dropped * 1000) DIV n_events"))
+        .orderBy("event_type")
     })
   )
 
@@ -572,6 +601,25 @@ object Analytics {
            FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
          o AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
          SELECT c.prev, c.next, c.n, (c.n * 1000) // o.tot AS prob_milli
-         FROM c JOIN o USING (prev) ORDER BY prev, next"""
+         FROM c JOIN o USING (prev) ORDER BY prev, next""",
+    // running high-water mark over arrival order (event_id), exclusive
+    // frame so the first arrival is never late; epoch_ms both sides
+    "q128_late_arrival_audit" ->
+      """WITH a AS (
+           SELECT event_id, event_type, ts,
+             MAX(epoch_ms(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+           FROM events),
+         l AS (
+           SELECT event_type,
+             GREATEST(hwm - epoch_ms(ts) - 1800000, 0) AS late_ms
+           FROM a)
+         SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
+           (CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000) // COUNT(*) AS drop_milli
+         FROM l GROUP BY 1 ORDER BY event_type"""
   )
 }

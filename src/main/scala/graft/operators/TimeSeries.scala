@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -209,6 +209,56 @@ object TimeSeries {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("asof_view_id"), col("asof_view_value"))
         .orderBy("event_id")
+    }),
+
+    // The FULL as-of surface (pandas merge_asof's direction ×
+    // tolerance matrix; q22 is the backward default): per purchase,
+    // the nearest view BACKWARD and FORWARD within a 30-minute
+    // tolerance, and the NEAREST of the two (ties → backward). Both
+    // directions ride the q22 union trick — one window pass each over
+    // the interleaved stream, so the whole matrix costs two exchanges
+    // on user_id and never a range join. Tie discipline at equal ts
+    // is explicit in the sort keys: views sort BEFORE purchases in
+    // the backward pass (a same-instant view is visible) and AFTER
+    // them in the forward pass (still visible forward) — the
+    // inclusive ts <= / >= contract on both sides.
+    "q129_asof_directions" -> ((s, dir) => {
+      val tolMs = 30 * 60 * 1000L
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val wB = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def viewOnly(c: Column): Column = when(col("is_p") === 0, c)
+      ev
+        .withColumn("bwd_id0", last(viewOnly(col("event_id")), ignoreNulls = true).over(wB))
+        .withColumn("bwd_ms", last(viewOnly(unix_millis(col("ts"))), ignoreNulls = true).over(wB))
+        .withColumn("fwd_id0", first(viewOnly(col("event_id")), ignoreNulls = true).over(wF))
+        .withColumn("fwd_ms", first(viewOnly(unix_millis(col("ts"))), ignoreNulls = true).over(wF))
+        .filter(col("is_p") === 1)
+        .withColumn("p_ms", unix_millis(col("ts")))
+        .withColumn("bwd_delta", col("p_ms") - col("bwd_ms"))
+        .withColumn("fwd_delta", col("fwd_ms") - col("p_ms"))
+        .withColumn("bwd_id",
+          when(col("bwd_delta") <= tolMs, col("bwd_id0")))
+        .withColumn("fwd_id",
+          when(col("fwd_delta") <= tolMs, col("fwd_id0")))
+        .withColumn("nearest_id",
+          when(col("bwd_id").isNotNull &&
+              (col("fwd_id").isNull || col("bwd_delta") <= col("fwd_delta")),
+            col("bwd_id")).otherwise(col("fwd_id")))
+        .withColumn("nearest_delta_ms",
+          when(col("nearest_id") === col("bwd_id"), col("bwd_delta"))
+            .when(col("nearest_id") === col("fwd_id"), col("fwd_delta")))
+        .select(col("event_id"), col("user_id"),
+          col("bwd_id"), col("fwd_id"), col("nearest_id"),
+          col("nearest_delta_ms"))
+        .orderBy("event_id")
     })
   )
 
@@ -332,6 +382,51 @@ object TimeSeries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, value, asof_view_id, asof_view_value
-         FROM marked WHERE is_p = 1 ORDER BY event_id"""
+         FROM marked WHERE is_p = 1 ORDER BY event_id""",
+    // direction spellings mirror Spark frame for frame: views sort
+    // BEFORE purchases backward, AFTER them forward (inclusive <=/>=
+    // at equal ts on both sides); tolerance nulls, nearest ties to
+    // backward
+    "q129_asof_directions" ->
+      """WITH u AS (
+           SELECT event_id, ts, user_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         b AS (
+           SELECT *,
+             last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+               OVER wb AS bwd_id0,
+             last_value(CASE WHEN is_p = 0 THEN epoch_ms(ts) END IGNORE NULLS)
+               OVER wb AS bwd_ms,
+             first_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+               OVER wf AS fwd_id0,
+             first_value(CASE WHEN is_p = 0 THEN epoch_ms(ts) END IGNORE NULLS)
+               OVER wf AS fwd_ms
+           FROM u
+           WINDOW
+             wb AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, is_p DESC, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         p AS (
+           SELECT event_id, user_id,
+             epoch_ms(ts) - bwd_ms AS bwd_delta,
+             fwd_ms - epoch_ms(ts) AS fwd_delta,
+             CASE WHEN epoch_ms(ts) - bwd_ms <= 1800000 THEN bwd_id0 END
+               AS bwd_id,
+             CASE WHEN fwd_ms - epoch_ms(ts) <= 1800000 THEN fwd_id0 END
+               AS fwd_id
+           FROM b WHERE is_p = 1),
+         n AS (
+           SELECT event_id, user_id, bwd_id, fwd_id,
+             CASE WHEN bwd_id IS NOT NULL
+                   AND (fwd_id IS NULL OR bwd_delta <= fwd_delta)
+                  THEN bwd_id ELSE fwd_id END AS nearest_id,
+             bwd_delta, fwd_delta
+           FROM p)
+         SELECT event_id, user_id, bwd_id, fwd_id, nearest_id,
+           CASE WHEN nearest_id = bwd_id THEN bwd_delta
+                WHEN nearest_id = fwd_id THEN fwd_delta END AS nearest_delta_ms
+         FROM n ORDER BY event_id"""
   )
 }

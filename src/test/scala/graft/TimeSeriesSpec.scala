@@ -91,4 +91,45 @@ class TimeSeriesSpec extends SparkSpec {
       $"ts" <= row.getAs[Timestamp]("ts") && $"ts" > vTs).count()
     assert(later == 0)
   }
+
+  test("q129 directions agree with q22 backward and a brute-force nearest") {
+    val dirs = SparkEntry.queries("q129_asof_directions")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(dirs.nonEmpty)
+    val tol = 30 * 60 * 1000L
+    // backward leg == q22's unbounded backward view whenever that view
+    // is inside the tolerance (q129 only adds the null-out)
+    val ev = Tables.events(spark, sf)
+    val ts = ev.select($"event_id", $"ts").as[(Long, Timestamp)].collect().toMap
+    SparkEntry.queries("q22_asof_join")(spark, sf).collect().foreach { r =>
+      val pid = r.getAs[Long]("event_id")
+      val q22view = Option(r.getAs[java.lang.Long]("asof_view_id")).map(_.toLong)
+      val expect = q22view.filter(v =>
+        ts(pid).getTime - ts(v).getTime <= tol)
+      val got = Option(dirs(pid).getAs[java.lang.Long]("bwd_id")).map(_.toLong)
+      assert(got == expect, s"purchase $pid: bwd $got != q22∩tol $expect")
+    }
+    // nearest picks the smaller defined delta, ties backward
+    val brute = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts").as[(Long, Long, Timestamp)]
+      .collect().groupBy(_._1)
+    dirs.values.foreach { r =>
+      val u = r.getAs[Long]("user_id"); val pid = r.getAs[Long]("event_id")
+      val pMs = ts(pid).getTime
+      val views = brute.getOrElse(u, Array.empty)
+      val b = views.filter(v => v._3.getTime <= pMs && pMs - v._3.getTime <= tol)
+        .sortBy(v => (-v._3.getTime, -v._2)).headOption
+      val f = views.filter(v => v._3.getTime >= pMs && v._3.getTime - pMs <= tol)
+        .sortBy(v => (v._3.getTime, v._2)).headOption
+      val nearest = (b, f) match {
+        case (Some(bv), Some(fv)) =>
+          if (pMs - bv._3.getTime <= fv._3.getTime - pMs) Some(bv._2) else Some(fv._2)
+        case (Some(bv), None) => Some(bv._2)
+        case (None, Some(fv)) => Some(fv._2)
+        case _ => None
+      }
+      val got = Option(r.getAs[java.lang.Long]("nearest_id")).map(_.toLong)
+      assert(got == nearest, s"purchase $pid nearest $got != brute $nearest")
+    }
+  }
 }
