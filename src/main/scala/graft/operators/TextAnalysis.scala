@@ -1174,6 +1174,75 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // RAG index-build capstone — the retrieval-side sibling of q100's
+    // pretraining capstone: chunk the corpus (q63's 50/40 overlapping
+    // windows), dedup chunks exactly (md5 fingerprint, min
+    // (doc, chunk) canonical — overlapping chunking plus corpus
+    // near-dups makes chunk-level dedup load-bearing, not decorative),
+    // then build BM25 over the SURVIVING chunks and serve the q92
+    // query set with provenance (doc_id, chunk_id). Every stage is an
+    // exact, already-proven spelling, so the whole build+serve chain
+    // is DuckDB hash-checked end to end. Scale shape: chunking is a
+    // generate (no shuffle); dedup is one fp-keyed aggregate + semi-
+    // join; the postings/df aggregates are map-side combined; the
+    // 1-row stats frame broadcasts (q92's documented shape).
+    "q130_rag_index_build" -> ((s, dir) => {
+      import s.implicits._
+      val nChunks =
+        greatest(ceil((size(col("toks")) - 50).cast("double") / 40.0).cast("int"),
+          lit(0)) + 1
+      val start = col("chunk_id") * 40 + 1
+      val chunks = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("doc_id"), wsToks.as("toks"))
+          .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            slice(col("toks"), start, lit(50)).as("ctoks"))
+          .withColumn("fp", md5(array_join(col("ctoks"), " "))))
+      val canon = chunks.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+        .select(col("fp"), col("m.doc_id").as("doc_id"),
+          col("m.chunk_id").as("chunk_id"))
+      val surv = graft.Caches.cached(
+        chunks.join(canon, Seq("fp", "doc_id", "chunk_id"), "left_semi"))
+      val qterms = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
+        2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
+        4L -> "scan", 5L -> "customer", 5L -> "query")
+        .toDF("query_id", "token")
+      val dl = surv.select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("dl"))
+      val tf = surv
+        .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("token"))
+        .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("tot"))
+        .select(col("n_chunks"),
+          (col("tot").cast("double") / col("n_chunks").cast("double")).as("avgdl"))
+      val scored = tf.join(broadcast(qterms), Seq("token"))
+        .join(dfT, Seq("token"))
+        .join(dl, Seq("doc_id", "chunk_id"))
+        .crossJoin(broadcast(stats)) // 1 row (q92's documented shape)
+        .withColumn("idf",
+          (col("n_chunks").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("nrm",
+          lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+        .withColumn("ts", floor(col("idf") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * col("nrm"))) * lit(1e6))
+          .cast("long"))
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(sum(col("ts")).as("sts"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sts").desc, col("doc_id").asc, col("chunk_id").asc)
+      scored.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
+          (col("sts").cast("double") / lit(1e6)).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     // of the two ranking modalities the engine already serves: q92's
     // BM25 keyword leg and the exact-cosine embedding leg (query
@@ -1961,6 +2030,73 @@ object TextAnalysis {
          SELECT source, bucket, n_docs, n_tokens, n_pad,
            (n_pad * 1000) // (n_docs * bucket) AS waste_milli
          FROM g ORDER BY source, bucket""",
+    // chunk + dedup + BM25 stages each mirror their proven spellings
+    // (q63 windows, min-struct canonical, q92 scoring over chunks)
+    "q130_rag_index_build" ->
+      """WITH q(query_id, token) AS (
+           VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'agg'),
+                  (3, 'stream'), (3, 'batch'), (4, 'vector'), (4, 'scan'),
+                  (5, 'customer'), (5, 'query')),
+         d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0,
+               GREATEST(CAST(ceil(CAST(len(toks) - 50 AS DOUBLE) / 40.0)
+                 AS INT), 0))) AS chunk_id
+           FROM d),
+         chunks AS (
+           SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)] AS ctoks,
+             md5(array_to_string(
+               toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ')) AS fp
+           FROM c),
+         canon AS (
+           SELECT fp, MIN({'d': doc_id, 'c': chunk_id}) AS m
+           FROM chunks GROUP BY 1),
+         surv AS (
+           SELECT ch.* FROM chunks ch JOIN canon
+             ON canon.fp = ch.fp AND (canon.m).d = ch.doc_id
+                AND (canon.m).c = ch.chunk_id),
+         dl AS (
+           SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS dl
+           FROM surv),
+         t AS (
+           SELECT doc_id, chunk_id, unnest(ctoks) AS token FROM surv),
+         tf AS (
+           SELECT doc_id, chunk_id, token, COUNT(*) AS tf
+           FROM t GROUP BY 1, 2, 3),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT COUNT(*) AS n_chunks,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         scored AS (
+           SELECT q.query_id, tf.doc_id, tf.chunk_id,
+             CAST(floor(
+               ((CAST(s.n_chunks AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                  (CAST(df.df AS DOUBLE) + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) +
+                   1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) *
+               1e6) AS BIGINT) AS ts
+           FROM tf JOIN q ON q.token = tf.token
+                JOIN df ON df.token = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id AND dl.chunk_id = tf.chunk_id
+                CROSS JOIN stats s),
+         agg AS (
+           SELECT query_id, doc_id, chunk_id, SUM(ts) AS sts
+           FROM scored GROUP BY 1, 2, 3),
+         rk AS (
+           SELECT query_id, doc_id, chunk_id, sts,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sts DESC, doc_id ASC, chunk_id ASC) AS rank
+           FROM agg)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS INT) AS rank, doc_id, chunk_id,
+           CAST(sts AS DOUBLE) / 1e6 AS score
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
     // island spelling mirrors Spark pass for pass: 1-based 8-token
     // slices, distinct-doc df >= 2, p − lag(p) > 8 island rule; the
     // island running SUM is cast to BIGINT (window-HUGEINT lesson)

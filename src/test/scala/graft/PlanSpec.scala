@@ -94,12 +94,14 @@ class PlanSpec extends SparkSpec {
     //        (query_id, doc_id) equi-join
     //  q126 — reuses q113's surprisal score, hence its 1-row
     //        corpus-total broadcast; everything above it is aggregates
+    //  q130 — chunk-BM25 serve: the same 1-row (n_chunks, avgdl)
+    //        stats broadcast as q92; every other join is an equi-join
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
       "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset",
       "q103_ivf_append_serve", "q110_phrase_pmi", "q113_surprisal_bucket",
-      "q123_hybrid_retrieval", "q126_filter_auc")
+      "q123_hybrid_retrieval", "q126_filter_auc", "q130_rag_index_build")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
