@@ -64,8 +64,55 @@ object Multimodal {
       out
     }
 
+    def isWav(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+    /** Real audio codec boundary — JDK `javax.sound.sampled`, no
+      * external deps: byte signal → 8-bit PCM mono RIFF/WAVE. 8-bit
+      * PCM stores the sample bytes verbatim (lossless, spec-pinned
+      * over the full byte range), which is what lets the byte-replay
+      * oracles survive the container hop — the same property the PNG
+      * path relies on. The 44-byte canonical header is written
+      * directly (deterministic across JVMs); DECODE goes through the
+      * real `AudioSystem` parser, so a malformed container fails
+      * loudly at the codec, not as silently-wrong samples. */
+    def encodePcmWav(signal: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+      require(signal.nonEmpty, "cannot encode an empty signal")
+      val n = signal.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(1) // mono
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate) // byte rate = rate × 1 channel × 1 byte
+      bb.putShort(1) // block align
+      bb.putShort(8) // bits per sample
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(n)
+      bb.put(signal)
+      bb.array()
+    }
+
+    def decodePcmSamples(wav: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = ais.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+        out.toByteArray
+      } finally ais.close()
+    }
+
     def signalOf(payload: Array[Byte]): Array[Byte] =
-      if (isPng(payload)) decodeGrayPixels(payload) else payload
+      if (isPng(payload)) decodeGrayPixels(payload)
+      else if (isWav(payload)) decodePcmSamples(payload)
+      else payload
 
     /** 2-D encode: row-major signal into a width-w grayscale PNG,
       * zero-padding the final row (height = ceil(n/w)). The padding is
@@ -123,8 +170,8 @@ object Multimodal {
       col("doc_id").as("media_id"),
       element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       when(col("doc_id") % 3 === 0, lit("image/png"))
-        .otherwise(concat(lit("application/x-fake-"),
-          element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")))).as("mime"),
+        .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+        .otherwise(lit("application/x-fake-video")).as("mime"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1920 + 16).cast("int")).as("width"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1080 + 16).cast("int")).as("height"),
       when(col("doc_id") % 3 =!= 0, col("n_chars") * 100).as("duration_ms"),
@@ -132,9 +179,11 @@ object Multimodal {
     encodeImagePayloads(base)
   }
 
-  /** Narrow per-partition PNG encode of image-kind payloads — the write
-    * side of the codec boundary. Row-encoder mapPartitions keeps the
-    * full media schema; blobs never shuffle. */
+  /** Narrow per-partition container encode — the write side of BOTH
+    * codec boundaries: image payloads become real PNGs, audio payloads
+    * real 8-bit-PCM WAVs (video stays a labeled stand-in signal —
+    * there is no pure-JDK video container). Row-encoder mapPartitions
+    * keeps the full media schema; blobs never shuffle. */
   private def encodeImagePayloads(media: DataFrame): DataFrame = {
     val schema = media.schema
     val kindIdx = schema.fieldIndex("kind")
@@ -143,11 +192,17 @@ object Multimodal {
       org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { it =>
       it.map { r =>
-        if (r.getString(kindIdx) == "image") {
-          val vals = r.toSeq.toArray
-          vals(payIdx) = Codec.encodeGrayPng(r.getAs[Array[Byte]](payIdx))
-          Row.fromSeq(vals.toIndexedSeq)
-        } else r
+        r.getString(kindIdx) match {
+          case "image" =>
+            val vals = r.toSeq.toArray
+            vals(payIdx) = Codec.encodeGrayPng(r.getAs[Array[Byte]](payIdx))
+            Row.fromSeq(vals.toIndexedSeq)
+          case "audio" =>
+            val vals = r.toSeq.toArray
+            vals(payIdx) = Codec.encodePcmWav(r.getAs[Array[Byte]](payIdx))
+            Row.fromSeq(vals.toIndexedSeq)
+          case _ => r
+        }
       }
     }
   }
@@ -157,10 +212,11 @@ object Multimodal {
                            head_sig: String)
 
   /** Decode kernel: PNG payloads (image kind) go through the REAL
-    * `javax.imageio` decode ([[Codec.signalOf]]) and the statistics run
-    * over the decoded PIXELS; non-container payloads (audio/video
-    * stand-ins) are already the signal. An ffmpeg-style binding for
-    * audio/video would extend `signalOf` — this call site is final. */
+    * `javax.imageio` decode and WAV payloads (audio kind) the REAL
+    * `javax.sound.sampled` parse ([[Codec.signalOf]]); statistics run
+    * over decoded PIXELS/SAMPLES. Video remains a labeled stand-in
+    * signal (no pure-JDK video container) — an ffmpeg-style binding
+    * would extend `signalOf`; this call site is final. */
   private def decodeFeatures(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val signal = Codec.signalOf(payload)
     val n = signal.length

@@ -87,6 +87,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codec.signalOf(signal).toSeq == signal.toSeq)
   }
 
+  test("WAV codec round-trips any byte signal losslessly through AudioSystem") {
+    // full byte range — 8-bit PCM stores samples verbatim, and the
+    // decode goes through the REAL javax.sound.sampled parser
+    val signal = Array.tabulate(300)(i => ((i * 11 + 5) % 256).toByte)
+    val wav = Multimodal.Codec.encodePcmWav(signal)
+    assert(Multimodal.Codec.isWav(wav))
+    assert(!Multimodal.Codec.isWav(signal) && !Multimodal.Codec.isPng(wav))
+    assert(Multimodal.Codec.decodePcmSamples(wav).toSeq == signal.toSeq)
+    assert(Multimodal.Codec.signalOf(wav).toSeq == signal.toSeq)
+    // a corrupt container fails loudly at the codec, never silently
+    val broken = wav.clone(); broken(20) = 99 // clobber fmt chunk
+    intercept[Exception](Multimodal.Codec.decodePcmSamples(broken))
+  }
+
+  test("synthetic audio payloads are real WAV containers decoding to the text bytes") {
+    val auds = Multimodal.syntheticMedia(spark, sf)
+      .filter($"kind" === "audio")
+      .join(Tables.documents(spark, sf), $"media_id" === $"doc_id")
+      .select($"media_id", $"mime", $"payload", $"text")
+      .limit(5).collect()
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      assert(r.getAs[String]("mime") == "audio/wav")
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.Codec.isWav(payload))
+      assert(Multimodal.Codec.decodePcmSamples(payload).toSeq ==
+        r.getAs[String]("text").getBytes("UTF-8").toSeq)
+    }
+  }
+
   test("synthetic image payloads are real PNG containers decoding to the text bytes") {
     val imgs = Multimodal.syntheticMedia(spark, sf)
       .filter($"kind" === "image")
