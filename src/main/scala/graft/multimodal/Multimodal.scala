@@ -274,6 +274,39 @@ object Multimodal {
       .toDF("media_id", "frame_offset", "frame")
   }
 
+  /** Framed audio features over DECODED samples — the audio analogue
+    * of [[sampleFrames]], and the first kernel that consumes the real
+    * WAV decode in anger: per 256-sample frame (stride 128), signal
+    * energy Σ(s−128)² and zero-crossing count around the 8-bit-PCM
+    * midpoint — both exact integers, so the rollup is oracle-checkable
+    * against a byte replay of the source signal. Narrow mapPartitions;
+    * containers never shuffle. */
+  def audioFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val s = Codec.signalOf(bytes) // REAL javax.sound.sampled decode
+        Iterator.range(0, math.max(s.length - frameSize + 1, 0), stride)
+          .map { off =>
+            var energy = 0L; var zcr = 0L
+            var i = off
+            while (i < off + frameSize) {
+              val v = (s(i) & 0xff) - 128
+              energy += v.toLong * v
+              if (i > off) {
+                val p = (s(i - 1) & 0xff) - 128
+                if ((v >= 0) != (p >= 0)) zcr += 1
+              }
+              i += 1
+            }
+            (id, off.toLong, energy, zcr)
+          }
+      }
+      .toDF("media_id", "frame_offset", "energy", "zcr")
+  }
+
   /** 63-bit average-hash perceptual fingerprint: split the (ASCII-
     * compacted) payload into 63 contiguous segments, set bit s iff
     * segment s's mean byte exceeds the whole-payload mean. Bit 63 is
@@ -439,6 +472,22 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = queriesBase ++ Map(
+    // REAL AUDIO PIPELINE: audio docs' bytes travel through a genuine
+    // WAV container (8-bit PCM, javax.sound.sampled decode) before
+    // the framed energy / zero-crossing kernel — encode, container,
+    // decode, and feature math all real; the oracle replays the
+    // sample math from the source bytes (ASCII corpus ⇒ byte ==
+    // code point, the q64 contract), all-integer. Per-media rollup:
+    // frame count, peak energy, total crossings.
+    "q131_audio_features" -> ((s, dir) => {
+      audioFrames(graft.Tables.fanOut(syntheticMedia(s, dir)), 256, 128)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("energy")).as("max_energy"),
+          sum(col("zcr")).as("total_zcr"))
+        .orderBy("media_id")
+    }),
+
     // REAL 2-D IMAGE PIPELINE: each image doc's bytes encode into a
     // genuine width-64 grayscale PNG (zero-padded final row), decode
     // through javax.imageio, and 2×2 sum-pool — encode, container,
@@ -468,6 +517,32 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    // sample replay from source bytes: v = unicode(char) - 128 (the
+    // 8-bit-PCM midpoint); energy and crossings exact integers
+    "q131_audio_features" ->
+      """WITH a AS (
+           SELECT doc_id AS media_id, text FROM documents
+           WHERE doc_id % 3 = 1 AND length(text) >= 256),
+         f AS (
+           SELECT media_id, text,
+             unnest(generate_series(0, length(text) - 256, 128)) AS off
+           FROM a),
+         s AS (
+           SELECT media_id, off, i,
+             unicode(substr(text, CAST(off + i AS INT), 1)) - 128 AS v,
+             CASE WHEN i > 1 THEN
+               unicode(substr(text, CAST(off + i - 1 AS INT), 1)) - 128 END AS p
+           FROM (SELECT media_id, text, off,
+                   unnest(generate_series(1, 256)) AS i FROM f)),
+         g AS (
+           SELECT media_id, CAST(off AS BIGINT) AS frame_offset,
+             CAST(SUM(v * v) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND ((v >= 0) <> (p >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+           FROM s GROUP BY 1, 2)
+         SELECT media_id, COUNT(*) AS n_frames, MAX(energy) AS max_energy,
+           CAST(SUM(zcr) AS BIGINT) AS total_zcr
+         FROM g GROUP BY 1 ORDER BY media_id""",
     // row-major replay: pixel(r,c) = code unit at r*64+c when < n, 0
     // in the padded tail; only complete 2×2 blocks pool
     "q104_image_pool" ->
