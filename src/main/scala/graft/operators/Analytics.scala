@@ -380,20 +380,34 @@ object Analytics {
     // a watermarked streaming aggregate would silently drop it. The
     // audit quantifies that loss per event_type BEFORE anyone turns on
     // a watermark: drop counts, worst lateness (exact ms), and the
-    // drop share in fixed-point. Scale shape: the running max rides
-    // ONE global arrival-order window — but over (ts, event_id) only
-    // after a map-side projection, and at scale arrival order is
-    // per-partition-monotone so the same audit runs per ingest shard;
-    // the rollup is a bounded |event_type| aggregate.
+    // drop share in fixed-point. Scale shape: the running high-water
+    // mark is a TWO-PHASE distributed prefix-max (the q113 offsets
+    // pattern applied to a scan): per-64Ki-arrival-block maxes roll
+    // into a bounded carry-in window (one row per block), then the
+    // within-block running max — partitioned by block, ≤ 64Ki rows
+    // per task — takes greatest(carry, local). No corpus-sized
+    // single-partition window anywhere; the rollup is a bounded
+    // |event_type| aggregate.
     "q128_late_arrival_audit" -> ((s, dir) => {
-      val wArr = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("ts"))
-        .withColumn("hwm", max(unix_millis(col("ts"))).over(wArr))
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("blk", expr("event_id DIV 65536"))
+      val blockMax = ev.groupBy("blk").agg(max(col("ms")).as("bmax"))
+      // carry-in = max over all STRICTLY EARLIER blocks (block count is
+      // corpus/64Ki — the bounded-domain window, never the corpus)
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = blockMax
+        .withColumn("carry", max(col("bmax")).over(wBlk))
+        .select("blk", "carry")
+      val wIn = Window.partitionBy("blk").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.join(carry, Seq("blk"))
+        .withColumn("localMax", max(col("ms")).over(wIn))
+        .withColumn("hwm", greatest(col("carry"), col("localMax")))
         .withColumn("late_ms",
-          greatest(col("hwm") - unix_millis(col("ts")) - lit(30 * 60 * 1000L),
-            lit(0L)))
+          greatest(col("hwm") - col("ms") - lit(30 * 60 * 1000L), lit(0L)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_dropped"),

@@ -158,8 +158,10 @@ object StatsStore {
 
   /** Files whose bloom has ALL of the needle's k bits — the candidate
     * set (superset of the true set; false-positive rate is the m/n
-    * trade). Bounded driver action: k probe positions against the
-    * nBuckets × m/64 manifest. */
+    * trade). The manifest is FILTERED to the ≤ k probed word-indexes
+    * before anything reaches the driver, so the collect is ≤ k rows
+    * per file however large m is — at a 100k-file store that is
+    * ~300k (file, bits) pairs, not 100k × m/64 manifest rows. */
   def bloomCandidateFiles(spark: SparkSession, dir: String, needle: String,
                           mBits: Int = 1 << 16, k: Int = 3): Seq[String] = {
     // compute positions with the SAME engine hash the build used —
@@ -169,12 +171,14 @@ object StatsStore {
         s"transform(sequence(0, ${k - 1}, 1), j -> pmod(xxhash64(w, j), $mBits))"))
         .as("pos")).distinct().collect().map(_.getAs[Long]("pos"))
     val need = posRows.map(p => (p / 64, 1L << (p % 64).toInt)).toSeq
-    val manifest = spark.read.parquet(s"$dir/manifest")
+    val idxs = need.map(_._1).distinct
+    val hit = spark.read.parquet(s"$dir/manifest")
+      .filter(col("idx").isin(idxs: _*)) // pushed to the manifest scan
       .collect().map(r => (r.getAs[String]("file"), r.getAs[Long]("idx")) ->
         r.getAs[Long]("bits")).toMap
-    manifest.keys.map(_._1).toSeq.distinct.filter { f =>
+    hit.keys.map(_._1).toSeq.distinct.sorted.filter { f =>
       need.forall { case (idx, bit) =>
-        (manifest.getOrElse((f, idx), 0L) & bit) != 0L }
+        (hit.getOrElse((f, idx), 0L) & bit) != 0L }
     }
   }
 
