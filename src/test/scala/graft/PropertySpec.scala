@@ -256,6 +256,27 @@ class PropertySpec extends SparkSpec {
     assert(byRank.sameElements(byRank.sorted), "buckets must be rank-contiguous")
   }
 
+  test("q120 epochs decorrelate and each is a permutation prefix") {
+    val rows = SparkEntry.queries("q120_epoch_shuffle")(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, rs) => e -> rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("doc_id")).toSeq }
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.values.foreach { ids =>
+      assert(ids.length == 20 && ids.distinct.length == 20)
+    }
+    // different epochs must produce different orders (decorrelation is
+    // the point of keying by epoch); identical prefixes would mean the
+    // epoch never reached the permutation key
+    assert(byEpoch(1L) != byEpoch(2L) && byEpoch(2L) != byEpoch(3L))
+    // determinism: a second run reproduces every prefix exactly
+    val again = SparkEntry.queries("q120_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(again == rows.map(r => (r.getAs[Long]("epoch"),
+      r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
   test("q125 spans are maximal: separated, >= one gram long, coverage-exact") {
     val rows = SparkEntry.queries("q125_dup_span_manifest")(spark, sf).collect()
     assert(rows.nonEmpty)

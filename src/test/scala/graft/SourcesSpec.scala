@@ -280,6 +280,16 @@ class SourcesSpec extends SparkSpec {
       // a token no document contains prunes everything (up to bloom
       // false positives, the read itself must be EMPTY regardless)
       assert(sources.StatsStore.readNeedle(spark, tmpB, "zz_no_such_token_zz").count() == 0)
+      // false-positive ceiling: across many absent needles, the mean
+      // candidate fraction must stay well under 1 — if the filters
+      // saturate (m too small for the vocabulary) pruning silently
+      // dies while every equality law above still passes
+      val fpFrac = (0 until 20).map { i =>
+        sources.StatsStore
+          .bloomCandidateFiles(spark, tmpB, s"zz_absent_needle_$i")
+          .size.toDouble / total
+      }.sum / 20
+      assert(fpFrac < 0.5, s"bloom filters saturated: mean FP fraction $fpFrac")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpB))
     }
