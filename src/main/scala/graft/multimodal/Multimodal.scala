@@ -79,11 +79,17 @@ object Multimodal {
       * real `AudioSystem` parser, so a malformed container fails
       * loudly at the codec, not as silently-wrong samples. */
     def encodePcmWav(signal: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
-      require(signal.nonEmpty, "cannot encode an empty signal")
       val n = signal.length
-      val bb = java.nio.ByteBuffer.allocate(44 + n)
+      // RIFF requires word-aligned chunks: an odd data chunk carries one
+      // trailing pad byte NOT counted in its ckSize but counted in the
+      // enclosing RIFF size (r7 ADVICE — javax.sound tolerates the
+      // unpadded form, external consumers need not). An empty signal
+      // encodes as a VALID zero-sample container rather than aborting
+      // the whole query on one empty payload.
+      val pad = n % 2
+      val bb = java.nio.ByteBuffer.allocate(44 + n + pad)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n + pad)
       bb.put("WAVE".getBytes("US-ASCII"))
       bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
       bb.putShort(1) // PCM
@@ -94,6 +100,7 @@ object Multimodal {
       bb.putShort(8) // bits per sample
       bb.put("data".getBytes("US-ASCII")); bb.putInt(n)
       bb.put(signal)
+      if (pad == 1) bb.put(0.toByte)
       bb.array()
     }
 
@@ -104,7 +111,9 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = ais.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+        // -1 is the EOF contract; a 0-byte read is legal mid-stream for
+        // general InputStreams (r7 ADVICE), so only -1 terminates
+        while (n != -1) { out.write(buf, 0, n); n = ais.read(buf) }
         out.toByteArray
       } finally ais.close()
     }

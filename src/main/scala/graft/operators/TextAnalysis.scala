@@ -1097,12 +1097,17 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
       val wS = org.apache.spark.sql.expressions.Window
         .orderBy("score").rowsBetween(Long.MinValue, -1)
+      // NULLIF on the divisor (r7 ADVICE): a single-class corpus makes
+      // n_pos·n_neg = 0 — the AUC is undefined there, and without the
+      // guard Spark's non-ANSI DIV yields NULL while DuckDB's // raises,
+      // so the engines would diverge exactly on the degenerate case.
+      // Both spellings now emit NULL.
       h.withColumn("off", coalesce(sum(col("cnt")).over(wS), lit(0L)))
         .agg(sum(expr("npos * (2 * off + cnt + 1)")).as("ranksum2"),
           sum(col("npos")).as("n_pos"), sum(col("cnt")).as("n"))
         .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
           expr("""((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
-                  DIV (2 * n_pos * (n - n_pos))""").as("auc_micro"))
+                  DIV nullif(2 * n_pos * (n - n_pos), 0)""").as("auc_micro"))
     }),
 
     // Exact duplicated-substring manifest (the span-level view of
@@ -2008,7 +2013,7 @@ object TextAnalysis {
            FROM c)
          SELECT n_pos, n - n_pos AS n_neg,
            ((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
-             // (2 * n_pos * (n - n_pos)) AS auc_micro
+             // NULLIF(2 * n_pos * (n - n_pos), 0) AS auc_micro
          FROM agg"""),
     // bucket spelling mirrors Spark: 1 << len(bin(n-1)) above the 64
     // floor; SUMs cast back to BIGINT before the fixed-point DIV

@@ -49,6 +49,13 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 object DeflateLen {
   val NAME = "deflate_len"
 
+  // Native-memory lifetime, stated explicitly (r7 ADVICE): one Deflater
+  // per executor THREAD, never end()'d — each pooled task thread pins a
+  // few hundred KB of native zlib state for the thread's lifetime.
+  // Executor task-pool threads are long-lived and bounded in count, so
+  // this is the intended trade (ending per task would re-pay native
+  // init on every task); a deployment with heavy thread churn would
+  // scope the Deflater to TaskContext.addTaskCompletionListener instead.
   private val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6, true)

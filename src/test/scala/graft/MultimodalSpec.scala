@@ -101,6 +101,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](Multimodal.Codec.decodePcmSamples(broken))
   }
 
+  test("WAV containers are RIFF-word-aligned and tolerate empty signals") {
+    // odd data chunk: one trailing pad byte, counted in the RIFF size
+    // but NOT in the data ckSize — round-trip still byte-exact
+    val odd = Array.tabulate(301)(i => ((i * 3 + 1) % 256).toByte)
+    val wav = Multimodal.Codec.encodePcmWav(odd)
+    assert(wav.length % 2 == 0 && wav.length == 44 + 301 + 1)
+    def le32(off: Int): Int =
+      (wav(off) & 0xff) | ((wav(off + 1) & 0xff) << 8) |
+        ((wav(off + 2) & 0xff) << 16) | ((wav(off + 3) & 0xff) << 24)
+    assert(le32(4) == wav.length - 8)  // RIFF size spans the pad byte
+    assert(le32(40) == 301)            // data ckSize does not
+    assert(Multimodal.Codec.decodePcmSamples(wav).toSeq == odd.toSeq)
+    // an empty signal encodes as a VALID zero-sample container (one bad
+    // payload must not abort a corpus-wide query)
+    val empty = Multimodal.Codec.encodePcmWav(Array.empty[Byte])
+    assert(Multimodal.Codec.isWav(empty))
+    assert(Multimodal.Codec.decodePcmSamples(empty).isEmpty)
+  }
+
   test("synthetic audio payloads are real WAV containers decoding to the text bytes") {
     val auds = Multimodal.syntheticMedia(spark, sf)
       .filter($"kind" === "audio")
