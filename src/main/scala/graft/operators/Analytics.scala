@@ -381,31 +381,20 @@ object Analytics {
     // audit quantifies that loss per event_type BEFORE anyone turns on
     // a watermark: drop counts, worst lateness (exact ms), and the
     // drop share in fixed-point. Scale shape: the running high-water
-    // mark is a TWO-PHASE distributed prefix-max (the q113 offsets
-    // pattern applied to a scan): per-64Ki-arrival-block maxes roll
-    // into a bounded carry-in window (one row per block), then the
-    // within-block running max — partitioned by block, ≤ 64Ki rows
-    // per task — takes greatest(carry, local). No corpus-sized
-    // single-partition window anywhere; the rollup is a bounded
-    // |event_type| aggregate.
+    // mark IS an exclusive prefix-max over the arrival order, spelled
+    // as exactly that via the shared [[Prefix.exclusiveMax]] operator
+    // (r7 verdict #2 — this replaces the hand-rolled 64Ki-block
+    // two-phase): the operator blocks on event_id DIV span, recurses
+    // over block maxes until the top level fits one task, and caps
+    // every window task at span rows for ANY corpus size. The rollup
+    // is a bounded |event_type| aggregate.
     "q128_late_arrival_audit" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("ts"))
         .withColumn("ms", unix_millis(col("ts")))
-        .withColumn("blk", expr("event_id DIV 65536"))
-      val blockMax = ev.groupBy("blk").agg(max(col("ms")).as("bmax"))
-      // carry-in = max over all STRICTLY EARLIER blocks (block count is
-      // corpus/64Ki — the bounded-domain window, never the corpus)
-      val wBlk = Window.orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = blockMax
-        .withColumn("carry", max(col("bmax")).over(wBlk))
-        .select("blk", "carry")
-      val wIn = Window.partitionBy("blk").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.join(carry, Seq("blk"))
-        .withColumn("localMax", max(col("ms")).over(wIn))
-        .withColumn("hwm", greatest(col("carry"), col("localMax")))
+      // hwm = max ms over STRICTLY EARLIER arrivals; NULL on the first
+      // arrival makes late_ms 0 there (greatest skips nulls)
+      graft.operators.Prefix.exclusiveMax(ev, Nil, "event_id", "ms", "hwm")
         .withColumn("late_ms",
           greatest(col("hwm") - col("ms") - lit(30 * 60 * 1000L), lit(0L)))
         .groupBy("event_type")

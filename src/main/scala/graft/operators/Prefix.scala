@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXCLUSIVE running aggregates (prefix sum / prefix max)
+  * over a keyed order — the shared library operator replacing the three
+  * bespoke bounded-domain single-partition windows (q113 offsets, q126
+  * score offsets, q128 block carry; r7 verdict #2 + ADVICE).
+  *
+  * Why a library operator: `Window.orderBy(...)` with no partitionBy
+  * moves EVERYTHING into one task. Each former call site pre-reduced
+  * the corpus (score histograms, 64Ki arrival blocks) so the windowed
+  * table was corpus/K rows — fine at tested scale, but at 10^12-row
+  * inputs a 4096-fold reduction still leaves 10^8 rows in one task, and
+  * the reduction argument had to be re-made (and re-audited) per query.
+  * This operator instead recurses two-phase until EVERY window task is
+  * ≤ `span` rows, for any domain size:
+  *
+  *   level 0: rows block by `orderCol DIV span` — a DETERMINISTIC,
+  *     order-monotone map (no range sampling, no pinned partition ids,
+  *     nothing to checkpoint). Keys are unique per partition by
+  *     contract, so a block holds ≤ span rows BY CONSTRUCTION, not by
+  *     data luck;
+  *   carry: per-block totals (≤ maxKey/span rows) get their own
+  *     exclusive prefix — RECURSIVELY, so depth is
+  *     ceil(log_span(maxKey)) ≤ 4 for any 63-bit key at the default
+  *     span, and the top level always fits one task;
+  *   combine: each row joins its block's carry-in and adds/maxes its
+  *     within-block running value (Window partitioned by (partition
+  *     cols, block) — bounded by span).
+  *
+  * The level count derives from the key domain's observed max (one
+  * 2-value driver aggregate per level, levels ≤ 4) — stats, not a
+  * guessed constant. Only level 0 touches the input; every deeper level
+  * operates on block totals (input/span rows), so total cost is ONE
+  * exchange of the input keyed on (partitions, block) — the same
+  * exchange any partitioned window pays — plus vanishing rollups.
+  *
+  * Contract:
+  *  - `orderCol` is integral, NON-NEGATIVE, and UNIQUE within each
+  *    `partitionCols` group (every call site feeds a groupBy result or
+  *    a unique-id scan; verified cheaply: min is checked, uniqueness is
+  *    the caller's aggregate-key invariant). Exclusive semantics:
+  *    prefix-sum of a group's first row is 0; prefix-max is NULL.
+  *  - `valueCol` is numeric; sums must fit the input's integral type
+  *    (call sites use LONG counts/millis).
+  *  - column names starting with `__pfx` are reserved.
+  */
+object Prefix {
+
+  /** Exclusive running SUM of `valueCol` over `orderCol` within each
+    * `partitionCols` group (0 for each group's first row). */
+  def exclusiveSum(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                   valueCol: String, outCol: String,
+                   span: Long = DefaultSpan): DataFrame =
+    prefix(df, partitionCols, orderCol, valueCol, outCol, isMax = false, span)
+
+  /** Exclusive running MAX of `valueCol` over `orderCol` within each
+    * `partitionCols` group (NULL for each group's first row). */
+  def exclusiveMax(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                   valueCol: String, outCol: String,
+                   span: Long = DefaultSpan): DataFrame =
+    prefix(df, partitionCols, orderCol, valueCol, outCol, isMax = true, span)
+
+  /** Max rows any single window task may hold; also the per-level
+    * domain divisor, so recursion depth is ceil(log_span(maxKey)). */
+  val DefaultSpan: Long = 1L << 20
+
+  private def prefix(df: DataFrame, parts: Seq[String], k: String, v: String,
+                     out: String, isMax: Boolean, span: Long,
+                     level: Int = 0): DataFrame = {
+    require(span >= 2, s"span must be >= 2, got $span")
+    def runOver(w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val ex = w.rowsBetween(Window.unboundedPreceding, -1)
+      if (isMax) max(col(v)).over(ex)
+      else coalesce(sum(col(v)).over(ex), lit(0L))
+    }
+    // 2-value driver action (per level, ≤ 4 levels): the key domain's
+    // observed bounds pick the level count; a negative key would make
+    // DIV-blocking non-monotone, so it fails loudly here instead of
+    // returning silently wrong prefixes.
+    val Array(row) = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"))
+      .collect()
+    if (row.isNullAt(1)) return df.withColumn(out, runOver(Window.orderBy(k)))
+    require(row.getLong(0) >= 0,
+      s"Prefix: order column $k must be non-negative (min=${row.getLong(0)})")
+    val maxK = row.getLong(1)
+    if (maxK < span) {
+      // every group's keys fit one block ⇒ one window task per group,
+      // ≤ span rows each (keys unique and < span)
+      val w = if (parts.isEmpty) Window.orderBy(k)
+              else Window.partitionBy(parts.map(col): _*).orderBy(k)
+      df.withColumn(out, runOver(w))
+    } else {
+      // level-suffixed working names: the recursive call's own block
+      // column must not collide with the order column we hand it
+      val blk = s"__pfxBlk$level"
+      val tot = s"__pfxTot$level"
+      val carry = s"__pfxCarry$level"
+      val local = s"__pfxLocal$level"
+      val blocked = df.withColumn(blk, expr(s"CAST($k AS BIGINT) DIV $span"))
+      // per-(group, block) totals: map-side combined, ≤ maxK/span rows
+      // per group reach the shuffle
+      val totals = blocked.groupBy((parts :+ blk).map(col): _*)
+        .agg((if (isMax) max(col(v)) else sum(col(v))).as(tot))
+      // the carry table is its own (smaller) prefix problem — recurse;
+      // block ids are unique per group and ≤ maxK/span, so each level
+      // divides the domain by span and the top level fits one task
+      val carries = prefix(totals, parts, blk, tot, carry, isMax, span, level + 1)
+        .select((parts :+ blk :+ carry).map(col): _*)
+      val wIn = Window.partitionBy((parts :+ blk).map(col): _*).orderBy(k)
+      val combined = blocked
+        .join(carries, parts :+ blk) // carry side: ≤ maxK/span rows/group
+        .withColumn(local, runOver(wIn))
+        .withColumn(out,
+          if (isMax) greatest(col(carry), col(local)) // null = empty prefix
+          else col(carry) + col(local))
+      combined.drop(blk, local, carry)
+    }
+  }
+}

@@ -1038,33 +1038,40 @@ object TextAnalysis {
     // global thirds come from RANK arithmetic (1 + (rank−1)·3 DIV N),
     // not percentile estimation. Scale shape: the vocab join is
     // stats-gated (vocab is corpus-sublinear but unbounded); N arrives
-    // as a broadcast 1-row COUNT; and the global rank is TWO-PHASE —
-    // per-score counts (score domain is bounded: ≤ ~512·45 distinct
-    // millibit values however large the corpus) roll into broadcast
-    // cumulative offsets, then row_number runs WITHIN each score
-    // partition — so no corpus-sized single-partition sort exists in
-    // the plan. Integer-overflow bound documented at the r spelling:
+    // as a broadcast 1-row COUNT; and the global rank decomposes into
+    // distributed prefix sums ([[Prefix.exclusiveSum]], which recurses
+    // two-phase until every window task is bounded) plus a ≤4096-row
+    // row_number — so no corpus-sized single-partition sort exists in
+    // the plan at ANY distribution, including a hot score owning the
+    // whole corpus. Integer-overflow bound documented at the r spelling:
     // N·256·512 must fit int64 ⇒ N ≤ 2^45 tokens (≈ 140 TB of text).
     "q113_surprisal_bucket" -> ((s, dir) => {
       val perDoc = surprisalPerDoc(s, dir)
-      // TWO-LEVEL two-phase rank: offsets key on (score, doc_id DIV
-      // 4096), not score alone — a hot score (worst case: the whole
-      // corpus sharing one value) would otherwise serialize its
-      // entire population into ONE row_number partition. The
-      // sub-bucket histogram stays ≤ N/4096 + |scores| rows (its
-      // cumulative window is that frame's size, not the corpus), the
-      // offsets join is a plain equi-join (no broadcast assumption),
-      // and every row_number partition holds ≤ 4096 rows by
-      // construction. The (score, doc_id) total order — and therefore
-      // the oracle hash — is unchanged.
-      val hist = perDoc
+      // Rank decomposition with NO corpus-sized (or histogram-sized)
+      // single-partition window anywhere (r7 verdict #2 + ADVICE —
+      // the former (score, sb) offsets window was single-partition,
+      // and the (score, sb) histogram itself can approach Θ(N) rows
+      // in adversarial distributions since each doc contributes one
+      // distinct pair):
+      //   rank = soff(score)        docs with strictly smaller score
+      //        + boff(score, sb)    same score, smaller sub-bucket
+      //        + row_number         within (score, sb), ≤ 4096 rows
+      // soff runs [[Prefix.exclusiveSum]] over the ≤|scores|-row score
+      // histogram; boff runs it PARTITIONED BY score over the
+      // sub-bucket histogram — the operator recurses two-phase until
+      // every window task holds ≤ span rows, whatever the sb domain
+      // grows to, so the scale-safety claim no longer depends on a
+      // per-query reduction argument. The (score, doc_id) total order
+      // — and therefore the oracle hash — is unchanged.
+      val hist = graft.Caches.cached(perDoc
         .groupBy(col("score"), expr("doc_id DIV 4096").as("sb"))
-        .agg(count(lit(1)).as("cnt"))
-      val wS = org.apache.spark.sql.expressions.Window
-        .orderBy("score", "sb").rowsBetween(Long.MinValue, 0)
-      val off = hist
-        .withColumn("off", sum(col("cnt")).over(wS) - col("cnt"))
-        .select("score", "sb", "off")
+        .agg(count(lit(1)).as("cnt")))
+      val scoreHist = hist.groupBy("score").agg(sum(col("cnt")).as("scnt"))
+      val soff = Prefix.exclusiveSum(scoreHist, Nil, "score", "scnt", "soff")
+        .select("score", "soff")
+      val boff = Prefix.exclusiveSum(hist, Seq("score"), "sb", "cnt", "boff")
+      val off = boff.join(soff, Seq("score"))
+        .select(col("score"), col("sb"), (col("soff") + col("boff")).as("off"))
       val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
       val wD = org.apache.spark.sql.expressions.Window
         .partitionBy("score", "sb").orderBy("doc_id")
@@ -1095,14 +1102,15 @@ object TextAnalysis {
           (col("lang") === "en").cast("long").as("pos")), Seq("doc_id"))
       val h = lab.groupBy("score")
         .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
-      val wS = org.apache.spark.sql.expressions.Window
-        .orderBy("score").rowsBetween(Long.MinValue, -1)
       // NULLIF on the divisor (r7 ADVICE): a single-class corpus makes
       // n_pos·n_neg = 0 — the AUC is undefined there, and without the
       // guard Spark's non-ANSI DIV yields NULL while DuckDB's // raises,
       // so the engines would diverge exactly on the degenerate case.
-      // Both spellings now emit NULL.
-      h.withColumn("off", coalesce(sum(col("cnt")).over(wS), lit(0L)))
+      // Both spellings now emit NULL. Offsets ride the shared
+      // distributed prefix operator (r7 verdict #2) — the score
+      // histogram is small today, but the operator caps the window-task
+      // size by construction instead of by a per-query bound argument.
+      Prefix.exclusiveSum(h, Nil, "score", "cnt", "off")
         .agg(sum(expr("npos * (2 * off + cnt + 1)")).as("ranksum2"),
           sum(col("npos")).as("n_pos"), sum(col("cnt")).as("n"))
         .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
