@@ -298,15 +298,40 @@ object Streaming {
     * every band deterministically), so this entry is hash-checked, not
     * rows-only. The 17-doc fixture collect is a bounded driver action;
     * at corpus scale the audit stays 17 docs by construction. */
-  def admissionLoopAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic 17-doc audit fixture shared by the streaming audits
+    * (q101/q132): the first 17 docs in doc_id order with ≥ 5 whitespace
+    * tokens (the signature kernel's minimum). Bounded driver action —
+    * 17 docs by construction at any corpus scale. */
+  private def auditFixture(spark: SparkSession, dir: String): Array[(Long, String)] = {
     import spark.implicits._
-    import org.apache.spark.sql.types._
     val base = graft.Tables.documents(spark, dir)
       .filter(size(split(trim(col("text")), "\\s+")) >= 5)
       .orderBy("doc_id").limit(17)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
     require(base.length == 17, s"fixture needs 17 docs, got ${base.length}")
+    base
+  }
+
+  /** Recursive temp cleanup for the audits' per-invocation stores. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Run `body` under a fixture-sized shuffle width: every join in an
+    * audit is ≤ 17 docs, so a wide session shuffle only adds empty-task
+    * scheduling overhead to the ~30 stages a multi-run audit executes.
+    * Restores the session width after. */
+  private def withNarrowShuffle[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try { spark.conf.set("spark.sql.shuffle.partitions", "4"); body }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def admissionLoopAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = auditFixture(spark, dir)
     def doc(rn: Int): (Long, String) = base(rn - 1)
     val b1 = base.take(10).toSeq :+ (1000001L, doc(1)._2)
     val b2 = base.slice(10, 15).toSeq ++
@@ -320,12 +345,7 @@ object Streaming {
     def storeCount(): Long =
       try spark.read.parquet(adm).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    // every join in the audit is 17-doc-sized: a wide session shuffle
-    // width only adds empty-task scheduling overhead to the ~30 stages
-    // the three runs execute. Narrow it for the audit, restore after.
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val runs = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val runs = withNarrowShuffle(spark) {
       Seq(b1, b2, b2).zipWithIndex.map { case (batch, i) =>
         batch.toDF("doc_id", "text")
           .write.mode("append").parquet(landing) // new files = new delivery
@@ -333,20 +353,86 @@ object Streaming {
           w = 5, k = 16, bands = 16, threshold = 0.7)
         (i + 1L, batch.length.toLong, storeCount())
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
-    // recursive temp cleanup — the audit's stores are per-invocation
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(new java.io.File(tmp))
+    rmTree(new java.io.File(tmp))
     runs.map { case (run, landed, cum) =>
       val prev = runs.takeWhile(_._1 < run).lastOption.map(_._3).getOrElse(0L)
       (run, landed, cum - prev, cum)
     }.toDF("run", "n_landed", "n_admitted", "n_store_docs").orderBy("run")
   }
 
+  /** Driver-visible audit of the [[retireAndCompact]] store lifecycle
+    * (r7 verdict #1) — the weekly production operation whose central
+    * semantic (a RETIRED doc's signature stops vetoing future
+    * admissions, while live signatures keep vetoing) previously lived
+    * only in StreamingSpec. Three phases over the shared 17-doc
+    * fixture, all through the REAL streaming loop + maintenance op:
+    *
+    *   phase 1 (bootstrap): 10 base docs + an exact copy of doc rn1
+    *     land and admit through [[nearDupAdmit]] — the copy's cluster
+    *     admits only its canonical (rn1), so rn1's signature is now
+    *     the store's veto for that content;
+    *   phase 2 (retire + compact): rn1 retires (takedown) via
+    *     [[retireAndCompact]] — its doc AND signature move to the
+    *     archive, both stores compact to ceil(bytes/target) = 1 file
+    *     each (the per-batch small-file debt is paid);
+    *   phase 3 (re-admit): a fresh copy of rn1's text lands together
+    *     with a copy of STORE doc rn2 — the rn1 copy ADMITS (its veto
+    *     was retired with rn1), the rn2 copy REJECTS (live signatures
+    *     still veto). Both directions of the lifecycle semantic are
+    *     pinned in one run.
+    *
+    * Output: per-phase (n_landed, n_admitted, n_retired_docs,
+    * n_retired_sigs, n_store_docs, n_sig_rows, n_compact_files)
+    * accounting. The DuckDB oracle replays the whole algebra from
+    * exact token-5-gram Jaccard (the loop's verify is exact, and J=1
+    * copies collide in every single-row band deterministically — the
+    * q101 contract), so the entry is hash-checked. Fixture-sized by
+    * construction at any corpus scale. */
+  def storeLifecycleAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = auditFixture(spark, dir)
+    def doc(rn: Int): (Long, String) = base(rn - 1)
+    val b1 = base.take(10).toSeq :+ (2000001L, doc(1)._2)
+    val b2 = Seq((2000002L, doc(1)._2), (2000003L, doc(2)._2))
+    val tmp = java.nio.file.Files.createTempDirectory("q132_lifecycle").toString
+    val (landing, sigDir, admDir, ckpt, archive) =
+      (s"$tmp/landing", s"$tmp/sigs", s"$tmp/admitted", s"$tmp/ckpt", s"$tmp/archive")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def counts(): (Long, Long) =
+      (spark.read.parquet(admDir).count(), spark.read.parquet(sigDir).count())
+    def land(batch: Seq[(Long, String)]): Unit = {
+      batch.toDF("doc_id", "text")
+        .write.mode("append").parquet(landing) // new files = new delivery
+      nearDupAdmit(spark, landing, sigDir, admDir, ckpt, schema,
+        w = 5, k = 16, bands = 16, threshold = 0.7)
+    }
+    val rows = withNarrowShuffle(spark) {
+      land(b1)
+      val (adm1, sig1) = counts()
+      val (retDocs, retSigs, admFiles, sigFiles) = retireAndCompact(
+        spark, admDir, sigDir, archive,
+        Seq(doc(1)._1).toDF("doc_id"), retireDate = "2026-01-01")
+      val (adm2, sig2) = counts()
+      land(b2)
+      val (adm3, sig3) = counts()
+      Seq(
+        (1L, b1.length.toLong, adm1, 0L, 0L, adm1, sig1, 0L),
+        (2L, 0L, 0L, retDocs, retSigs, adm2, sig2, (admFiles + sigFiles).toLong),
+        (3L, b2.length.toLong, adm3 - adm2, 0L, 0L, adm3, sig3, 0L))
+    }
+    rmTree(new java.io.File(tmp))
+    rows.toDF("phase", "n_landed", "n_admitted", "n_retired_docs",
+      "n_retired_sigs", "n_store_docs", "n_sig_rows", "n_compact_files")
+      .orderBy("phase")
+  }
+
   val queries: Map[String, graft.Q] = Map(
-    "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)))
+    "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
+    "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -446,7 +532,97 @@ object Streaming {
              (SELECT COUNT(*) FROM adm3),
              (SELECT COUNT(*) FROM adm1) + (SELECT COUNT(*) FROM adm2)
                + (SELECT COUNT(*) FROM adm3)
-         ) ORDER BY run""")
+         ) ORDER BY run""",
+
+    // Exact-Jaccard replay of the retire-and-compact lifecycle algebra:
+    // bootstrap admission (q101's r1 machinery), retire of the rn1
+    // canonical (store = adm1 \ ret — its veto disappears), then the
+    // phase-3 admission where the rn1 copy admits and the rn2 copy
+    // store-hits. Every admitted fixture doc has ≥ 5 tokens, so
+    // n_sig_rows == n_store_docs throughout; the compacted stores are
+    // fixture-sized, so ceil(bytes/128MB) = 1 file each.
+    "q132_store_lifecycle" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         base AS MATERIALIZED (
+           SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id, text FROM toks WHERE len(t) >= 5
+                 ORDER BY doc_id LIMIT 17)),
+         b1 AS MATERIALIZED (SELECT doc_id, text FROM base WHERE rn <= 10
+                UNION ALL SELECT 2000001, text FROM base WHERE rn = 1),
+         b2 AS MATERIALIZED (
+           SELECT CAST(2000002 AS BIGINT) AS doc_id, text FROM base WHERE rn = 1
+           UNION ALL SELECT 2000003, text FROM base WHERE rn = 2),
+         fixture AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+         sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS t
+                       FROM fixture))),
+         sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS MATERIALIZED (
+           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         jac AS MATERIALIZED (
+           SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = inter.a
+           JOIN sizes sb ON sb.doc_id = inter.b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7),
+         e AS MATERIALIZED (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+         -- phase 1: bootstrap, batch-internal components only
+         p1 AS MATERIALIZED (SELECT a, b FROM jac
+                WHERE a IN (SELECT doc_id FROM b1) AND b IN (SELECT doc_id FROM b1)),
+         e1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p1 UNION SELECT b, a FROM p1),
+         r1(id, label) AS (
+           SELECT DISTINCT src, src FROM e1
+           UNION SELECT e1.src, r1.label FROM e1 JOIN r1 ON e1.dst = r1.id),
+         c1 AS MATERIALIZED (SELECT id, MIN(label) AS canonical FROM r1 GROUP BY id),
+         adm1 AS MATERIALIZED (SELECT doc_id FROM b1
+                  WHERE doc_id NOT IN (SELECT id FROM c1 WHERE id <> canonical)),
+         -- phase 2: retire the rn1 canonical; its signature leaves the store
+         ret AS MATERIALIZED (SELECT doc_id FROM adm1
+                  WHERE doc_id = (SELECT doc_id FROM base WHERE rn = 1)),
+         s2 AS MATERIALIZED (SELECT doc_id FROM adm1
+                  WHERE doc_id NOT IN (SELECT doc_id FROM ret)),
+         -- phase 3: store = s2; store-hits reject wholly, else components
+         hit3 AS MATERIALIZED (SELECT DISTINCT e.a AS doc_id FROM e
+                  WHERE e.a IN (SELECT doc_id FROM b2)
+                    AND e.b IN (SELECT doc_id FROM s2)),
+         p3 AS MATERIALIZED (SELECT a, b FROM jac
+                WHERE a IN (SELECT doc_id FROM b2) AND b IN (SELECT doc_id FROM b2)),
+         e3 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p3 UNION SELECT b, a FROM p3),
+         r3(id, label) AS (
+           SELECT DISTINCT src, src FROM e3
+           UNION SELECT e3.src, r3.label FROM e3 JOIN r3 ON e3.dst = r3.id),
+         c3 AS MATERIALIZED (SELECT id, MIN(label) AS canonical FROM r3 GROUP BY id),
+         inf3 AS MATERIALIZED (SELECT DISTINCT canonical FROM c3
+                  WHERE id IN (SELECT doc_id FROM hit3)),
+         rej3 AS MATERIALIZED (SELECT id FROM c3 WHERE canonical IN (SELECT canonical FROM inf3)
+                  UNION SELECT id FROM c3 WHERE id <> canonical),
+         adm3 AS MATERIALIZED (SELECT doc_id FROM b2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM hit3)
+                    AND doc_id NOT IN (SELECT id FROM rej3))
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS phase,
+             CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS n_landed,
+             (SELECT COUNT(*) FROM adm1) AS n_admitted,
+             CAST(0 AS BIGINT) AS n_retired_docs,
+             CAST(0 AS BIGINT) AS n_retired_sigs,
+             (SELECT COUNT(*) FROM adm1) AS n_store_docs,
+             (SELECT COUNT(*) FROM adm1) AS n_sig_rows,
+             CAST(0 AS BIGINT) AS n_compact_files
+           UNION ALL
+           SELECT 2, 0, 0,
+             (SELECT COUNT(*) FROM ret), (SELECT COUNT(*) FROM ret),
+             (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s2), 2
+           UNION ALL
+           SELECT 3, (SELECT COUNT(*) FROM b2),
+             (SELECT COUNT(*) FROM adm3), 0, 0,
+             (SELECT COUNT(*) FROM s2) + (SELECT COUNT(*) FROM adm3),
+             (SELECT COUNT(*) FROM s2) + (SELECT COUNT(*) FROM adm3), 0
+         ) ORDER BY phase""")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
