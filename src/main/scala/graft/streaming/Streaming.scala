@@ -430,9 +430,122 @@ object Streaming {
       .orderBy("phase")
   }
 
+  /** Driver-visible audit of [[sequencePack]] (r7 verdict #3): the
+    * REAL flatMapGroupsWithState loop runs over a chunked replay of the
+    * documents table — three landing deliveries, three checkpointed
+    * `Trigger.AvailableNow` restarts, per-source token offsets carried
+    * ACROSS restarts by the state store — and the accumulated emissions
+    * roll up into exactly q94's packing manifest. The oracle IS q94's
+    * (shared by reference, not copied), so the streaming twin is
+    * hash-checked against the already-proven batch spelling.
+    *
+    * Chunks cut on global doc_id ranges, so each source's docs arrive
+    * monotone across batches — the ordering contract the operator
+    * documents (append-only ingest with monotone ids). */
+  def streamPackAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) // 1-value driver action
+    val cuts = Seq(maxDoc / 3, 2 * maxDoc / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q133_pack").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/packed", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing) // new files = new delivery
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      val q = sequencePack(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[PackedDoc], _: Long) =>
+          b.toDF().write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // each doc is emitted exactly once (its one processing batch), so
+    // the manifest is a plain rollup; localCheckpoint materializes it
+    // before the per-invocation temp stores are removed
+    val manifest = spark.read.parquet(outDir)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    manifest
+  }
+
+  /** Driver-visible audit of [[scd2Stream]] (r7 verdict #3): the REAL
+    * flatMapGroupsWithState loop over a three-chunk time-ordered replay
+    * of the events table (user_id < 100 — q117's slice), each key's
+    * open interval carried across checkpointed restarts. Update-mode
+    * emissions fold by "latest batch wins" per (user_id, version) —
+    * the operator's documented consumption contract — and the folded
+    * history is hash-checked against q117's oracle (shared by
+    * reference). Chunks cut on timestamp value boundaries, so equal-ts
+    * events never straddle a batch and each key's slices arrive
+    * (ts, event_id)-monotone — the operator's ordering contract. */
+  def streamScd2Audit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q134_scd2").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/hist", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("event_type", StringType, nullable = true)))
+    val ms = unix_millis(col("ts"))
+    val chunks = Seq(
+      ev.filter(ms < t1),
+      ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2))
+    chunks.zipWithIndex.foreach { case (c, k) =>
+      c.write.mode("append").parquet(landing) // new files = new delivery
+      val q = scd2Stream(spark.readStream.schema(schema).parquet(landing))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Scd2Row], _: Long) =>
+          b.toDF().withColumn("run", lit(k)).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "version").orderBy(col("run").desc)
+    val hist = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("version"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    hist
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
-    "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)))
+    "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
+    "q133_stream_pack" -> ((s, dir) => streamPackAudit(s, dir)),
+    "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -622,7 +735,15 @@ object Streaming {
              (SELECT COUNT(*) FROM adm3), 0, 0,
              (SELECT COUNT(*) FROM s2) + (SELECT COUNT(*) FROM adm3),
              (SELECT COUNT(*) FROM s2) + (SELECT COUNT(*) FROM adm3), 0
-         ) ORDER BY phase""")
+         ) ORDER BY phase""",
+
+    // The streaming twins' oracles ARE the batch twins' — shared by
+    // reference, not copied, so the audits are hash-checked against
+    // exactly the already-proven q94/q117 spellings.
+    "q133_stream_pack" ->
+      graft.operators.TextAnalysis.oracles("q94_sequence_pack"),
+    "q134_stream_scd2" ->
+      graft.operators.Snapshots.oracles("q117_scd2_intervals"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
