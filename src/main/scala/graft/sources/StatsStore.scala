@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object StatsStore {
 
+  /** Per-file (min, max, rows) stats over a data scan — the manifest's
+    * row shape, shared by the full build and the incremental append. */
+  private def rangeManifestRows(data: DataFrame, keyCol: String): DataFrame =
+    data.groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
   /** Write `df` range-clustered by `keyCol` into `nBuckets` files and
     * build the per-file min/max manifest (one extra metadata-cheap
     * aggregate over the written files — the price of not having a
@@ -32,11 +39,38 @@ object StatsStore {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(s"$dir/data")
     val spark = df.sparkSession
-    spark.read.parquet(s"$dir/data")
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows"))
+    rangeManifestRows(spark.read.parquet(s"$dir/data"), keyCol)
       .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Nightly-ingest maintenance for a range store (r7 verdict #5 — the
+    * q103 append pattern applied to StatsStore): cluster ONLY the
+    * batch, append its files to the data dir, and extend the manifest
+    * with the new files' stats. Batch cost, not store cost: the stats
+    * scan is filtered to the new files via the `_metadata.file_path`
+    * predicate (file-pruned at listing time), and the old manifest
+    * rides along as rows (the manifest is file-count-sized — its
+    * rewrite is the moral equivalent of a Delta log append). Batch key
+    * ranges may OVERLAP existing files — pruning stays CORRECT
+    * (per-file [min,max] is per-file truth); overlap only costs
+    * pruning efficiency, which the rotation rebuild
+    * ([[writeRangeStore]], the retireAndCompact maintenance window)
+    * repays. SourcesSpec pins append == rebuild for serving. */
+  def appendToRangeStore(batch: DataFrame, dir: String, keyCol: String,
+                         nFiles: Int): Unit = {
+    val spark = batch.sparkSession
+    // file-count-sized driver/executor footprint, pinned before the
+    // append so the overwrite below can't read its own output
+    val old = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    val oldFiles = old.select("file").collect().map(_.getString(0)).toSeq
+    batch.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("append").parquet(s"$dir/data")
+    val fresh = rangeManifestRows(
+      spark.read.parquet(s"$dir/data")
+        .filter(!col("_metadata.file_path").isin(oldFiles: _*)), keyCol)
+    old.unionByName(fresh).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
@@ -138,13 +172,10 @@ object StatsStore {
     * (file, idx)) — no driver-side filter construction, unlike
     * stat.bloomFilter. A probe needs ALL k bits present; false
     * positives only cost an extra file open, never a wrong result. */
-  def writeBloomStore(docs: DataFrame, dir: String, nBuckets: Int,
-                      mBits: Int = 1 << 16, k: Int = 3): Unit = {
-    docs.repartitionByRange(nBuckets, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$dir/data")
-    val spark = docs.sparkSession
-    spark.read.parquet(s"$dir/data")
+  /** Per-file OR-ed bloom words over a data scan — the manifest's row
+    * shape, shared by the full build and the incremental append. */
+  private def bloomManifestRows(data: DataFrame, mBits: Int, k: Int): DataFrame =
+    data
       .select(col("_metadata.file_path").as("file"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
       .select(col("file"), explode(expr(
@@ -153,7 +184,38 @@ object StatsStore {
       .select(col("file"), expr("pos DIV 64").as("idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy("file", "idx").agg(expr("bit_or(bit)").as("bits"))
+
+  def writeBloomStore(docs: DataFrame, dir: String, nBuckets: Int,
+                      mBits: Int = 1 << 16, k: Int = 3): Unit = {
+    docs.repartitionByRange(nBuckets, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val spark = docs.sparkSession
+    bloomManifestRows(spark.read.parquet(s"$dir/data"), mBits, k)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Nightly-ingest maintenance for a bloom store (r7 verdict #5):
+    * append the batch's files, build bloom rows for ONLY the new files
+    * (the `_metadata.file_path` predicate prunes the stats scan at
+    * listing time), and extend the manifest. Per-file filters are
+    * independent by construction, so append == rebuild EXACTLY for
+    * candidate sets and serving (SourcesSpec pins it) — unlike the
+    * range store there is not even a pruning-efficiency trade. */
+  def appendToBloomStore(batch: DataFrame, dir: String, nFiles: Int,
+                         mBits: Int = 1 << 16, k: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val old = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    val oldFiles = old.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: store file count
+    batch.repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$dir/data")
+    val fresh = bloomManifestRows(
+      spark.read.parquet(s"$dir/data")
+        .filter(!col("_metadata.file_path").isin(oldFiles: _*)), mBits, k)
+    old.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
   /** Files whose bloom has ALL of the needle's k bits — the candidate
@@ -203,12 +265,17 @@ object StatsStore {
     // changes WHICH FILES OPEN, never the result (SourcesSpec pins
     // that the prune actually skips files and that pruned == unpruned
     // row-for-row). The max(user_id) lookup is a 1-value bounded
-    // driver action.
+    // driver action. The store builds ONCE per process via
+    // Scratch.ensure (collision-free per-run path — r7 ADVICE) so rep
+    // 2+ of the bench measures manifest-pruned SERVING, the production
+    // cost profile (r7 verdict #5); CORRECTNESS always runs in a fresh
+    // process whose first rep builds.
     "q106_stats_pruned_scan" -> ((s, dir) => {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_rstore_${dir.hashCode & Int.MaxValue}"
       val ev = graft.Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      writeRangeStore(ev, store, "user_id", nBuckets = 16)
+      val store = graft.Scratch.ensure(graft.Scratch.dirFor("rstore", dir)) {
+        writeRangeStore(ev, graft.Scratch.dirFor("rstore", dir), "user_id", nBuckets = 16)
+      }
       val maxU = ev.agg(max(col("user_id"))).head.getLong(0)
       readRange(s, store, "user_id", lo = maxU * 2 / 5, hi = maxU * 3 / 5)
         .groupBy("event_type")
@@ -227,11 +294,15 @@ object StatsStore {
     // changes WHICH FILES OPEN, never the result, so the oracle runs
     // the same box directly over lineitem and hash-matches.
     "q111_zorder_scan" -> ((s, dir) => {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_zstore_${dir.hashCode & Int.MaxValue}"
       val li = graft.Tables.lineitem(s, dir)
         .select("l_partkey", "l_suppkey", "l_returnflag",
           "l_quantity", "l_extendedprice", "l_discount")
-      writeZorderStore(li, store, "l_partkey", "l_suppkey", nBuckets = 16)
+      // build-once + serve (r7 verdict #5): rep 2+ times the 2-D
+      // manifest-pruned read, not the clustered rewrite
+      val store = graft.Scratch.ensure(graft.Scratch.dirFor("zstore", dir)) {
+        writeZorderStore(li, graft.Scratch.dirFor("zstore", dir),
+          "l_partkey", "l_suppkey", nBuckets = 16)
+      }
       val org.apache.spark.sql.Row(maxP: Long, maxS: Long) =
         li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
       readBox(s, store, "l_partkey", "l_suppkey",
@@ -257,10 +328,12 @@ object StatsStore {
     // (SourcesSpec pins candidate⊇true, strict pruning, and
     // miss-needle behavior).
     "q127_bloom_pruned_scan" -> ((s, dir) => {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_bstore_${dir.hashCode & Int.MaxValue}"
       val docs = graft.Tables.documents(s, dir)
         .select("doc_id", "source", "text")
-      writeBloomStore(docs, store, nBuckets = 16)
+      // collision-free per-run path + build-once (r7 ADVICE + #5)
+      val store = graft.Scratch.ensure(graft.Scratch.dirFor("bstore", dir)) {
+        writeBloomStore(docs, graft.Scratch.dirFor("bstore", dir), nBuckets = 16)
+      }
       val needle = docs
         .select(col("doc_id"),
           explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))

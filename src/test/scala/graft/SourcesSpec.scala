@@ -294,4 +294,75 @@ class SourcesSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpB))
     }
   }
+
+  test("range store: nightly append == rebuild for serving (r7 #5)") {
+    import graft.sources.StatsStore
+    import org.apache.spark.sql.functions._
+    val tmpA = java.nio.file.Files.createTempDirectory("rstore_app").toString
+    val tmpF = java.nio.file.Files.createTempDirectory("rstore_full").toString
+    try {
+      val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
+      val maxU = ev.agg(max("user_id")).head.getLong(0)
+      // day 1 = low user ids, nightly batch = the rest (ranges OVERLAP
+      // the band boundary, the append path's documented hard case)
+      StatsStore.writeRangeStore(ev.filter($"user_id" <= maxU / 2), tmpA,
+        "user_id", nBuckets = 8)
+      StatsStore.appendToRangeStore(ev.filter($"user_id" > maxU / 2), tmpA,
+        "user_id", nFiles = 8)
+      StatsStore.writeRangeStore(ev, tmpF, "user_id", nBuckets = 16)
+      // manifest covers every data file exactly once, all rows accounted
+      val man = spark.read.parquet(s"$tmpA/manifest")
+      assert(man.count() == man.select("file").distinct().count())
+      assert(man.agg(sum("n_rows")).head.getLong(0) == ev.count())
+      val dataFiles = spark.read.parquet(s"$tmpA/data")
+        .select(col("_metadata.file_path")).distinct().count()
+      assert(man.count() == dataFiles, "append must manifest its new files")
+      // serving equality: appended store == one-shot rebuild, on a band
+      // spanning both generations
+      def serve(dir: String) = StatsStore
+        .readRange(spark, dir, "user_id", maxU * 2 / 5, maxU * 3 / 5)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(serve(tmpA) == serve(tmpF) && serve(tmpA).nonEmpty)
+      // pruning still engages on the appended store
+      val pruned = StatsStore.prunedFiles(spark, tmpA, maxU * 2 / 5, maxU * 3 / 5)
+      assert(pruned.nonEmpty && pruned.size < man.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpF))
+    }
+  }
+
+  test("bloom store: nightly append == rebuild for serving (r7 #5)") {
+    import graft.sources.StatsStore
+    import org.apache.spark.sql.functions._
+    val tmpA = java.nio.file.Files.createTempDirectory("bstore_app").toString
+    val tmpF = java.nio.file.Files.createTempDirectory("bstore_full").toString
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      val maxD = docs.agg(max("doc_id")).head.getLong(0)
+      StatsStore.writeBloomStore(docs.filter($"doc_id" <= maxD / 2), tmpA, nBuckets = 8)
+      StatsStore.appendToBloomStore(docs.filter($"doc_id" > maxD / 2), tmpA, nFiles = 8)
+      StatsStore.writeBloomStore(docs, tmpF, nBuckets = 16)
+      // every data file carries bloom rows in the manifest
+      val manFiles = spark.read.parquet(s"$tmpA/manifest")
+        .select("file").distinct().count()
+      val dataFiles = spark.read.parquet(s"$tmpA/data")
+        .select(col("_metadata.file_path")).distinct().count()
+      assert(manFiles == dataFiles, "append must bloom its new files")
+      // a needle present ONLY in the appended generation must be found
+      val lateNeedle = docs.filter($"doc_id" > maxD / 2)
+        .select($"doc_id", explode(array_distinct(split(trim($"text"), "\\s+"))).as("w"))
+        .groupBy("w").agg(countDistinct($"doc_id").as("nd"))
+        .orderBy("nd", "w").limit(1).collect()(0).getString(0)
+      def serve(dir: String, n: String) = StatsStore.readNeedle(spark, dir, n)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(serve(tmpA, lateNeedle) == serve(tmpF, lateNeedle))
+      assert(serve(tmpA, lateNeedle).nonEmpty)
+      // absent needles still prune everything at the read level
+      assert(StatsStore.readNeedle(spark, tmpA, "zz_no_such_token_zz").count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpF))
+    }
+  }
 }
