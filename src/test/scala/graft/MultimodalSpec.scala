@@ -120,6 +120,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codec.decodePcmSamples(empty).isEmpty)
   }
 
+  test("GVID video container round-trips losslessly through real PNG frames") {
+    // 700 bytes at frameSize 256 → frames of 256/256/188: full frames
+    // tile the signal, the partial tail keeps the round-trip exact
+    val signal = Array.tabulate(700)(i => ((i * 31 + 7) % 256).toByte)
+    val vid = Multimodal.Codec.encodeVideoPng(signal, frameSize = 256)
+    assert(Multimodal.Codec.isVideo(vid))
+    assert(!Multimodal.Codec.isPng(vid) && !Multimodal.Codec.isWav(vid))
+    val frames = Multimodal.Codec.decodeVideoFrames(vid)
+    assert(frames.map(_._3.length).toSeq == Seq(256, 256, 188))
+    assert(frames.map(_._2).toSeq == Seq(0L, 256L, 512L)) // contiguous tiling
+    assert(Multimodal.Codec.decodeVideoSignal(vid).toSeq == signal.toSeq)
+    assert(Multimodal.Codec.signalOf(vid).toSeq == signal.toSeq)
+    // a clobbered frame fails loudly at the codec, never silently
+    val broken = vid.clone(); broken(30) = 99
+    intercept[Exception](Multimodal.Codec.decodeVideoSignal(broken))
+  }
+
+  test("container frame sampling == raw byte-window sampling (q55 parity)") {
+    // the GVID route must produce byte-identical samples to the raw
+    // fallback for the same signal — the property the q55 oracle rides
+    val signal = Array.tabulate(1500)(i => ((i * 13 + 3) % 256).toByte)
+    val cooked = Seq((1L, "video", Multimodal.Codec.encodeVideoPng(signal, 256)))
+      .toDF("media_id", "kind", "payload")
+    val raw = Seq((1L, "video", signal)).toDF("media_id", "kind", "payload")
+    def frames(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.sampleFrames(df, frameSize = 256, stride = 512)
+        .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+        .map(f => (f._2, f._3.toSeq)).toSeq
+    assert(frames(cooked) == frames(raw) && frames(cooked).nonEmpty)
+  }
+
+  test("synthetic video payloads are real GVID containers decoding to the text bytes") {
+    val vids = Multimodal.syntheticMedia(spark, sf)
+      .filter($"kind" === "video")
+      .join(Tables.documents(spark, sf), $"media_id" === $"doc_id")
+      .select($"media_id", $"mime", $"payload", $"text")
+      .limit(5).collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      assert(r.getAs[String]("mime") == "video/x-graft-gvid")
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.Codec.isVideo(payload))
+      assert(Multimodal.Codec.decodeVideoSignal(payload).toSeq ==
+        r.getAs[String]("text").getBytes("UTF-8").toSeq)
+    }
+  }
+
   test("synthetic audio payloads are real WAV containers decoding to the text bytes") {
     val auds = Multimodal.syntheticMedia(spark, sf)
       .filter($"kind" === "audio")
