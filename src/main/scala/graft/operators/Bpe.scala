@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BPE vocabulary TRAINING (Sennrich et al. 2016) — the tokenizer-side
@@ -11,17 +11,24 @@ import org.apache.spark.sql.functions._
   * Scale shape: the corpus is touched ONCE, by the word-frequency
   * aggregate; every merge round then runs on the (word, count) VOCAB
   * table — orders of magnitude smaller than the corpus and the reason
-  * production BPE trainers are feasible at all. Per round: one
-  * adjacent-pair aggregate over the vocab (map-side combined), one
-  * 1-row argmax driver action (the learned merge IS driver state by
-  * construction — it must be broadcast into the next round), one
-  * narrow re-segmentation kernel. No round ever re-reads documents.
+  * production BPE trainers are feasible at all. Pair counts are
+  * DELTA-MAINTAINED across rounds (r7 verdict #7): the full adjacency
+  * aggregate runs once, and each round only re-counts the pairs of
+  * words that CONTAIN the last merge — so per-round cost is
+  * touched-words-sized, which is what lets nMerges scale past demo
+  * size (a production 30k-merge vocabulary touches a vanishing
+  * fraction of the vocab per round once common pairs are merged
+  * away). Per round: one vocab-narrow filter, one touched-sized delta
+  * aggregate, one 1-row argmax driver action (the learned merge IS
+  * driver state by construction — it must be broadcast into the next
+  * round's kernel).
   *
   * Determinism: ties on pair count break lexicographically, so the
-  * merge sequence is a pure function of the corpus. (Approximate
-  * nothing — but the ITERATIVE argmax is not expressible in one DuckDB
-  * query, so the driver entry is rows-only; BpeSpec hand-computes the
-  * merge sequence on the classic hug/pug/pun corpus.)
+  * merge sequence is a pure function of the corpus; BpeSpec pins the
+  * incremental maintenance == full recompute at 50 merges and the
+  * hand-computed classic-corpus sequence. (The ITERATIVE argmax is
+  * not expressible in one DuckDB query, so the driver entries are
+  * rows-only.)
   */
 object Bpe {
 
@@ -38,36 +45,104 @@ object Bpe {
     out.toArray
   }
 
-  /** Learn `nMerges` BPE merges from a (word, count) vocab table.
-    * Returns (rank, left, right, pair_count) — deterministic. */
-  def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  private def hasAdjacent(syms: Array[String], l: String, r: String): Boolean = {
+    var i = 0
+    while (i + 1 < syms.length) {
+      if (syms(i) == l && syms(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Full adjacency aggregate over a vocab — the round-0 count table
+    * (and each round's table in the recompute reference spelling). */
+  private[graft] def pairCounts(vocab: Dataset[(Array[String], Long)]): DataFrame =
+    vocab.toDF("syms", "cnt")
+      .select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("cnt"))
+      .filter(col("i") < size(col("syms")) - 1)
+      .select(col("l"), col("syms").getItem(col("i") + 1).as("r"), col("cnt"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+
+  private def symVocab(spark: SparkSession, wordFreq: DataFrame): Dataset[(Array[String], Long)] = {
     import spark.implicits._
-    var vocab = wordFreq.select(col("word"), col("cnt"))
+    wordFreq.select(col("word"), col("cnt"))
       .as[(String, Long)]
       .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
-      .toDF("syms", "cnt").as[(Array[String], Long)]
-      // the vocab table is re-derived every round; pin it once
-      .localCheckpoint()
+  }
+
+  /** Learn `nMerges` BPE merges from a (word, count) vocab table with
+    * delta-maintained pair counts. Returns (rank, left, right,
+    * pair_count) — deterministic. */
+  def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    // pin both tables once; each round's lineage is then one delta deep
+    var vocab = symVocab(spark, wordFreq).localCheckpoint()
+    var counts = pairCounts(vocab).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     while (round <= nMerges) {
-      val pairs = vocab.toDF("syms", "cnt")
-        .select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("cnt"))
-        .filter(col("i") < size(col("syms")) - 1)
-        .select(col("l"), col("syms").getItem(col("i") + 1).as("r"), col("cnt"))
-        .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
-      // 1-row argmax, deterministic tie-break — a bounded driver
-      // action; the winner must reach the driver anyway to be
-      // broadcast into the re-segmentation kernel
-      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+      // 1-row argmax, deterministic tie-break — a bounded driver action
+      val top = counts.orderBy(col("n").desc, col("l"), col("r")).limit(1)
         .as[(String, String, Long)].collect()
       if (top.isEmpty) round = nMerges + 1 // vocab fully merged
       else {
         val (l, r, n) = top(0)
         merges += ((merges.length + 1, l, r, n))
+        // only words CONTAINING the merged adjacency change — their
+        // before/after pair multisets diff into count deltas; the
+        // untouched vocab (the overwhelming majority once common pairs
+        // are merged) contributes nothing to this round's aggregate
+        val touched = vocab.filter { t: (Array[String], Long) => hasAdjacent(t._1, l, r) }
+        val untouched = vocab.filter { t: (Array[String], Long) => !hasAdjacent(t._1, l, r) }
+        val deltas = touched.flatMap { case (syms, c) =>
+          val d = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+          var i = 0
+          while (i + 1 < syms.length) {
+            val p = (syms(i), syms(i + 1)); d(p) = d.getOrElse(p, 0L) - c; i += 1
+          }
+          val merged = applyMerge(syms, l, r)
+          i = 0
+          while (i + 1 < merged.length) {
+            val p = (merged(i), merged(i + 1)); d(p) = d.getOrElse(p, 0L) + c; i += 1
+          }
+          d.iterator.filter(_._2 != 0L).map { case ((a, b), dd) => (a, b, dd) }
+        }.toDF("l", "r", "n")
+        counts = counts.unionByName(deltas)
+          .groupBy("l", "r").agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          // cut the per-round lineage; pair-table-sized, never corpus
+          .localCheckpoint()
+        // coalesce BEFORE the checkpoint: union adds both sides'
+        // partition counts, so without it vocab's partitioning DOUBLES
+        // per round — exponential empty-task scheduling by round ~20
+        vocab = untouched
+          .union(touched.map { case (syms, c) => (applyMerge(syms, l, r), c) })
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Reference spelling: full pair recount every round. Kept ONLY as
+    * the lockstep oracle for the incremental maintenance (BpeSpec pins
+    * equality at 50 merges) — O(vocab) per round where [[trainMerges]]
+    * is O(touched words). */
+  private[graft] def trainMergesRecompute(spark: SparkSession, wordFreq: DataFrame,
+                                          nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    var vocab = symVocab(spark, wordFreq).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    while (round <= nMerges) {
+      val top = pairCounts(vocab).orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) round = nMerges + 1
+      else {
+        val (l, r, n) = top(0)
+        merges += ((merges.length + 1, l, r, n))
         vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
-          // cut the per-round lineage (each round otherwise re-plans
-          // every previous kernel); vocab-table-sized, never corpus
           .localCheckpoint()
         round += 1
       }
@@ -79,7 +154,8 @@ object Bpe {
     // Learn the corpus's first 10 merges from the one-pass word
     // frequency table. Rows-only (iterative argmax has no single-query
     // DuckDB spelling); BpeSpec pins the algorithm on a hand-computed
-    // corpus and q105's output shape/determinism.
+    // corpus, the incremental == recompute law, and q105's output
+    // shape/determinism.
     "q105_bpe_train" -> ((s, dir) => {
       import s.implicits._
       val wf = Tables.documents(s, dir)

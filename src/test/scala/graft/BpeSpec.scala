@@ -28,6 +28,23 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq((1, "a", "b", 3L))) // after one merge, no pairs remain
   }
 
+  test("incremental pair maintenance == full recompute at 50 merges (r7 #7)") {
+    // a deterministic 24-word corpus with enough adjacency material for
+    // 50 rounds; equality must hold through every tie-break and any
+    // early exhaustion, or the delta bookkeeping is silently wrong
+    val chars = "abcdefgh"
+    val words = (0 until 24).map { i =>
+      (0 until 6).map(j => chars((i * 7 + j * 3) % 8)).mkString
+    }
+    val wf = words.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+      .toDF("word", "cnt").groupBy("word")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val inc = Bpe.trainMerges(spark, wf, nMerges = 50)
+    val ref = Bpe.trainMergesRecompute(spark, wf, nMerges = 50)
+    assert(inc.nonEmpty && inc == ref,
+      s"incremental/recompute diverged: ${inc.zip(ref).find(p => p._1 != p._2)}")
+  }
+
   test("q105 is deterministic and emits ranked merges over the corpus") {
     val a = SparkEntry.queries("q105_bpe_train")(spark, sf)
       .as[(Int, String, String, Long)].collect().toSeq
