@@ -866,20 +866,54 @@ object Dedup {
     // parquet, and only batch-touching pairs are derived. Rows-only
     // (LSH candidates are probabilistic) + the TextDedupSpec lockstep
     // law: output == the full-corpus q65-parameter pipeline's pairs
-    // restricted to pairs touching >= 1 batch doc. Bench timing charges
-    // the store WRITE too (one honest cold cycle; nightly runs pay only
-    // the batch side).
+    // restricted to pairs touching >= 1 batch doc. The store builds
+    // ONCE per process (Scratch — collision-free per-run path, r7
+    // ADVICE/#5): rep 1 pays the cold store write, rep 2+ times the
+    // batch side only, which is exactly what a nightly run pays.
     "q88_incremental_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
       val store = docs.filter(!h.isin("0", "1", "2", "3"))
       val batch = docs.filter(h.isin("0", "1", "2", "3"))
-      val storeDir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${dir.hashCode & Int.MaxValue}"
-      writeSignatureStore(store, storeDir, w = 5, k = 32)
+      val storeDir = graft.Scratch.ensure(graft.Scratch.dirFor("sigstore", dir)) {
+        writeSignatureStore(store, graft.Scratch.dirFor("sigstore", dir), w = 5, k = 32)
+      }
       incrementalNearDupsTokens(storeDir, batch, docs,
         w = 5, k = 32, bands = 8, threshold = 0.7)
         .orderBy("a_id", "b_id")
+    }),
+
+    // QUALITY-PREFERRING canonical selection — the survivor policy most
+    // production dedup runs actually want: within a near-dup cluster,
+    // keep the doc with the MOST CONTENT (max token count, doc_id
+    // tie-break), not the accidental min-id member (a truncated or
+    // boilerplate-padded variant can carry the smallest id). Exact
+    // token-5-gram chain (q85's proven spelling) → components → ONE
+    // map-side-combined aggregate per cluster: min_by over a
+    // (-n_tok, doc_id) struct picks the keeper with no per-cluster
+    // window and no second shuffle — at 100 TB the keeper choice rides
+    // the same exchange the cluster accounting pays. Fully
+    // deterministic ⇒ DuckDB hash-matched (closure CTE + row_number
+    // keeper twin).
+    "q135_quality_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val pairs = graft.Caches.cached(
+        jaccardPairsTokens(docs.select("doc_id", "text"), 5)
+          .filter(col("jaccard") >= 0.7))
+      val members = components(pairs)
+        .join(docs.select("doc_id", "n_tok"), Seq("doc_id"))
+      members
+        .groupBy(col("canonical_id").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_tok")).as("cluster_tok"),
+          max(col("n_tok")).as("keep_tok"),
+          min_by(col("doc_id"),
+            struct((-col("n_tok")).as("a"), col("doc_id").as("b"))).as("keep_id"))
+        .select(col("cluster_id"), col("keep_id"), col("n_members"),
+          col("cluster_tok"), col("keep_tok"))
+        .orderBy("cluster_id")
     }),
 
     // Near-dup clustering: connected components over the exact Jaccard
@@ -1013,6 +1047,52 @@ object Dedup {
            CAST(SUM(CASE WHEN rm.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM documents d LEFT JOIN removed rm ON d.doc_id = rm.id
          GROUP BY source ORDER BY source""",
+    // q85's closure + per-cluster keeper via row_number over
+    // (n_tok DESC, doc_id) — the window twin of Spark's min_by struct
+    "q135_quality_canonical" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' '))) AS g
+           FROM tk WHERE len(toks) >= 5)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id),
+         canon AS (SELECT id, MIN(label) AS canonical FROM r GROUP BY id),
+         mem AS (
+           SELECT c.canonical AS cluster_id, c.id AS doc_id,
+             CAST(len(str_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tok
+           FROM canon c JOIN documents d ON d.doc_id = c.id),
+         agg AS (
+           SELECT cluster_id, COUNT(*) AS n_members,
+             CAST(SUM(n_tok) AS BIGINT) AS cluster_tok,
+             CAST(MAX(n_tok) AS BIGINT) AS keep_tok
+           FROM mem GROUP BY 1),
+         keep AS (
+           SELECT cluster_id, doc_id AS keep_id FROM (
+             SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_tok DESC, doc_id) AS rn
+             FROM mem) WHERE rn = 1)
+         SELECT a.cluster_id, k.keep_id, a.n_members, a.cluster_tok, a.keep_tok
+         FROM agg a JOIN keep k USING (cluster_id) ORDER BY a.cluster_id""",
     // q85's closure + cluster-keyed md5 split (q97's threshold
     // mechanism at 2 hex chars): <'cc' train, <'e6' val, else test
     "q112_leakage_free_split" ->

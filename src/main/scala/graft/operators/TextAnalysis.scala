@@ -1156,6 +1156,51 @@ object TextAnalysis {
         .orderBy("doc_id", "island")
     }),
 
+    // Duplicated-substring REWRITE — q125's cut list APPLIED (the
+    // rewriter itself, closing the span-dedup loop the way q109 closed
+    // the boilerplate loop): token positions covered by any
+    // corpus-duplicated 8-gram are cut, survivors reassemble in order,
+    // and the emitted rewrite is hash-checked — not just counted.
+    // Scale shape: gram df is the q72/q125 aggregate + semi-join
+    // (duplicated POSITIONS come back doc-keyed, never gram×gram);
+    // coverage explodes each hit into its 8 positions (8× the HIT
+    // count, not the corpus); the reassembly is one per-doc aggregate
+    // over kept tokens with an in-group sort (q109's spelling) — no
+    // window, no corpus-global order anywhere.
+    "q136_dup_span_rewrite" -> ((s, dir) => {
+      val docs = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("doc_id"), wsToks.as("toks"))
+          .filter(size(col("toks")) >= 8))
+      val grams = graft.Caches.cached(docs
+        .withColumn("p", explode(sequence(lit(1L), size(col("toks")) - 7)))
+        .select(col("doc_id"), col("p"),
+          array_join(slice(col("toks"), col("p").cast("int"), lit(8)), " ")
+            .as("gram")))
+      val dup = grams.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select("gram")
+      val covered = grams.join(dup, Seq("gram"), "left_semi")
+        .withColumn("t", explode(sequence(col("p"), col("p") + 7)))
+        .select("doc_id", "t").distinct()
+      val toks = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("t"), col("tok"))
+      val rebuilt = toks.join(covered, Seq("doc_id", "t"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+              x => x.getField("tok")), " ").as("rewritten"))
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+          coalesce(col("rewritten"), lit("")).as("rewritten"))
+        .orderBy("doc_id")
+    }),
+
     // Compression-ratio quality signal (the Gopher/RefinedWeb filter
     // family's "does it deflate like prose?" rule): per-doc raw-
     // DEFLATE length over byte length via the codegen'd deflate_len
@@ -2148,6 +2193,53 @@ object TextAnalysis {
          SELECT doc_id, island, MIN(p) AS span_start,
            MAX(p) + 8 AS span_end, COUNT(*) AS n_grams
          FROM isl GROUP BY 1, 2 ORDER BY doc_id, island""",
+    // q125's dup machinery + coverage expansion + ordered reassembly
+    // (string_agg ORDER BY t — the oracle twin of Spark's sorted
+    // collect_list struct); 1-based token positions throughout
+    "q136_dup_span_rewrite" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         d8 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+                WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, n - 7)) AS p
+           FROM d8),
+         grams AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             array_to_string(toks[CAST(p AS INT):CAST(p + 7 AS INT)], ' ')
+               AS gram
+           FROM g),
+         dup AS (
+           SELECT gram FROM (
+             SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+           WHERE nd >= 2),
+         hits AS (
+           SELECT doc_id, p FROM grams
+           WHERE gram IN (SELECT gram FROM dup)),
+         cov AS (
+           SELECT DISTINCT doc_id, t FROM (
+             SELECT doc_id, unnest(generate_series(p, p + 7)) AS t FROM hits)),
+         toks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS t, toks[CAST(i AS INT)] AS tok
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, n)) AS i
+                 FROM d8)),
+         kept AS (
+           SELECT k.doc_id, k.t, k.tok
+           FROM toks k LEFT JOIN cov
+             ON cov.doc_id = k.doc_id AND cov.t = k.t
+           WHERE cov.t IS NULL),
+         agg AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY t) AS rewritten
+           FROM kept GROUP BY 1)
+         SELECT d8.doc_id, CAST(n AS BIGINT) AS n_tok,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(n AS BIGINT) - COALESCE(a.n_kept, 0) AS n_cut,
+           COALESCE(a.rewritten, '') AS rewritten
+         FROM d8 LEFT JOIN agg a ON a.doc_id = d8.doc_id
+         ORDER BY d8.doc_id""",
     // composed from the two legs' own proven spellings: cosSql's
     // decimal-pinned cosine ranks (the q38 oracle's core) + q92's
     // BM25 CTEs at rank<=10, fused with the identical integer RRF

@@ -73,6 +73,29 @@ class PrefixSpec extends SparkSpec {
     assert(out.count() == 4000)
   }
 
+  test("recursion plan: exactly one span-bounded unpartitioned window") {
+    // span 16 over keys ≤ 27993 ⇒ 3 levels: two partitioned windows
+    // (per-block, ≤ span rows each) and ONE unpartitioned top window
+    // whose input is ≤ span block totals — the only single-task sort
+    // the operator ever schedules
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec
+      }
+    val global = windows(Prefix.exclusiveSum(table(4000), Nil, "k", "v", "off", span = 16))
+    assert(global.size >= 3, s"expected >= 3 window levels, got ${global.size}")
+    assert(global.count(_.isEmpty) == 1,
+      s"exactly one (bounded) unpartitioned window allowed, got $global")
+    // partitioned prefix: every window carries the group key — no
+    // unpartitioned window anywhere in the plan
+    val rows = (0 until 1500).map(i => ("hot", i.toLong * 3, (i % 17).toLong))
+      .toDF("p", "k", "v")
+    val grouped = windows(Prefix.exclusiveSum(rows, Seq("p"), "k", "v", "off", span = 64))
+    assert(grouped.nonEmpty && grouped.forall(_.nonEmpty),
+      s"partitioned prefix must never schedule an unpartitioned window: $grouped")
+  }
+
   test("negative order keys fail loudly, never silently mis-prefix") {
     val df = Seq((-1L, 1L), (2L, 2L), (40L, 3L)).toDF("k", "v")
     val e = intercept[Exception](
