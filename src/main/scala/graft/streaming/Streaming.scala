@@ -541,11 +541,87 @@ object Streaming {
     hist
   }
 
+  /** Driver-visible audit of [[sessionize]] (the custom
+    * flatMapGroupsWithState sessionizer — the last big spec-only
+    * streaming operator): the REAL loop runs over a three-chunk
+    * time-ordered replay of the events table with checkpointed
+    * restarts, then ONE sentinel event (a reserved user far past the
+    * corpus) pushes the global watermark beyond every real session's
+    * end + gap, and one final no-new-data start lets the event-time
+    * timeouts flush any still-open state — the production
+    * close-out-a-bounded-replay shape. Emitted sessions (Append mode:
+    * each session exactly once, when the watermark passes it) fold
+    * into q61's shape by ranking each user's sessions by start.
+    *
+    * The oracle is q61's session CTE WITHOUT total_value: session
+    * STRUCTURE (count, boundaries) is exact and replayable, but the
+    * streaming accumulator sums doubles in arrival order while the
+    * batch twin sums in DECIMAL(18,4) — last-ulp IEEE differences are
+    * not a semantic the audit should pin (StreamingSpec already pins
+    * the full-tuple equality law on fixture data where the sums are
+    * exact). Hash-checked on (user_id, session_id, n_events,
+    * session_start, session_end). */
+  def streamSessionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val gapMs = 30 * 60 * 1000L
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val sentinelUser = Long.MaxValue // reserved: no real user can collide
+    val tmp = java.nio.file.Files.createTempDirectory("q137_sessions").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/sessions", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    val sentinel = Seq((-1L, new java.sql.Timestamp(hi + gapMs + 7200000L),
+      sentinelUser, "closeout", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2), sentinel, null) // null = no-new-data timeout flush
+    chunks.foreach { c =>
+      if (c != null) c.write.mode("append").parquet(landing)
+      val q = sessionize(
+          spark.readStream.schema(schema).parquet(landing).as[Event],
+          gapMinutes = 30, watermark = "0 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Session], _: Long) =>
+          b.toDF().write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start")
+    val out = spark.read.parquet(outDir)
+      .filter(col("user_id") =!= sentinelUser)
+      .withColumn("session_id", row_number().over(wU).cast("long"))
+      .select(col("user_id"), col("session_id"),
+        col("n_events").cast("long").as("n_events"),
+        col("start").as("session_start"), col("end").as("session_end"))
+      .orderBy("user_id", "session_id")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
     "q133_stream_pack" -> ((s, dir) => streamPackAudit(s, dir)),
-    "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)))
+    "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)),
+    "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -743,14 +819,51 @@ object Streaming {
     "q133_stream_pack" ->
       graft.operators.TextAnalysis.oracles("q94_sequence_pack"),
     "q134_stream_scd2" ->
-      graft.operators.Snapshots.oracles("q117_scd2_intervals"))
+      graft.operators.Snapshots.oracles("q117_scd2_intervals"),
+
+    // q61's session CTE without total_value (IEEE arrival-order sums
+    // are not replayable across engines; the batch twin q61 carries
+    // the exact-decimal-sum law)
+    "q137_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) AS gap_ms
+           FROM events),
+         sess AS (
+           SELECT *, SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                              THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM e)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
                      end: java.sql.Timestamp, total_value: Double)
-  /** Fixed-width open-session accumulator — never the event list. */
-  case class OpenSession(n: Int, startMs: Long, endMs: Long, total: Double)
+  /** Fixed-width open-session accumulator — never the event list.
+    * Boundaries are MICROSECONDS since epoch: `Timestamp.getTime` is
+    * millis, and truncating there silently merged two events
+    * 30 min + 500 µs apart and emitted wrong session boundaries (found
+    * by the q137 driver audit against the micro-precision batch twin).
+    * Only the watermark comparisons floor to millis (the engine's
+    * watermark unit), which is safe: gap is a whole number of millis,
+    * so the close condition and the late-event cutoff floor
+    * identically and the boundary event stays mergeable. */
+  case class OpenSession(n: Int, startUs: Long, endUs: Long, total: Double)
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom sessionization with flatMapGroupsWithState: a session is
     * emitted once the watermark passes end + gap (event-time timeout),
@@ -775,6 +888,7 @@ object Streaming {
                  watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val gapUs = gapMs * 1000L
     events.withWatermark("ts", watermark)
       .as[Event]
       .groupByKey(_.user_id)
@@ -782,20 +896,26 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[List[OpenSession]]) =>
           def emit(s: OpenSession) = Session(uid, s.n,
-            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.total)
+            microsTs(s.startUs), microsTs(s.endUs), s.total)
           // emit every session the watermark has passed; keep + re-arm
           // the rest. strict >: at watermark == end+gap an on-time
           // boundary event (t - end == gap, not > gap) could still
           // merge, so the session stays open and the timeout is armed
-          // just past the watermark.
+          // just past the watermark. Boundaries are micros; the
+          // watermark unit is millis, so close times floor — same
+          // flooring as the engine's late-event cutoff (see
+          // OpenSession), so no boundary event can be both droppable
+          // and mergeable.
           def settle(sessions: Seq[OpenSession]): Iterator[Session] = {
             val wm = state.getCurrentWatermarkMs()
-            val (closed, open) = sessions.partition(s => wm > s.endMs + gapMs)
+            def closeMs(s: OpenSession) = Math.floorDiv(s.endUs, 1000000L) * 1000L +
+              Math.floorMod(s.endUs, 1000000L) / 1000L + gapMs
+            val (closed, open) = sessions.partition(s => wm > closeMs(s))
             if (open.isEmpty) { if (state.exists) state.remove() }
             else {
               state.update(open.toList)
               state.setTimeoutTimestamp(
-                math.max(open.map(_.endMs + gapMs).min, wm + 1))
+                math.max(open.map(closeMs).min, wm + 1))
             }
             closed.iterator.map(emit)
           }
@@ -809,24 +929,24 @@ object Streaming {
             val buf = scala.collection.mutable.ArrayBuffer[OpenSession]()
             buf ++= state.getOption.getOrElse(Nil)
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               var i = 0
-              while (i < buf.length && buf(i).startMs <= t) i += 1
-              val intoPrev = i > 0 && t - buf(i - 1).endMs <= gapMs
-              val intoNext = i < buf.length && buf(i).startMs - t <= gapMs
+              while (i < buf.length && buf(i).startUs <= t) i += 1
+              val intoPrev = i > 0 && t - buf(i - 1).endUs <= gapUs
+              val intoNext = i < buf.length && buf(i).startUs - t <= gapUs
               (intoPrev, intoNext) match {
                 case (true, true) => // bridge: prev + event + next merge
                   val p = buf(i - 1); val nx = buf(i)
-                  buf(i - 1) = OpenSession(p.n + nx.n + 1, p.startMs,
-                    math.max(nx.endMs, t), p.total + nx.total + e.value)
+                  buf(i - 1) = OpenSession(p.n + nx.n + 1, p.startUs,
+                    math.max(nx.endUs, t), p.total + nx.total + e.value)
                   buf.remove(i)
                 case (true, false) =>
                   val p = buf(i - 1)
-                  buf(i - 1) = OpenSession(p.n + 1, p.startMs,
-                    math.max(p.endMs, t), p.total + e.value)
+                  buf(i - 1) = OpenSession(p.n + 1, p.startUs,
+                    math.max(p.endUs, t), p.total + e.value)
                 case (false, true) =>
                   val nx = buf(i)
-                  buf(i) = OpenSession(nx.n + 1, t, nx.endMs, nx.total + e.value)
+                  buf(i) = OpenSession(nx.n + 1, t, nx.endUs, nx.total + e.value)
                 case (false, false) =>
                   buf.insert(i, OpenSession(1, t, t, e.value))
               }
