@@ -872,6 +872,47 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // TEMPERATURE mixture sampling — the multilingual/multi-domain
+    // mixing rule (mT5/XLM-R style): source weights ∝ T_s^α with
+    // α = 1/2, so over-represented domains damp toward (not to) the
+    // uniform share q97 targets — the standard middle ground between
+    // proportional (α=1) and uniform (α=0) sampling. Determinism
+    // contract: the weight is an EXACT integer floor-sqrt (a double
+    // sqrt candidate bracketed by ±1 integer correction — immune to
+    // any sqrt rounding), weight/token totals sum as longs (order-
+    // free), and the per-source keep threshold is one nested all-
+    // integer DIV chain quantized to q97's 16-bit md5 mechanism, so
+    // the kept set is bit-identical on any engine. Overflow bound
+    // (documented like q113's): (ΣT DIV 2)·65536 must fit int64 ⇒
+    // ΣT < 2^47 tokens (≈ 560 TB of text). Scale shape: q97's —
+    // source-keyed aggregate + single-row-per-source window totals,
+    // broadcast rates, per-row codegen'd keep predicate, one rollup.
+    "q138_temperature_mixture" -> ((s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val toks = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+      val rates = toks.groupBy("source").agg(sum(col("n_tok")).as("t_s"))
+        .withColumn("tot", sum(col("t_s")).over(all))
+        .withColumn("c", expr("CAST(floor(sqrt(CAST(t_s AS DOUBLE))) AS BIGINT)"))
+        .withColumn("c2", expr("c - CAST(c * c > t_s AS INT)"))
+        .withColumn("w", expr("c2 + CAST((c2 + 1) * (c2 + 1) <= t_s AS INT)"))
+        .withColumn("wsum", sum(col("w")).over(all))
+        .withColumn("thr", expr(
+          "least(CAST(65536 AS BIGINT), (((tot DIV 2) * 65536) DIV wsum * w) DIV t_s)"))
+        .select(col("source"), col("thr"),
+          lpad(lower(hex(col("thr"))), 4, "0").as("thr_hex"))
+      toks.join(broadcast(rates), Seq("source"))
+        .withColumn("keep", col("thr") >= 65536L ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr_hex"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+          first(col("thr")).as("thr"))
+        .orderBy("source")
+    }),
+
     // CORPUS-BUILD CAPSTONE — the full pretraining data pipeline as
     // ONE query, every stage the hash-matched spelling of an existing
     // one: quality filter (q80) → exact bag-of-words dedup (q57/q80's
@@ -1875,6 +1916,46 @@ object TextAnalysis {
            CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
              AS kept_tokens,
            ANY_VALUE(rate) AS rate
+         FROM k GROUP BY source ORDER BY source""",
+    // exact floor-sqrt weights (double candidate + ±1 integer
+    // correction), long window totals, the identical nested DIV chain
+    "q138_temperature_mixture" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_s
+                 FROM t GROUP BY 1),
+         tw AS (
+           SELECT source, t_s,
+             CAST(SUM(t_s) OVER () AS BIGINT) AS tot,
+             CAST(floor(sqrt(CAST(t_s AS DOUBLE))) AS BIGINT) AS c
+           FROM per),
+         w2 AS (SELECT source, t_s, tot,
+                  c - CAST(c * c > t_s AS INT) AS c2 FROM tw),
+         w3 AS (SELECT source, t_s, tot,
+                  c2 + CAST((c2 + 1) * (c2 + 1) <= t_s AS INT) AS w FROM w2),
+         rt AS (
+           SELECT source, t_s,
+             LEAST(CAST(65536 AS BIGINT),
+               (((tot // 2) * 65536) // CAST(SUM(w) OVER () AS BIGINT) * w)
+                 // t_s) AS thr
+           FROM w3),
+         rh AS (
+           SELECT source, thr,
+             lpad(lower(hex(thr)), 4, '0') AS thr_hex
+           FROM rt),
+         k AS (
+           SELECT t.source, t.n_tok, rh.thr,
+             (rh.thr >= 65536 OR
+              substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < rh.thr_hex) AS keep
+           FROM t JOIN rh ON rh.source = t.source)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ANY_VALUE(thr) AS thr
          FROM k GROUP BY source ORDER BY source""",
     // q80's features → q85's closure → q97's rates → q94's prefix
     // sums, composed; each CTE is its source query's proven spelling

@@ -353,4 +353,39 @@ class PropertySpec extends SparkSpec {
       assert(w >= 0 && w < 1000)
     }
   }
+
+  test("q138 temperature thresholds replay exactly from source masses") {
+    // independent driver-side replay of the α = 1/2 allocation: exact
+    // integer floor-sqrt weights, long totals, the same nested DIV
+    // chain — pins the arithmetic the oracle hash also pins, from a
+    // second implementation. (Pairwise thr monotonicity in T_s is NOT
+    // a law: isqrt floor granularity can locally invert it near
+    // squares — e.g. isqrt(1441)=37 vs isqrt(1466)=38.)
+    val rows = SparkEntry.queries("q138_temperature_mixture")(spark, sf).collect()
+    assert(rows.length >= 2)
+    def isqrt(t: Long): Long = {
+      val c = math.floor(math.sqrt(t.toDouble)).toLong
+      val c2 = if (c * c > t) c - 1 else c
+      if ((c2 + 1) * (c2 + 1) <= t) c2 + 1 else c2
+    }
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val wsum = rows.map(r => isqrt(r.getAs[Long]("n_tokens"))).sum
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_tokens")
+      val expect = math.min(65536L, ((tot / 2) * 65536L) / wsum * isqrt(t) / t)
+      assert(r.getAs[Long]("thr") == expect, s"thr replay mismatch: $r")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      if (r.getAs[Long]("thr") >= 65536L)
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"),
+          s"saturated source must keep everything: $r")
+    }
+    // and the allocation really damps: the kept-token share of the
+    // LARGEST source under α=1/2 exceeds q97's uniform-share cut
+    // (uniform is the harsher regime for over-represented sources)
+    val big = rows.maxBy(_.getAs[Long]("n_tokens"))
+    val q97 = SparkEntry.queries("q97_mixture_sample")(spark, sf).collect()
+      .find(_.getAs[String]("source") == big.getAs[String]("source")).get
+    assert(big.getAs[Long]("kept_tokens") >= q97.getAs[Long]("kept_tokens"),
+      s"temperature must damp less than uniform on the largest source")
+  }
 }
