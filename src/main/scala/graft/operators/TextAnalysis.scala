@@ -362,6 +362,46 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // GRADED contamination report — q66's yes/no gate refined to the
+    // report an eval-integrity review actually reads: per corpus doc,
+    // the FRACTION of its 13-gram positions that appear in the held-out
+    // eval set (fixed-point milli), bucketed clean / trace(<1%) /
+    // light(<10%) / heavy, rolled up per (source, bucket) with exact
+    // position accounting. A doc with one boilerplate gram in common
+    // is a different remediation case than a verbatim eval copy — the
+    // binary gate can't tell them apart. Scale shape: q66's exactly
+    // (one cached tokenize+md5 pass feeding eval-distinct and corpus
+    // sides; semi-join stays shuffled past broadcast scale), plus two
+    // doc-keyed map-side-combined aggregates; buckets are a bounded
+    // domain.
+    "q139_contamination_report" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), wsToks.as("toks"))
+      val grams = graft.Caches.cached(docs
+        .filter(size(col("toks")) >= 13)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+      val benchGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select("gram").distinct()
+      val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+      val hits = corpus.join(benchGrams, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy("doc_id", "source").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("frac_milli", expr("(n_hit * 1000) DIV n_grams"))
+        .withColumn("bucket",
+          when(col("n_hit") === 0, "0_clean")
+            .when(col("frac_milli") < 10, "1_trace")
+            .when(col("frac_milli") < 100, "2_light")
+            .otherwise("3_heavy"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+          sum(col("n_hit")).as("n_hits"))
+        .orderBy("source", "bucket")
+    }),
+
     // Within-document repetition signals (the Gopher-style quality
     // rules): duplicate-token fraction and most-frequent-bigram mass.
     // Distinct-token count is a codegen'd array op in the scan stage;
@@ -1554,6 +1594,41 @@ object TextAnalysis {
            COALESCE(n_contaminated, 0) AS n_contaminated,
            n_docs - COALESCE(n_contaminated, 0) AS n_clean
          FROM base LEFT JOIN cont USING (source) ORDER BY source""",
+    // q66's gram CTEs + position-level hit counts + fixed-point
+    // fraction buckets (clean requires EXACTLY zero hits)
+    "q139_contamination_report" ->
+      """WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, source, toks,
+             unnest(generate_series(1, len(toks) - 12)) AS i
+           FROM d WHERE len(toks) >= 13),
+         grams AS (
+           SELECT doc_id, source,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')) AS gram
+           FROM g),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+         corpus AS (SELECT * FROM grams WHERE doc_id % 20 <> 0),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hit FROM corpus
+           WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id),
+         per AS (
+           SELECT c.doc_id, c.source, COUNT(*) AS n_grams,
+             COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit
+           FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+           GROUP BY c.doc_id, c.source),
+         b AS (
+           SELECT source, n_grams, n_hit,
+             CASE WHEN n_hit = 0 THEN '0_clean'
+                  WHEN (n_hit * 1000) // n_grams < 10 THEN '1_trace'
+                  WHEN (n_hit * 1000) // n_grams < 100 THEN '2_light'
+                  ELSE '3_heavy' END AS bucket
+           FROM per)
+         SELECT source, bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits
+         FROM b GROUP BY source, bucket ORDER BY source, bucket""",
     "q67_repetition" ->
       """WITH d AS (
            SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
