@@ -474,6 +474,54 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // MOSS-style plagiarism pairs over WINNOWED fingerprints
+    // (Schleimer et al. 2003, the winnowing paper's actual use case —
+    // q46 computes char-level fingerprints, THIS generates pairs):
+    // docs sharing >= 20% of the smaller side's fingerprint set,
+    // discovered through an inverted index on fingerprints with a
+    // df <= 10 ceiling (MOSS's "ignore fingerprints in too many
+    // documents" — over-common hashes carry no plagiarism signal AND
+    // are exactly what would blow the index join up; the ceiling is
+    // semantics and scale guard at once). The winnow unit here is the
+    // TOKEN 8-gram (md5 gram hashes, lexicographic min over windows
+    // of 4 — pure HOFs, no kernel needed), for the same reason q65
+    // uses token shingles: char n-grams saturate on a small-vocabulary
+    // corpus, leaving every fingerprint over-common and the pair set
+    // empty. Containment denominators use the FULL per-doc
+    // fingerprint counts; only the shared-count numerator is
+    // rare-scoped. All-integer overlap fraction ⇒ hash-matched.
+    // Scale shape: one generate-only winnow pass, index join bounded
+    // by the df ceiling, never doc×doc.
+    "q140_winnow_pairs" -> ((s, dir) => {
+      val fps = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("doc_id"), wsToks.as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .withColumn("gh", expr(
+            "transform(sequence(1, size(toks) - 7), " +
+              "i -> md5(array_join(slice(toks, i, 8), ' ')))"))
+          .withColumn("fp", explode(expr(
+            "array_distinct(transform(sequence(1, greatest(size(gh) - 3, 1)), " +
+              "i -> array_min(slice(gh, i, 4))))")))
+          .select("doc_id", "fp"))
+      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val rare = fps.join(
+        fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") <= 10).select("fp"),
+        Seq("fp"), "left_semi")
+      rare.as("x").join(rare.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_fp").as("a_fp")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_fp").as("b_fp")), "b_id")
+        .withColumn("overlap_milli",
+          expr("(n_shared * 1000) DIV least(a_fp, b_fp)"))
+        .filter(col("overlap_milli") >= 200)
+        .select("a_id", "b_id", "n_shared", "a_fp", "b_fp", "overlap_milli")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Cross-document duplicated-span fraction (the RefinedWeb-style
     // "fraction of my 8-gram positions that also occur in another doc"
     // signal — within-doc repetition is q67, this is ACROSS docs).
@@ -1683,6 +1731,44 @@ object TextAnalysis {
          SELECT doc_id, CAST(len(hs) AS INT) AS n_grams, CAST(len(wfp) AS INT) AS n_fp,
                 list_aggregate(wfp, 'min') AS fp_min, list_aggregate(wfp, 'max') AS fp_max
          FROM w ORDER BY doc_id""",
+    // token-8-gram md5 winnow (lexicographic-min windows of 4) + the
+    // q91-style inverted-index pair CTEs with the df ceiling;
+    // full-count denominators
+    "q140_winnow_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         d8 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+                WHERE len(toks) >= 8),
+         gh AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, n - 7), i ->
+               md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')))
+               AS gh
+           FROM d8),
+         w AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(gh) - 3, 1)),
+               i -> list_aggregate(gh[CAST(i AS INT):CAST(i + 3 AS INT)], 'min')))
+               AS wfp
+           FROM gh),
+         fps AS (SELECT doc_id, unnest(wfp) AS fp FROM w),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+         rare AS (
+           SELECT fp FROM (
+             SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY 1)
+           WHERE nd <= 10),
+         rf AS (SELECT * FROM fps WHERE fp IN (SELECT fp FROM rare)),
+         sh AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
+           FROM rf x JOIN rf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, n_shared, sa.n_fp AS a_fp, sb.n_fp AS b_fp,
+           (n_shared * 1000) // LEAST(sa.n_fp, sb.n_fp) AS overlap_milli
+         FROM sh JOIN sizes sa ON sa.doc_id = a_id
+                 JOIN sizes sb ON sb.doc_id = b_id
+         WHERE (n_shared * 1000) // LEAST(sa.n_fp, sb.n_fp) >= 200
+         ORDER BY a_id, b_id""",
     "q72_dup_spans" ->
       """WITH d AS (
            SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
