@@ -616,12 +616,70 @@ object Streaming {
     out
   }
 
+  /** Driver-visible audit of [[purchaseViewJoin]] (the watermarked
+    * stream-stream interval join): purchases and views land as
+    * separate streams in three time-ordered chunks with checkpointed
+    * restarts — cross-chunk matches (a purchase whose views arrived a
+    * restart earlier) must come out of the join STATE, which is
+    * exactly what the audit exercises. Inner joins emit eagerly on
+    * match, so no sentinel/close-out is needed; the accumulated
+    * output is the complete interval-join relation and hash-matches
+    * a plain batch range-join oracle. */
+  def streamIntervalJoinAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q141_ssjoin").toString
+    val (landP, landV, outDir, ckpt) =
+      (s"$tmp/purchases", s"$tmp/views", s"$tmp/joined", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    val cuts = Seq(ms < t1, ms >= t1 && ms < t2, ms >= t2)
+    cuts.foreach { cond =>
+      val chunk = ev.filter(cond)
+      chunk.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .write.mode("append").parquet(landP)
+      chunk.filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id", "value")
+        .write.mode("append").parquet(landV)
+      val q = purchaseViewJoin(
+          spark.readStream.schema(schema).parquet(landP),
+          spark.readStream.schema(schema).parquet(landV))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.read.parquet(outDir)
+      .select("p_id", "user_id", "p_ts", "p_value", "v_id", "v_ts", "v_value")
+      .orderBy("p_id", "v_id")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
     "q133_stream_pack" -> ((s, dir) => streamPackAudit(s, dir)),
     "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)),
-    "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)))
+    "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)),
+    "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -839,7 +897,19 @@ object Streaming {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+
+    // the interval join is a plain batch range join — values pass
+    // through untouched, so the streaming output hashes directly
+    "q141_stream_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+           p.value AS p_value, v.event_id AS v_id, v.ts AS v_ts,
+           v.value AS v_value
+         FROM events p JOIN events v
+           ON v.user_id = p.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         ORDER BY p_id, v_id""")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
