@@ -1214,6 +1214,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM-LM surprisal — the CCNet/KenLM filter family one order up
+    // from q113's unigram: each position's surprisal is
+    // -log2 p(w | prev) under the corpus's own add-one-smoothed bigram
+    // LM, p = (c(prev,w)+1)/(c(prev)+V). The ratio (c(prev)+V) /
+    // (c(prev,w)+1) is ≥ 1 by construction, so q113's ALL-INTEGER log2
+    // (bin()-length octave + 512-granule interpolation — no libm
+    // anywhere) applies verbatim and the per-source report is
+    // bit-stable on both engines. Scale shape: context/bigram counts
+    // are vocab-sized map-side-combined aggregates joined back by
+    // equi-key (stats-gated broadcasts); V arrives as a broadcast
+    // 1-row COUNT; the rollup is source-keyed. The bigram table grows
+    // with vocab², not the corpus — the standard LM-table bound.
+    "q142_bigram_lm_score" -> ((s, dir) => {
+      val docs = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), wsToks.as("toks")))
+      val vsize = docs.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).as("vsz"))
+      val bi = graft.Caches.cached(docs
+        .filter(size(col("toks")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(col("doc_id"), col("source"),
+          element_at(col("toks"), col("i")).as("v"),
+          element_at(col("toks"), col("i") + 1).as("w")))
+      val cv = bi.groupBy("v").agg(count(lit(1)).as("cv"))
+      val cvw = bi.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+      bi.join(Tables.maybeBroadcast(cvw), Seq("v", "w"))
+        .join(Tables.maybeBroadcast(cv), Seq("v"))
+        .crossJoin(broadcast(vsize))
+        .withColumn("r", expr("((cv + vsz) * 256) DIV (cvw + 1)"))
+        .withColumn("k", expr("length(bin(r)) - 1"))
+        .withColumn("sbits", expr(
+          """(k - 8) * 512 +
+             ((r - shiftleft(CAST(1 AS BIGINT), k)) * 512)
+               DIV shiftleft(CAST(1 AS BIGINT), k)"""))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          sum(col("sbits")).as("sum_sbits"))
+        .withColumn("mean_sbits", expr("sum_sbits DIV n_bigrams"))
+        .orderBy("source")
+    }),
+
     // Exact filter-evaluation AUC — "how well does the surprisal
     // score separate English from the rest?" — computed ENTIRELY at
     // histogram level: Mann-Whitney U needs only each score group's
@@ -2284,6 +2326,41 @@ object TextAnalysis {
          SELECT doc_id, n_tok, score, rank,
            1 + ((rank - 1) * 3) // n_docs AS bucket
          FROM r ORDER BY doc_id"""),
+    // add-one bigram LM, q113's integer-log2 granule for granule;
+    // ratio r >= 256 by construction so the octave is well-defined
+    "q142_bigram_lm_score" ->
+      """WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         vs AS (
+           SELECT COUNT(DISTINCT t) AS vsz FROM (
+             SELECT unnest(toks) AS t FROM d)),
+         d2 AS (SELECT doc_id, source, toks, len(toks) AS n FROM d
+                WHERE len(toks) >= 2),
+         bi AS (
+           SELECT doc_id, source,
+             toks[CAST(i AS INT)] AS v, toks[CAST(i + 1 AS INT)] AS w
+           FROM (SELECT doc_id, source, toks,
+                   unnest(generate_series(1, n - 1)) AS i FROM d2)),
+         cv AS (SELECT v, COUNT(*) AS cv FROM bi GROUP BY 1),
+         cvw AS (SELECT v, w, COUNT(*) AS cvw FROM bi GROUP BY 1, 2),
+         sc AS (
+           SELECT bi.doc_id, bi.source,
+             ((cv.cv + vs.vsz) * 256) // (cvw.cvw + 1) AS r
+           FROM bi JOIN cvw ON cvw.v = bi.v AND cvw.w = bi.w
+                   JOIN cv ON cv.v = bi.v
+                   CROSS JOIN vs),
+         sb AS (SELECT doc_id, source, r, length(bin(r)) - 1 AS k FROM sc),
+         st AS (
+           SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM((k - 8) * 512 +
+                 ((r - (CAST(1 AS BIGINT) << k)) * 512)
+                   // (CAST(1 AS BIGINT) << k)) AS BIGINT) AS sum_sbits
+           FROM sb GROUP BY 1)
+         SELECT source, n_docs, n_bigrams, sum_sbits,
+           sum_sbits // n_bigrams AS mean_sbits
+         FROM st ORDER BY source""",
     // histogram-level Mann-Whitney: per-score (cnt, npos) + cumulative
     // offsets replay Spark's sort-free rank ranges exactly
     "q126_filter_auc" -> (surprisalCteSql +
