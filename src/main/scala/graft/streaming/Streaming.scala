@@ -673,13 +673,71 @@ object Streaming {
     out
   }
 
+  /** Driver-visible audit of [[dailyBars]] (the P1 streaming twin):
+    * the watermarked tumbling-window OHLC aggregate runs over a
+    * three-chunk time-ordered replay with checkpointed restarts — a
+    * DAY whose events straddle a chunk boundary must finalize out of
+    * the aggregate STATE — then a sentinel event pushes the watermark
+    * past every real window and a final no-data start flushes the
+    * append-mode emissions (the q137 close-out shape). Append-mode
+    * aggregates emit each finalized window exactly once, so the
+    * accumulated output IS the bar table; it folds to q19's shape and
+    * hash-matches q19's oracle (shared by reference) — open/close ride
+    * min_by/max_by over (ts, event_id), no order-sensitive sums. */
+  def streamOhlcAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q143_ohlc").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/bars", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    // sentinel: one event 3 days past the corpus (1-day window + 1-day
+    // watermark + margin) under a reserved type the fold excludes
+    val sentinel = Seq((-1L, new java.sql.Timestamp(hi + 3L * 86400000L),
+      "closeout", 0.0)).toDF("event_id", "ts", "event_type", "value")
+    val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2), sentinel, null) // null = no-data flush start
+    chunks.foreach { c =>
+      if (c != null) c.write.mode("append").parquet(landing)
+      val q = dailyBars(spark.readStream.schema(schema).parquet(landing))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "closeout")
+      .select(col("event_type"), to_date(col("day_start")).as("day"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderBy("event_type", "day")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
     "q133_stream_pack" -> ((s, dir) => streamPackAudit(s, dir)),
     "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)),
     "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)),
-    "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)))
+    "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)),
+    "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -909,7 +967,11 @@ object Streaming {
            ON v.user_id = p.user_id
           AND p.event_type = 'purchase' AND v.event_type = 'view'
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
-         ORDER BY p_id, v_id""")
+         ORDER BY p_id, v_id""",
+
+    // the streaming OHLC twin's oracle IS q19's — shared by reference
+    "q143_stream_ohlc" ->
+      graft.operators.TimeSeries.oracles("q19_ohlc_daily"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
