@@ -571,7 +571,60 @@ object Multimodal {
     (total, weighted)
   }
 
+  /** Per-media motion statistics over consecutive REAL-decoded GVID
+    * frames: motion(i) = Σ_j |frame_{i-1}[j] − frame_i[j]| over the
+    * later frame's length (only the tail frame is partial, so the
+    * overlap is exactly `min(frameSize, len_i)`). All-integer —
+    * total, max, and a position-weighted Σ i·motion(i) checksum that a
+    * frame reorder cannot reproduce. Computed inside the decode kernel:
+    * one media row in, one stats row out, NO shuffle at all — the
+    * per-media rollup that q55's per-frame sampler would need a
+    * groupBy for comes free because frames of one container are
+    * already co-located. Containers never shuffle. */
+  def frameMotion(media: DataFrame, frameSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val frames = Codec.decodeVideoFrames(bytes)
+          var total = 0L; var maxM = 0L; var weighted = 0L
+          var i = 1
+          while (i < frames.length) {
+            val prev = frames(i - 1)._3; val cur = frames(i)._3
+            var m = 0L; var j = 0
+            while (j < cur.length) {
+              m += math.abs((prev(j) & 0xff) - (cur(j) & 0xff)); j += 1
+            }
+            total += m
+            if (m > maxM) maxM = m
+            weighted += i.toLong * m
+            i += 1
+          }
+          (id, frames.length.toLong, total, maxM, weighted)
+        }
+      }
+      .toDF("media_id", "n_frames", "total_motion", "max_motion",
+        "weighted_motion")
+  }
+
   val queries: Map[String, Q] = queriesBase ++ Map(
+    // VIDEO MOTION PROFILE: the first kernel that consumes the GVID
+    // frame STRUCTURE (not just the replayed signal) — consecutive
+    // real-decoded frames difference into per-pair motion energies,
+    // rolled up per media with a frame-order-sensitive checksum. The
+    // oracle replays the pixel math from the source bytes using the
+    // tiling contract (frame i covers signal positions [i·256,
+    // i·256+len_i), losslessly) — the same byte-replay equivalence as
+    // q55, but exercising INTER-frame arithmetic a signal-level replay
+    // of one frame can't check.
+    "q144_video_motion" -> ((s, dir) => {
+      frameMotion(graft.Tables.fanOut(syntheticMedia(s, dir)), 256)
+        .orderBy("media_id")
+    }),
+
     // REAL AUDIO PIPELINE: audio docs' bytes travel through a genuine
     // WAV container (8-bit PCM, javax.sound.sampled decode) before
     // the framed energy / zero-crossing kernel — encode, container,
@@ -617,6 +670,38 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    // tiling replay: frame i (0-based) covers source positions
+    // i*256+1 .. i*256+len_i (1-based substr), len_i = least(256,
+    // n - i*256); pair i in 1..nf-1 diffs over the later frame's length
+    "q144_video_motion" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, text, length(text) AS n,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 256) AS BIGINT) AS nf
+           FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+         pairs AS (
+           SELECT media_id, text, n,
+             unnest(generate_series(1, nf - 1)) AS i
+           FROM v WHERE nf >= 2),
+         px AS (
+           SELECT media_id, i, text,
+             unnest(generate_series(1, least(256, n - i * 256))) AS j
+           FROM pairs),
+         m AS (
+           SELECT media_id, i,
+             SUM(abs(unicode(substr(text, CAST((i - 1) * 256 + j AS INT), 1))
+                   - unicode(substr(text, CAST(i * 256 + j AS INT), 1)))) AS motion
+           FROM px GROUP BY 1, 2),
+         agg AS (
+           SELECT media_id, CAST(SUM(motion) AS BIGINT) AS total_motion,
+             CAST(MAX(motion) AS BIGINT) AS max_motion,
+             CAST(SUM(i * motion) AS BIGINT) AS weighted_motion
+           FROM m GROUP BY 1)
+         SELECT v.media_id, nf AS n_frames,
+           CAST(COALESCE(total_motion, 0) AS BIGINT) AS total_motion,
+           CAST(COALESCE(max_motion, 0) AS BIGINT) AS max_motion,
+           CAST(COALESCE(weighted_motion, 0) AS BIGINT) AS weighted_motion
+         FROM v LEFT JOIN agg ON v.media_id = agg.media_id
+         ORDER BY v.media_id""",
     // sample replay from source bytes: v = unicode(char) - 128 (the
     // 8-bit-PCM midpoint); energy and crossings exact integers
     "q131_audio_features" ->

@@ -137,6 +137,23 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](Multimodal.Codec.decodeVideoSignal(broken))
   }
 
+  test("frame motion: hand-computed diffs over a constructed container (q144)") {
+    // frames: 256×10, 256×13, 100×1 → motion₁ = 256·|10−13| = 768,
+    // motion₂ = 100·|13−1| = 1200 (partial tail diffs over ITS length);
+    // total 1968, max 1200, weighted 1·768 + 2·1200 = 3168
+    val signal = (Array.fill(256)(10.toByte) ++ Array.fill(256)(13.toByte) ++
+      Array.fill(100)(1.toByte))
+    val media = Seq(
+      (7L, "video", Multimodal.Codec.encodeVideoPng(signal, 256)),
+      (8L, "video", Multimodal.Codec.encodeVideoPng(Array.fill(40)(5.toByte), 256)),
+      (9L, "image", Multimodal.Codec.encodeGrayPng(Array.fill(40)(5.toByte))))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.frameMotion(media, 256)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // image-kind rows are excluded; a single-frame video motions to zero
+    assert(rows == Seq((7L, 3L, 1968L, 1200L, 3168L), (8L, 1L, 0L, 0L, 0L)))
+  }
+
   test("container frame sampling == raw byte-window sampling (q55 parity)") {
     // the GVID route must produce byte-identical samples to the raw
     // fallback for the same signal — the property the q55 oracle rides
