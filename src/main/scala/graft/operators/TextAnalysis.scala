@@ -1256,6 +1256,59 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): each doc's
+    // log importance log2(p_target/p_raw) under HASHED-unigram bag
+    // models — feature hashing is what makes DSIR scale, and here both
+    // models collapse to B = 256 bucket rows (md5-prefix buckets, the
+    // engine-portable hash this repo already rides for q60), so the
+    // per-token model lookup is a broadcast against a CONSTANT-size
+    // table no matter how large the vocabulary or corpus grows.
+    // Target = the corpus's own English slice; add-one smoothing
+    // p = (c+1)/(N+B) keeps every ratio finite (an empty target
+    // degrades gracefully to the uniform model). log_w = Σ_tok
+    // (sbits_raw − sbits_tgt) in q113's all-integer 1/512-bit
+    // granules — a SUM, exactly DSIR's Σ log-ratio, so no negative
+    // integer division anywhere (Spark DIV truncates, DuckDB //
+    // floors; subtraction sidesteps the one semantic the two engines
+    // disagree on). selected = log_w > 0 is the resampling gate.
+    // Scale shape: tokens reduce map-side to (doc, bucket) counts;
+    // the 256-row model broadcasts; the only corpus-sized shuffle is
+    // the per-doc rollup.
+    "q145_dsir_weights" -> ((s, dir) => {
+      val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), explode(wsToks).as("w"))
+        .withColumn("b", substring(md5(col("w")), 1, 2)))
+      val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val tots = tok.agg(count(lit(1)).as("nr"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val model = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tots)) // 1 row: (N_raw, N_target)
+        .withColumn("rr", expr("((nr + 256) * 256) DIV (cr + 1)"))
+        .withColumn("rt", expr("((nt + 256) * 256) DIV (ct + 1)"))
+        .withColumn("kr", expr("length(bin(rr)) - 1"))
+        .withColumn("kt", expr("length(bin(rt)) - 1"))
+        .withColumn("sr", expr(
+          """(kr - 8) * 512 +
+             ((rr - shiftleft(CAST(1 AS BIGINT), kr)) * 512)
+               DIV shiftleft(CAST(1 AS BIGINT), kr)"""))
+        .withColumn("st", expr(
+          """(kt - 8) * 512 +
+             ((rt - shiftleft(CAST(1 AS BIGINT), kt)) * 512)
+               DIV shiftleft(CAST(1 AS BIGINT), kt)"""))
+        .select(col("b"), (col("sr") - col("st")).as("lw"))
+      val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      db.join(broadcast(model), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), sum(col("c") * col("lw")).as("log_w"))
+        .select(col("doc_id"), col("n_tok"), col("log_w"),
+          (col("log_w") > 0).as("selected"))
+        .orderBy("doc_id")
+    }),
+
     // Exact filter-evaluation AUC — "how well does the surprisal
     // score separate English from the rest?" — computed ENTIRELY at
     // histogram level: Mann-Whitney U needs only each score group's
@@ -2363,6 +2416,43 @@ object TextAnalysis {
          FROM st ORDER BY source""",
     // histogram-level Mann-Whitney: per-score (cnt, npos) + cumulative
     // offsets replay Spark's sort-free rank ranges exactly
+    // hashed-bucket model replay: bucket = md5 2-hex-char prefix,
+    // add-one smoothed granule surprisals per bucket under raw/target,
+    // log_w = Σ (sbits_raw − sbits_tgt) — a subtraction, never a
+    // negative //, so Spark's truncating DIV can't diverge from
+    // DuckDB's flooring //
+    "q145_dsir_weights" ->
+      """WITH d AS (
+           SELECT doc_id, lang, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         u AS (SELECT doc_id, lang, unnest(toks) AS w FROM d),
+         ub AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS b FROM u),
+         raw AS (SELECT b, COUNT(*) AS cr FROM ub GROUP BY 1),
+         tgt AS (SELECT b, COUNT(*) AS ct FROM ub WHERE lang = 'en' GROUP BY 1),
+         tots AS (SELECT COUNT(*) AS nr,
+                    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS nt FROM ub),
+         model AS (
+           SELECT raw.b,
+             ((nr + 256) * 256) // (cr + 1) AS rr,
+             ((nt + 256) * 256) // (COALESCE(ct, 0) + 1) AS rt
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+         g AS (
+           SELECT b,
+             ((length(bin(rr)) - 1 - 8) * 512 +
+               ((rr - (CAST(1 AS BIGINT) << (length(bin(rr)) - 1))) * 512)
+                 // (CAST(1 AS BIGINT) << (length(bin(rr)) - 1)))
+             -
+             ((length(bin(rt)) - 1 - 8) * 512 +
+               ((rt - (CAST(1 AS BIGINT) << (length(bin(rt)) - 1))) * 512)
+                 // (CAST(1 AS BIGINT) << (length(bin(rt)) - 1))) AS lw
+           FROM model),
+         db AS (SELECT doc_id, b, COUNT(*) AS c FROM ub GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(SUM(c * lw) AS BIGINT) AS log_w
+           FROM db JOIN g ON db.b = g.b GROUP BY 1)
+         SELECT doc_id, n_tok, log_w, log_w > 0 AS selected
+         FROM agg ORDER BY doc_id""",
     "q126_filter_auc" -> (surprisalCteSql +
       """, lab AS (
            SELECT p.doc_id, p.score,

@@ -406,6 +406,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights rank the model's own target language first (q145 law)") {
+    // the hashed-bucket importance model is FIT on the corpus's en
+    // slice, so en docs must score higher on average than any other
+    // language — the separation DSIR's resampling gate relies on.
+    // Also: exactly one row per document (the weight table is total).
+    val w = SparkEntry.queries("q145_dsir_weights")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(w.count() == docs.count())
+    val byLang = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg($"log_w").as("m"))
+      .as[(String, Double)].collect().toMap
+    val en = byLang("en")
+    byLang.filterNot(_._1 == "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en not above $l mean $m")
+    }
+  }
+
   test("incremental stats: state merge equals direct recompute (q93 law)") {
     // the oracle proves this at sf0.01; this pins it at sf0.001 too —
     // the algebra must hold for ANY split, not one lucky fixture
