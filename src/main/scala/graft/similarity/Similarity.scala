@@ -441,6 +441,53 @@ object Similarity {
         .orderBy("cell", "rank")
     }),
 
+    // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
+    // data-pruning family: instead of deduping or keeping prototypes,
+    // draw a 20% corpus sample whose CLUSTER MIX matches the full
+    // corpus (the balanced-sampling step curation pipelines run after
+    // clustering so no semantic region is over/under-represented).
+    // Quotas are Hamilton largest-remainder apportionment — base_c =
+    // ⌊K·n_c/N⌋, the K−Σbase leftovers go to the cells with the
+    // largest remainders (tie: cell id) — which is EXACT integer
+    // arithmetic, so the whole allocation is oracle-checkable; the
+    // within-cell draw is the q60 md5-key order (reproducible
+    // pseudo-randomness, no RNG). Scale shape: the quota table is
+    // nCells rows (its windows run on that bounded table, not the
+    // corpus); the within-cell rank partitions by cell — corpus/nCells
+    // rows per task, the same raise-nCells knob as q90/q96; the quota
+    // join back is an nCells-row broadcast.
+    "q146_cluster_quota_sample" -> ((s, dir) => {
+      val wCells = Window.partitionBy(lit(1))
+      val assigned = graft.Caches.cached(
+        lloydAssign(Tables.embeddings(s, dir)).select("vec_id", "cell"))
+      val quotas = assigned.groupBy("cell").agg(count(lit(1)).as("n_c"))
+        .withColumn("n", sum(col("n_c")).over(wCells))
+        .withColumn("k", expr("n DIV 5"))
+        .withColumn("base", expr("(k * n_c) DIV n"))
+        .withColumn("rem", expr("(k * n_c) % n"))
+        .withColumn("l", col("k") - sum(col("base")).over(wCells))
+        .withColumn("rk", row_number().over(
+          wCells.orderBy(col("rem").desc, col("cell"))))
+        .select(col("cell"), col("n_c"),
+          (col("base") +
+            when(col("rk") <= col("l"), 1L).otherwise(0L)).as("quota"))
+      val picks = assigned.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      val sel = picks.join(broadcast(quotas.select("cell", "quota")), Seq("cell"))
+        .filter(col("rn") <= col("quota"))
+        .groupBy("cell").agg(count(lit(1)).as("n_selected"),
+          sum(col("vec_id")).as("sel_sum"),
+          min(col("vec_id")).as("sel_min"), max(col("vec_id")).as("sel_max"))
+      quotas.join(sel, Seq("cell"), "left")
+        .select(col("cell"), col("n_c").as("n_vecs"), col("quota"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_sum"), lit(0L)).as("sel_sum"),
+          coalesce(col("sel_min"), lit(-1L)).as("sel_min"),
+          coalesce(col("sel_max"), lit(-1L)).as("sel_max"))
+        .orderBy("cell")
+    }),
+
     // Per-cluster centroid computation — the k-means update step an IVF
     // index trains with, as one exact distributed aggregate: posexplode
     // the vectors, scaled-long sum per (cluster, dim) (order-independent
@@ -895,6 +942,67 @@ object Similarity {
          SELECT CAST(cell AS BIGINT) AS cell, CAST(rank AS INT) AS rank,
            vec_id, dist
          FROM proto WHERE rank <= 10 ORDER BY cell, rank"""
+    },
+    "q146_cluster_quota_sample" -> {
+      // q79's generated assignment spelling + Hamilton largest-remainder
+      // quota arithmetic (all-integer) + the q60 md5-order draw
+      val dims = 64
+      val sumCols = (0 until dims).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centCols = (0 until dims).map(i =>
+        s"(CAST(s$i AS DOUBLE) / 1e6) / n AS c$i").mkString(", ")
+      val distExpr = (0 until dims).map(i =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i) * " +
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i)").mkString(" + ")
+      s"""WITH nums AS (
+           SELECT vec_id % 8 AS cluster, COUNT(*) AS n, $sumCols
+           FROM embeddings GROUP BY 1),
+         cents AS (SELECT cluster AS c_cluster, n, $centCols FROM nums),
+         d AS (
+           SELECT e.vec_id, c.c_cluster, $distExpr AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         rk AS (
+           SELECT vec_id, c_cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, c_cluster ASC) AS rn
+           FROM d),
+         assigned AS (SELECT vec_id, c_cluster AS cell FROM rk WHERE rn = 1),
+         stats AS (SELECT cell, COUNT(*) AS n_c FROM assigned GROUP BY 1),
+         tot AS (
+           SELECT cell, n_c,
+             CAST(SUM(n_c) OVER () AS BIGINT) AS n
+           FROM stats),
+         qb AS (
+           SELECT cell, n_c, n, n // 5 AS k,
+             ((n // 5) * n_c) // n AS base,
+             ((n // 5) * n_c) % n AS rem
+           FROM tot),
+         quotas AS (
+           SELECT cell, n_c,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, cell ASC)
+                      <= k - CAST(SUM(base) OVER () AS BIGINT)
+                    THEN 1 ELSE 0 END AS quota
+           FROM qb),
+         picks AS (
+           SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+           FROM assigned),
+         sel AS (
+           SELECT p.cell, COUNT(*) AS n_selected,
+             CAST(SUM(p.vec_id) AS BIGINT) AS sel_sum,
+             MIN(p.vec_id) AS sel_min, MAX(p.vec_id) AS sel_max
+           FROM picks p JOIN quotas q ON p.cell = q.cell AND p.rn <= q.quota
+           GROUP BY 1)
+         SELECT CAST(q.cell AS BIGINT) AS cell, q.n_c AS n_vecs,
+           CAST(q.quota AS BIGINT) AS quota,
+           COALESCE(s.n_selected, 0) AS n_selected,
+           COALESCE(s.sel_sum, 0) AS sel_sum,
+           COALESCE(s.sel_min, -1) AS sel_min,
+           COALESCE(s.sel_max, -1) AS sel_max
+         FROM quotas q LEFT JOIN sel s ON q.cell = s.cell
+         ORDER BY q.cell"""
     },
     "q90_semantic_dedup" -> {
       // q79's generated assignment spellings + cosSql's decimal-pinned

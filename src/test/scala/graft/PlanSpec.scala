@@ -102,13 +102,16 @@ class PlanSpec extends SparkSpec {
     //  q145 — the 256-row bucket model × the broadcast 1-row
     //        (N_raw, N_target) totals (q92's 1-row-stats shape); the
     //        doc-bucket/model join is an equi-join
+    //  q146 — lloydAssign's corpus × broadcast nCells-row centroid
+    //        table (the q79/q90/q96 assignment shape)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
       "q90_semantic_dedup", "q92_bm25_topk", "q96_prototype_coreset",
       "q103_ivf_append_serve", "q110_phrase_pmi", "q113_surprisal_bucket",
       "q123_hybrid_retrieval", "q126_filter_auc", "q130_rag_index_build",
-      "q142_bigram_lm_score", "q145_dsir_weights")
+      "q142_bigram_lm_score", "q145_dsir_weights",
+      "q146_cluster_quota_sample")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

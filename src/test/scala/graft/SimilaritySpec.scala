@@ -318,6 +318,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q146 quotas: Hamilton apportionment is exact and within-1 proportional") {
+    val rows = SparkEntry.queries("q146_cluster_quota_sample")(spark, sf)
+      .select("n_vecs", "quota", "n_selected")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val n = rows.map(_._1).sum
+    val k = n / 5
+    // the apportionment invariant: quotas sum EXACTLY to the target K
+    assert(rows.map(_._2).sum == k, s"quota sum != $k")
+    rows.foreach { case (nc, q, sel) =>
+      // largest-remainder gives every cell floor or ceil of its share
+      val base = k * nc / n
+      assert(q == base || q == base + 1, s"quota $q not in {$base, ${base + 1}}")
+      assert(sel == math.min(q, nc), "selection did not fill the quota")
+    }
+  }
+
   test("q115 JL projection preserves pairwise distance in expectation") {
     // For a ±1 sign projection, each projected coordinate of a
     // difference vector u has mean 0 and variance |u|², so
