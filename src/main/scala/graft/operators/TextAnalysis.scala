@@ -1256,6 +1256,34 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // TOKEN-BALANCED OUTPUT SHARDING — the writer step after packing:
+    // split the corpus (in deterministic doc_id order) into contiguous
+    // ~16Ki-token shards and emit each shard's manifest (doc/token
+    // counts, id boundaries, boundary-straddler count — the docs a
+    // splitting writer would cut across files). The running token
+    // offset that decides every shard boundary rides
+    // `Prefix.exclusiveSum` over the CORPUS-SIZED doc_id domain — the
+    // operator's first call site where no pre-reduction exists at all:
+    // the recursion (blocks of 2^20 keys, carry totals, ≤ 4 levels)
+    // is the entire scale argument, there is no "histogram is small"
+    // fallback. Greedy assignment shard = off DIV S keeps every doc
+    // whole; manifests aggregate shard-keyed. One exchange for the
+    // prefix, one for the rollup.
+    "q147_token_shards" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), size(wsToks).cast("long").as("n_tok"))
+      Prefix.exclusiveSum(d, Nil, "doc_id", "n_tok", "off")
+        .withColumn("shard", expr("off DIV 16384"))
+        .withColumn("straddle",
+          when(expr("(off + n_tok - 1) DIV 16384") > col("shard"), 1L)
+            .otherwise(0L))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sum(col("straddle")).as("n_straddlers"))
+        .orderBy("shard")
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): each doc's
     // log importance log2(p_target/p_raw) under HASHED-unigram bag
@@ -2416,6 +2444,30 @@ object TextAnalysis {
          FROM st ORDER BY source""",
     // histogram-level Mann-Whitney: per-score (cnt, npos) + cumulative
     // offsets replay Spark's sort-free rank ranges exactly
+    // running-offset replay: SUM OVER (ORDER BY doc_id ROWS ... 1
+    // PRECEDING) is the single-engine spelling of the distributed
+    // prefix; shard boundaries and straddlers are integer arithmetic
+    "q147_token_shards" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM d),
+         s AS (
+           SELECT doc_id, n_tok, off, off // 16384 AS shard,
+             CASE WHEN (off + n_tok - 1) // 16384 > off // 16384
+                  THEN 1 ELSE 0 END AS straddle
+           FROM o)
+         SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(SUM(straddle) AS BIGINT) AS n_straddlers
+         FROM s GROUP BY 1 ORDER BY 1""",
     // hashed-bucket model replay: bucket = md5 2-hex-char prefix,
     // add-one smoothed granule surprisals per bucket under raw/target,
     // log_w = Σ (sbits_raw − sbits_tgt) — a subtraction, never a

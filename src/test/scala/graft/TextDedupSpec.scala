@@ -406,6 +406,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("token shards tile the corpus contiguously and near-balanced (q147 laws)") {
+    val rows = SparkEntry.queries("q147_token_shards")(spark, sf)
+      .select("shard", "n_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.nonEmpty)
+    // shards are contiguous, gap-free intervals in doc_id order
+    assert(rows.map(_._1) == rows.indices.map(_.toLong))
+    rows.sliding(2).foreach {
+      case Seq((_, _, _, lastA), (_, _, firstB, _)) =>
+        assert(lastA < firstB, "shard doc ranges overlap or reorder")
+      case _ => ()
+    }
+    // token totals conserve the corpus
+    val d = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), "\\s+")).cast("long"))
+      .as[Long].collect()
+    assert(rows.map(_._2).sum == d.sum)
+    // greedy boundary rule: every non-final shard is within one doc of
+    // the 16Ki target
+    val maxTok = d.max
+    rows.dropRight(1).foreach { case (sid, nt, _, _) =>
+      assert(math.abs(nt - 16384L) <= maxTok,
+        s"shard $sid tokens $nt drifts more than one doc from target")
+    }
+  }
+
   test("DSIR weights rank the model's own target language first (q145 law)") {
     // the hashed-bucket importance model is FIT on the corpus's en
     // slice, so en docs must score higher on average than any other
