@@ -441,6 +441,34 @@ object Similarity {
         .orderBy("cell", "rank")
     }),
 
+    // MATRYOSHKA TRUNCATION SWEEP (Kusupati et al. 2022): how much
+    // retrieval quality survives serving only a PREFIX of each
+    // embedding — the dimensionality-vs-recall trade an embedding
+    // store tunes before committing to a truncated index. For d ∈
+    // {8, 16, 32}, exact cosine top-10 under the first d dims, scored
+    // as overlap with the full-64-dim top-10 per query. Every leg is
+    // the q38 exact-top-k machinery on sliced arrays (same
+    // decimal-pinned dot, same zero-norm guard, same tie-break), so
+    // the whole sweep is oracle-checked — no sampling, no
+    // approximation. Scale shape: three broadcast-query scans (the
+    // q38 shape × |dims|); overlap joins on (q_id, c_id) are
+    // top-k-sized, never corpus-sized.
+    "q148_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val full = graft.Caches.cached(topK(e.filter(col("vec_id") < 10), e, 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit")))
+      Seq(8, 16, 32).map { d =>
+        val t = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        topK(t.filter(col("vec_id") < 10), t, 10)
+          .select(lit(d).as("dims"), col("q_id"), col("c_id"))
+      }.reduce(_ unionAll _)
+        .join(full, Seq("q_id", "c_id"), "left")
+        .groupBy("dims", "q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy("dims", "q_id")
+    }),
+
     // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
     // data-pruning family: instead of deduping or keeping prototypes,
     // draw a 20% corpus sample whose CLUSTER MIX matches the full
@@ -792,7 +820,49 @@ object Similarity {
                     JOIN norms nb ON nb.vec_id = b_id)
      """
 
+  /** The cosSql shape truncated to the first `d` dims (norms AND dot
+    * both over the prefix — the Matryoshka contract), CTEs suffixed by
+    * `d` so several widths compose in one statement. */
+  private def truncTopSql(d: Int): String =
+    s"""norms$d AS (
+          SELECT vec_id,
+            sqrt(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14) AS nrm
+          FROM (SELECT vec_id, unnest(embedding[1:$d]) AS e FROM embeddings)
+          GROUP BY vec_id),
+        dots$d AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1e14) AS BIGINT)) AS dot
+          FROM qv a, embeddings b, (SELECT unnest(generate_series(1, $d)) AS i) idx
+          WHERE a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        top$d AS (
+          SELECT a_id, b_id FROM (
+            SELECT d.a_id, d.b_id,
+              row_number() OVER (PARTITION BY d.a_id ORDER BY
+                CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                     ELSE (CAST(d.dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) END DESC,
+                d.b_id) AS rank
+            FROM dots$d d JOIN norms$d na ON na.vec_id = d.a_id
+                          JOIN norms$d nb ON nb.vec_id = d.b_id)
+          WHERE rank <= 10)"""
+
   val oracles: Map[String, String] = Map(
+    "q148_matryoshka_recall" -> {
+      val widths = Seq(8, 16, 32)
+      val ctes = (widths :+ 64).map(truncTopSql).mkString(",\n        ")
+      val legs = widths.map { d =>
+        s"""SELECT $d AS dims, t.a_id AS q_id,
+              CAST(SUM(CASE WHEN f.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+            FROM top$d t LEFT JOIN top64 f
+              ON t.a_id = f.a_id AND t.b_id = f.b_id
+            GROUP BY 1, 2"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""WITH qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        $ctes
+        SELECT dims, q_id, n_overlap FROM ($legs)
+        ORDER BY dims, q_id"""
+    },
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
            SELECT a_id, b_id, cos,

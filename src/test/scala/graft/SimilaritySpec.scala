@@ -335,6 +335,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q148 matryoshka sweep: bounded overlaps, monotone mean, full-width identity") {
+    val rows = SparkEntry.queries("q148_matryoshka_recall")(spark, sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall { case (_, _, o) => o >= 0 && o <= 10 })
+    // more prefix dims can only help on average (the Matryoshka premise)
+    val means = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_._3).sum.toDouble / rs.length }
+    means.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, s"mean overlap not monotone: $means")
+      case _ => ()
+    }
+    // a full-width "truncation" is the identity: slicing to 64 dims must
+    // reproduce the full top-k exactly, overlap 10/10 for every query
+    val e = Tables.embeddings(spark, sf)
+    val t = e.select($"vec_id",
+      org.apache.spark.sql.functions.slice($"embedding", 1, 64).as("embedding"))
+    val full = Similarity.topK(e.filter($"vec_id" < 10), e, 10)
+      .select($"q_id", $"c_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val sliced = Similarity.topK(t.filter($"vec_id" < 10), t, 10)
+      .select($"q_id", $"c_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == sliced && full.nonEmpty)
+  }
+
   test("q115 JL projection preserves pairwise distance in expectation") {
     // For a ±1 sign projection, each projected coordinate of a
     // difference vector u has mean 0 and variance |u|², so
