@@ -91,6 +91,50 @@ object TextAnalysis {
       .select("doc_id", "n_tok", "score"))
   }
 
+  /** The q149 decremental maintainer: remove the docs matching
+    * `deleted` from the stored per-source rollup by SUBTRACTING their
+    * partial state (exact for count/Σ/Σ² — integer subtraction is the
+    * true inverse of the merge) and repairing MIN/MAX — which have no
+    * inverse — only for the sources whose deleted batch touched a
+    * stored boundary (semi-join-scoped rescan of the remainder).
+    * Factored out so specs can drive the repair path on fixtures whose
+    * boundary docs ARE deleted. */
+  def decrementalStats(docs: org.apache.spark.sql.DataFrame,
+                       deleted: Column): org.apache.spark.sql.DataFrame = {
+    def st(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .groupBy("source")
+      .agg(count(lit(1)).as(s"n$p"), sum(col("n_chars")).as(s"sm$p"),
+        sum(col("n_chars") * col("n_chars")).as(s"ss$p"),
+        min(col("doc_id")).as(s"mn$p"), max(col("doc_id")).as(s"mx$p"))
+    val stored = st(docs, "")                   // full state
+    val del = st(docs.filter(deleted), "_d")    // tonight's deletes
+    val dec = stored.join(del, Seq("source"), "left")
+      .select(col("source"),
+        (col("n") - coalesce(col("n_d"), lit(0L))).as("n_docs"),
+        (col("sm") - coalesce(col("sm_d"), lit(0L))).as("sum_chars"),
+        (col("ss") - coalesce(col("ss_d"), lit(0L))).as("ss_chars"),
+        col("mn"), col("mx"),
+        (coalesce(col("mn_d") === col("mn"), lit(false)) ||
+          coalesce(col("mx_d") === col("mx"), lit(false))).as("repaired"))
+      .filter(col("n_docs") > 0)
+    val affected = dec.filter(col("repaired")).select("source")
+    val repair = docs.filter(!deleted)
+      .join(broadcast(affected), Seq("source"), "left_semi")
+      .groupBy("source")
+      .agg(min(col("doc_id")).as("rmn"), max(col("doc_id")).as("rmx"))
+    dec.join(repair, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        when(col("repaired"), col("rmn")).otherwise(col("mn")).as("min_doc"),
+        when(col("repaired"), col("rmx")).otherwise(col("mx")).as("max_doc"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        ((col("ss_chars").cast("double") / col("n_docs").cast("double")) -
+          (col("sum_chars").cast("double") / col("n_docs").cast("double")) *
+            (col("sum_chars").cast("double") / col("n_docs").cast("double")))
+          .as("var_chars"),
+        col("repaired"))
+  }
+
   /** The q92 BM25-style scorer, unfiltered: (query_id, doc_id, sts,
     * rank) per (query, candidate doc) — rational idf, floor-scaled
     * order-independent long sums (see q92's doc comment). Shared by
@@ -870,6 +914,25 @@ object TextAnalysis {
             .as("var_chars"))
         .orderBy("source")
     }),
+
+    // DECREMENTAL stats maintenance — q93's mirror image, and the
+    // production operation a right-to-be-forgotten request forces: a
+    // DELETE batch must leave the stored per-source rollup as if the
+    // docs had never existed, without rescanning the world. The
+    // sum-family state (count, Σ, Σ²) subtracts exactly — integer
+    // subtraction is the true inverse of the merge, so mean/variance
+    // re-derive bit-identically. MIN/MAX are NOT subtractable: a
+    // deleted boundary doc invalidates the stored extreme, so the
+    // operator flags exactly the sources whose deleted batch touched a
+    // boundary and repairs ONLY those with a rescan of the remainder
+    // (semi-join-scoped — at 100 TB a partition-pruned re-aggregate of
+    // the affected sources, not the corpus). `repaired` exposes which
+    // rows paid that rescan. The oracle is the DIRECT recompute over
+    // the surviving docs — hash equality proves the decrement algebra,
+    // not just its shape. A fully-deleted source retires its state row.
+    "q149_decremental_stats" -> ((s, dir) =>
+      decrementalStats(Tables.documents(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("source")),
 
     // Sequence packing — the batch-assembly step before pretraining:
     // concatenate each source's docs in doc_id order and cut the stream
@@ -2131,6 +2194,30 @@ object TextAnalysis {
              (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
              AS var_chars
          FROM documents GROUP BY source ORDER BY source""",
+    // the DIRECT recompute over surviving docs — hash equality against
+    // the decremental spelling proves the subtraction algebra; the
+    // repaired flag replays "deleted batch touched a stored boundary"
+    "q149_decremental_stats" ->
+      """WITH full_state AS (
+           SELECT source, MIN(doc_id) AS fmn, MAX(doc_id) AS fmx
+           FROM documents GROUP BY source),
+         remain AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_chars,
+             CAST(CAST(SUM(n_chars * n_chars) AS BIGINT) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) -
+               (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
+               (CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               AS var_chars
+           FROM documents WHERE doc_id % 10 <> 0 GROUP BY source)
+         SELECT r.source, r.n_docs, r.sum_chars, r.min_doc, r.max_doc,
+           r.mean_chars, r.var_chars,
+           (f.fmn % 10 = 0 OR f.fmx % 10 = 0) AS repaired
+         FROM remain r JOIN full_state f ON r.source = f.source
+         ORDER BY r.source""",
     // exclusive prefix sum via ROWS UNBOUNDED PRECEDING AND 1 PRECEDING;
     // token counts and offsets are exact BIGINTs on both engines
     "q94_sequence_pack" ->

@@ -406,6 +406,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("decremental stats: boundary deletes repair, full deletes retire (q149 laws)") {
+    import org.apache.spark.sql.functions.col
+    // source s: delete its MIN doc (1) -> subtract + boundary repair;
+    // source t: untouched -> pure stored state, no rescan flag;
+    // source u: its only doc deleted -> the state row must retire
+    val docs = Seq(
+      (1L, "s", 10L), (2L, "s", 20L), (3L, "s", 30L),
+      (10L, "t", 5L), (11L, "t", 7L),
+      (20L, "u", 9L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.decrementalStats(docs, col("doc_id").isin(1L, 20L))
+      .select("source", "n_docs", "sum_chars", "min_doc", "max_doc", "repaired")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("s", 2L, 50L, 2L, 3L, true),   // min repaired to the remainder's 2
+      ("t", 2L, 12L, 10L, 11L, false)))
+    // and the decrement must equal the direct recompute exactly
+    val direct = TextAnalysis.decrementalStats(
+      docs.filter(!col("doc_id").isin(1L, 20L)), org.apache.spark.sql.functions.lit(false))
+      .select("source", "n_docs", "sum_chars", "min_doc", "max_doc")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) == direct)
+  }
+
   test("token shards tile the corpus contiguously and near-balanced (q147 laws)") {
     val rows = SparkEntry.queries("q147_token_shards")(spark, sf)
       .select("shard", "n_tokens", "first_doc", "last_doc")
