@@ -141,11 +141,6 @@ object TextAnalysis {
     * q92 (top-3 report) and q123 (hybrid-fusion leg). */
   private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val qterms = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
-      2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
-      4L -> "scan", 5L -> "customer", 5L -> "query")
-      .toDF("query_id", "token")
     val d = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), wsToks.as("toks"))
     val dl = graft.Caches.cached(
@@ -156,6 +151,28 @@ object TextAnalysis {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
       .select(col("n_docs"),
         (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    bm25Score(bm25Qterms(s), tf, dfT, dl, stats)
+  }
+
+  /** The fixed 5-query term set shared by q92/q123/q150. */
+  private def bm25Qterms(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq(1L -> "hash", 1L -> "join", 2L -> "window",
+      2L -> "agg", 3L -> "stream", 3L -> "batch", 4L -> "vector",
+      4L -> "scan", 5L -> "customer", 5L -> "query")
+      .toDF("query_id", "token")
+  }
+
+  /** BM25 scoring from PREBUILT index state (postings `tf`, term
+    * `dfT`, doc lengths `dl`, 1-row `stats` = (n_docs, avgdl)) — the
+    * ONE scoring spelling, so the full-rebuild path (q92/q123 via
+    * [[bm25Ranked]]) and the incremental-state path (q150's merged
+    * stored+batch index) cannot drift. */
+  private def bm25Score(qterms: org.apache.spark.sql.DataFrame,
+                        tf: org.apache.spark.sql.DataFrame,
+                        dfT: org.apache.spark.sql.DataFrame,
+                        dl: org.apache.spark.sql.DataFrame,
+                        stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val scored = tf.join(broadcast(qterms), Seq("token"))
       .join(dfT, Seq("token"))
       .join(dl, Seq("doc_id"))
@@ -869,6 +886,48 @@ object TextAnalysis {
     // the rank window partitions by query over ≤ N rows per query.
     "q92_bm25_topk" -> ((s, dir) => {
       bm25Ranked(s, dir)
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          (col("sts").cast("double") / lit(1e6)).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // INCREMENTAL POSTINGS MAINTENANCE — the serving-index analogue of
+    // q93's rollup algebra, proved at the RESULT level: the stored BM25
+    // index state (postings, term dfs, doc lengths, totals over the
+    // pre-existing corpus) absorbs tonight's batch by pure state
+    // algebra — postings/doclens UNION (doc sets are disjoint), dfs
+    // ADD, totals ADD — and the query then serves top-3 retrieval FROM
+    // THE MERGED STATE through the exact q92 scorer ([[bm25Score]],
+    // single spelling). The oracle is q92's full-rebuild SQL, so the
+    // driver hash proves append == rebuild all the way to ranked
+    // results, idf/avgdl shifts included — the property that lets a
+    // 100 TB index take nightly batches without re-tokenizing the
+    // corpus. Scale shape: only the batch is tokenized at merge time
+    // here-as-at-scale; the df full-outer merge is vocab-sized.
+    "q150_incremental_postings" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+      def state(dd: org.apache.spark.sql.DataFrame) = {
+        val dl = dd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        val tf = dd.select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val tots = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+        (tf, dfT, dl, tots)
+      }
+      val (tfS, dfS, dlS, totS) = state(d.filter(col("doc_id") % 10 =!= 0))
+      val (tfB, dfB, dlB, totB) = state(d.filter(col("doc_id") % 10 === 0))
+      val dfT = dfS.select(col("token"), col("df").as("dfa"))
+        .join(dfB.select(col("token"), col("df").as("dfb")), Seq("token"), "full")
+        .select(col("token"),
+          (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L))).as("df"))
+      val stats = totS.unionByName(totB)
+        .agg(sum(col("n")).as("n_docs"), sum(col("tot")).as("tot"))
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      bm25Score(bm25Qterms(s), tfS.unionByName(tfB), dfT,
+        dlS.unionByName(dlB), stats)
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("doc_id"),
           (col("sts").cast("double") / lit(1e6)).as("score"))
@@ -1702,6 +1761,50 @@ object TextAnalysis {
     })
   )
 
+  /** q92's ranked-retrieval oracle — a full rebuild over the corpus.
+    * Shared verbatim by q150, whose Spark side serves from MERGED
+    * stored+batch index state: one oracle string, two proof targets. */
+  private val bm25TopkOracleSql: String =
+    """WITH q(query_id, token) AS (
+           VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'agg'),
+                  (3, 'stream'), (3, 'batch'), (4, 'vector'), (4, 'scan'),
+                  (5, 'customer'), (5, 'query')),
+         d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         scored AS (
+           SELECT q.query_id, tf.doc_id,
+             CAST(floor(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                  (CAST(df.df AS DOUBLE) + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) +
+                   1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) *
+               1e6) AS BIGINT) AS ts
+           FROM tf JOIN q ON q.token = tf.token
+                JOIN df ON df.token = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s),
+         agg AS (
+           SELECT query_id, doc_id, SUM(ts) AS sts
+           FROM scored GROUP BY 1, 2),
+         rk AS (
+           SELECT query_id, doc_id, sts,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sts DESC, doc_id ASC) AS rank
+           FROM agg)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, CAST(sts AS DOUBLE) / 1e6 AS score
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""
+
   /** Shared CTE prefix for the q113/q126 surprisal oracles: mirrors
     * surprisalPerDoc granule for granule, ending at `p` =
     * (doc_id, n_tok, score). */
@@ -2139,46 +2242,11 @@ object TextAnalysis {
     // rational-idf BM25; per-term scores floor-scaled to BIGINT before
     // the per-doc sum (order-independent); parenthesization mirrors the
     // Spark expression term for term
-    "q92_bm25_topk" ->
-      """WITH q(query_id, token) AS (
-           VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'agg'),
-                  (3, 'stream'), (3, 'batch'), (4, 'vector'), (4, 'scan'),
-                  (5, 'customer'), (5, 'query')),
-         d AS (
-           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         t AS (SELECT doc_id, unnest(toks) AS token FROM d),
-         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-         stats AS (
-           SELECT COUNT(*) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-           FROM dl),
-         scored AS (
-           SELECT q.query_id, tf.doc_id,
-             CAST(floor(
-               ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
-                  (CAST(df.df AS DOUBLE) + 0.5)) *
-               ((CAST(tf.tf AS DOUBLE) * 2.2) /
-                  (CAST(tf.tf AS DOUBLE) +
-                   1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) *
-               1e6) AS BIGINT) AS ts
-           FROM tf JOIN q ON q.token = tf.token
-                JOIN df ON df.token = tf.token
-                JOIN dl ON dl.doc_id = tf.doc_id
-                CROSS JOIN stats s),
-         agg AS (
-           SELECT query_id, doc_id, SUM(ts) AS sts
-           FROM scored GROUP BY 1, 2),
-         rk AS (
-           SELECT query_id, doc_id, sts,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY sts DESC, doc_id ASC) AS rank
-           FROM agg)
-         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
-           doc_id, CAST(sts AS DOUBLE) / 1e6 AS score
-         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q92_bm25_topk" -> bm25TopkOracleSql,
+    // q92's FULL-REBUILD oracle verbatim: the Spark side serves from
+    // the merged stored+batch index state, so hash equality proves
+    // append == rebuild all the way to ranked results
+    "q150_incremental_postings" -> bm25TopkOracleSql,
     // DIRECT recompute over the full table — the Spark side merges a
     // stored state with a delta state instead; hash equality proves the
     // state algebra
