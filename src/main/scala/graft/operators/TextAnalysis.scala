@@ -934,6 +934,106 @@ object TextAnalysis {
         .orderBy("query_id", "rank")
     }),
 
+    // N-GRAM NOVELTY PROFILE — the marginal-value-of-data curve a
+    // curation team reads before buying more of a source: in doc_id
+    // (arrival) order, what fraction of each source's distinct token
+    // 8-grams had NEVER appeared in any earlier document? A source
+    // whose novelty rate has collapsed is re-crawling what the corpus
+    // already holds. First occurrence = min(doc_id) over the gram's
+    // whole posting, so the metric is exact, order-deterministic, and
+    // all-integer (ppm fixed point). Scale shape: one tokenize+md5
+    // pass → (doc, gram) distinct (doc+gram-keyed shuffle with partial
+    // aggregation) → a gram-keyed min (the inverted index, map-side
+    // combined) → two DOC-keyed aggregates joined doc-to-doc. No
+    // gram-level join-back and no corpus² anywhere: the owner table
+    // collapses to one row per distinct gram before anything joins.
+    "q151_novelty_profile" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), wsToks.as("toks"))
+      val grams = docs.filter(size(col("toks")) >= 8)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+        .distinct()
+      val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      perDoc.join(novel, Seq("doc_id"), "left").join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(coalesce(col("n_novel"), lit(0L))).as("novel_grams"))
+        .withColumn("novelty_ppm",
+          expr("(novel_grams * 1000000) DIV total_grams"))
+        .orderBy("source")
+    }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — which sources are feeding the
+    // mixture the same text? For every source pair, the number of
+    // distinct token 8-grams both contain, plus a Jaccard ppm over
+    // their gram-set union — the audit that catches two "independent"
+    // crawls of the same site before they double-weight it in the
+    // mixture. Scale shape: the only corpus-sized stages are the
+    // tokenize pass and a (source, gram) distinct; the self-join is
+    // gram-keyed and fans out at most C(|sources|, 2) rows per gram —
+    // sources are a bounded mixture domain (here 20, in production
+    // maybe hundreds), never corpus-sized, so the pair stream stays
+    // linear in the distinct-gram count.
+    "q152_source_overlap" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), wsToks.as("toks"))
+      val sg = graft.Caches.cached(docs.filter(size(col("toks")) >= 8)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+        .select(col("source"),
+          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+        .distinct())
+      val tot = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val shared = sg.select(col("source").as("source_a"), col("gram"))
+        .join(sg.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(tot.select(col("source").as("source_a"), col("n_grams").as("ga")), Seq("source_a"))
+        .join(tot.select(col("source").as("source_b"), col("n_grams").as("gb")), Seq("source_b"))
+        .withColumn("jaccard_ppm",
+          expr("(shared_grams * 1000000) DIV (ga + gb - shared_grams)"))
+        .select("source_a", "source_b", "shared_grams", "jaccard_ppm")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // VOCABULARY GROWTH (Heaps-law checkpoints) — distinct-token count
+    // after each octile of the corpus in doc_id (arrival) order: the
+    // curve whose flattening tells a tokenizer team the vocabulary has
+    // saturated and more data buys types, not tokens. Exact, no
+    // sampling: each token's FIRST document (gram-keyed min — the
+    // inverted index again) is bucketed against 8 thresholds derived
+    // from max(doc_id), and all 8 cumulative counts come out of ONE
+    // map-side-combined conditional aggregate — no window, no sort, no
+    // per-octile rescan; the unpivot at the end touches 8 values. The
+    // 1-row max(doc_id) broadcast is the same stats-gating crossJoin
+    // shape as q142/q145 (PlanSpec-allowlisted).
+    "q153_vocab_growth" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+      val firstT = docs
+        .select(col("doc_id"), explode(wsToks).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val sums = (1 to 8).map { k =>
+        sum(when(col("first_doc") <= expr(s"(mx * $k) DIV 8"), 1L)
+          .otherwise(0L)).as(s"c$k")
+      }
+      val row = firstT.crossJoin(broadcast(mx)).agg(sums.head, sums.tail: _*)
+      row.select(expr(
+        "stack(8, " + (1 to 8).map { k =>
+          val prev = if (k == 1) "CAST(0 AS BIGINT)" else s"c${k - 1}"
+          s"$k, c$k, c$k - $prev"
+        }.mkString(", ") + ") AS (octile, cum_vocab, new_vocab)"))
+        .select(col("octile").cast("long").as("octile"),
+          col("cum_vocab"), col("new_vocab"))
+        .orderBy("octile")
+    }),
+
     // Incremental aggregate-state maintenance — the nightly-rollup
     // pattern: a STORED per-source state (count / sum / sum-of-squares
     // / min / max over the pre-existing corpus) merges with tonight's
@@ -2058,6 +2158,73 @@ object TextAnalysis {
                  JOIN sizes sb ON sb.doc_id = b_id
          WHERE (n_shared * 1000) // LEAST(sa.n_fp, sb.n_fp) >= 200
          ORDER BY a_id, b_id""",
+    // per-gram first owner = MIN(doc_id) over the gram's posting; a
+    // doc's novel grams are those it owns; ppm is integer fixed point
+    "q151_novelty_profile" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d WHERE len(toks) >= 8),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+         novel AS (
+           SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+           GROUP BY 1)
+         SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) AS novel_grams,
+           (CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) * 1000000)
+             // CAST(SUM(p.n_grams) AS BIGINT) AS novelty_ppm
+         FROM per_doc p LEFT JOIN novel v USING (doc_id)
+              JOIN documents dd USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+    // distinct (source, gram) sets self-joined on gram (fan-out ≤
+    // C(|sources|,2) per gram); Jaccard over the union in ppm
+    "q152_source_overlap" ->
+      """WITH d AS (
+           SELECT source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT source, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d WHERE len(toks) >= 8),
+         sg AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         tot AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+         sh AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+           FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, shared_grams,
+           (shared_grams * 1000000)
+             // (ta.n_grams + tb.n_grams - shared_grams) AS jaccard_ppm
+         FROM sh JOIN tot ta ON ta.source = source_a
+                 JOIN tot tb ON tb.source = source_b
+         ORDER BY source_a, source_b""",
+    // per-token first document bucketed against 8 max(doc_id)-derived
+    // thresholds; cumulative counts from one conditional aggregate
+    "q153_vocab_growth" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         f AS (SELECT w, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+         m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+         c AS (
+           SELECT k, CAST(SUM(CASE WHEN f.first_doc <= (m.mx * k) // 8
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS cum
+           FROM f CROSS JOIN m CROSS JOIN ks GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS octile, cum AS cum_vocab,
+           cum - COALESCE(lag(cum) OVER (ORDER BY k), 0) AS new_vocab
+         FROM c ORDER BY octile""",
     "q72_dup_spans" ->
       """WITH d AS (
            SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks

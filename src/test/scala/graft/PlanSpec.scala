@@ -108,6 +108,8 @@ class PlanSpec extends SparkSpec {
     //        10-vector query set), one per truncation width
     //  q150 — q92's scorer over merged index state: the same broadcast
     //        1-row (n_docs, avgdl) stats row
+    //  q153 — the 1-row max(doc_id) threshold base broadcast against
+    //        the distinct-token first-occurrence table (q142 shape)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
@@ -116,7 +118,7 @@ class PlanSpec extends SparkSpec {
       "q123_hybrid_retrieval", "q126_filter_auc", "q130_rag_index_build",
       "q142_bigram_lm_score", "q145_dsir_weights",
       "q146_cluster_quota_sample", "q148_matryoshka_recall",
-      "q150_incremental_postings")
+      "q150_incremental_postings", "q153_vocab_growth")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

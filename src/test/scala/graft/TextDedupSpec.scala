@@ -556,4 +556,57 @@ class TextDedupSpec extends SparkSpec {
       assert(asg.select("split").distinct().count() == 3)
     } finally asg.unpersist()
   }
+
+  test("novelty profile conserves gram ownership (q151 laws)") {
+    val rows = SparkEntry.queries("q151_novelty_profile")(spark, sf)
+      .select("source", "n_docs", "total_grams", "novel_grams", "novelty_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every gram has exactly ONE first owner, so per-source novel
+    // counts partition the corpus's distinct-gram set
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .filter(size($"toks") >= 8)
+      .withColumn("i", explode(sequence(lit(1), size($"toks") - 7)))
+      .select(md5(array_join(slice($"toks", $"i", lit(8)), " ")).as("gram"))
+    val distinctGrams = docs.distinct().count()
+    assert(rows.map(_._4).sum == distinctGrams,
+      "sum of per-source novel grams must equal the corpus distinct-gram count")
+    rows.foreach { case (src, nd, tg, ng, ppm) =>
+      assert(ng <= tg && ppm >= 0 && ppm <= 1000000L, s"$src out of range")
+      assert(nd > 0 && tg > 0)
+    }
+  }
+
+  test("source-overlap matrix is canonical and Jaccard-bounded (q152 laws)") {
+    val rows = SparkEntry.queries("q152_source_overlap")(spark, sf)
+      .select("source_a", "source_b", "shared_grams", "jaccard_ppm")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // canonical pair order, no self-pairs, no duplicates
+    rows.foreach { case (a, b, sh, j) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(sh > 0 && j >= 0 && j <= 1000000L)
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+  }
+
+  test("vocabulary growth curve is cumulative and exhaustive (q153 laws)") {
+    val rows = SparkEntry.queries("q153_vocab_growth")(spark, sf)
+      .select("octile", "cum_vocab", "new_vocab")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1L to 8L))
+    // cumulative counts never decrease and the increments reconcile
+    rows.sliding(2).foreach {
+      case Seq((_, c1, _), (_, c2, n2)) =>
+        assert(c2 >= c1 && c2 - c1 == n2)
+      case _ => ()
+    }
+    assert(rows.head._2 == rows.head._3)
+    // octile 8's threshold is max(doc_id) itself, so the curve must end
+    // at the corpus's total distinct-token count
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .distinct().count()
+    assert(rows.last._2 == vocab)
+  }
 }
