@@ -469,6 +469,82 @@ object Similarity {
         .orderBy("dims", "q_id")
     }),
 
+    // MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998) — the
+    // redundancy-aware selection step a retrieval-augmented pipeline
+    // runs AFTER top-k: from each query's 10 best candidates, greedily
+    // keep 5 maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    // kept with λ = 1/2, so near-duplicate hits stop crowding out
+    // coverage. Everything is EXACT integer arithmetic — vectors are
+    // q69's int8 codes, relevance and inter-candidate similarity are
+    // integer dot products, and with λ = 1/2 the argmax of λ·rel −
+    // (1−λ)·sim equals the argmax of the all-integer rel − max_sim
+    // (mmr2x, 2× the classic score) — so the greedy trajectory is
+    // deterministic (ties → smaller vec_id) and the DuckDB oracle
+    // replays it pick for pick. Scale shape: the corpus sees ONE
+    // broadcast-query scan (the q38 shape, PlanSpec-allowlisted);
+    // everything after the top-10 cut is bounded — ≤10 candidates and
+    // ≤90 sim pairs per query — so the 4 unrolled greedy rounds are
+    // joins over |queries|-sized tables no matter the corpus size.
+    "q154_mmr_rerank" -> ((s, dir) => {
+      val mx = expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+      val qArr = expr(
+        """transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxabs + 0.5) AS BIGINT))""")
+      val zeros = expr("transform(embedding, x -> CAST(0 AS BIGINT))")
+      val codes = graft.Caches.cached(Tables.fanOut(Tables.embeddings(s, dir))
+        .withColumn("mxabs", mx)
+        .select(col("vec_id"),
+          when(col("mxabs") === 0.0, zeros).otherwise(qArr).as("q")))
+      val queries = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      val cand = graft.Caches.cached(
+        codes.filter(col("vec_id") >= 10).crossJoin(broadcast(queries))
+          .select(col("query_id"), col("vec_id"),
+            expr(idot.format("q", "qq")).as("rel"), col("q"))
+          .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= 10)
+          .select("query_id", "vec_id", "rel", "q"))
+      val sims = graft.Caches.cached(
+        cand.select(col("query_id"), col("vec_id").as("a"), col("q").as("qa"))
+          .join(cand.select(col("query_id"), col("vec_id").as("b"), col("q").as("qb")),
+            Seq("query_id"))
+          .filter(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            expr(idot.format("qa", "qb")).as("sim")))
+      val slim = cand.select("query_id", "vec_id", "rel")
+      // pick 1 is pure relevance (nothing kept yet): mmr2x = rel − 0
+      var picked = slim.withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(1).as("rank"), col("vec_id"),
+          col("rel"), col("rel").as("mmr2x"))
+      for (k <- 2 to 5) {
+        // max sim from each still-unpicked candidate to the kept set;
+        // sims is complete over candidate pairs, so the join is total
+        val ms = sims
+          .join(picked.select(col("query_id"), col("vec_id").as("b")),
+            Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("a").as("vec_id"))
+          .agg(max(col("sim")).as("max_sim"))
+        val next = slim
+          .join(picked.select("query_id", "vec_id"),
+            Seq("query_id", "vec_id"), "left_anti")
+          .join(ms, Seq("query_id", "vec_id"))
+          .withColumn("mmr2x", col("rel") - col("max_sim"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr2x").desc, col("vec_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(k).as("rank"), col("vec_id"),
+            col("rel"), col("mmr2x"))
+        picked = picked.unionByName(next)
+      }
+      picked
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("rel"), col("mmr2x"))
+        .orderBy("query_id", "rank")
+    }),
+
     // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
     // data-pruning family: instead of deduping or keeping prototypes,
     // draw a 20% corpus sample whose CLUSTER MIX matches the full
@@ -862,6 +938,76 @@ object Similarity {
         $ctes
         SELECT dims, q_id, n_overlap FROM ($legs)
         ORDER BY dims, q_id"""
+    },
+    // q69's quantization CTE verbatim (whole table), integer-dot
+    // relevance and candidate-pair sims, then the greedy MMR replayed
+    // pick for pick as unrolled CTEs: pk = the argmax of rel − max sim
+    // to everything in s(k−1), tie broken by vec_id — the exact
+    // trajectory the Spark loop walks
+    "q154_mmr_rerank" -> {
+      val picks = (2 to 5).map { k =>
+        s"""p$k AS (
+             SELECT query_id, $k AS rank, vec_id, rel, mmr2x FROM (
+               SELECT r.query_id, r.vec_id, r.rel, r.rel - ms.max_sim AS mmr2x,
+                 row_number() OVER (PARTITION BY r.query_id
+                   ORDER BY r.rel - ms.max_sim DESC, r.vec_id) AS rn
+               FROM cand r
+               JOIN (SELECT s.query_id, s.a, MAX(s.sim) AS max_sim
+                     FROM sims s JOIN s${k - 1} kk
+                       ON kk.query_id = s.query_id AND kk.vec_id = s.b
+                     GROUP BY 1, 2) ms
+                 ON ms.query_id = r.query_id AND ms.a = r.vec_id
+               WHERE NOT EXISTS (SELECT 1 FROM s${k - 1} kk
+                 WHERE kk.query_id = r.query_id AND kk.vec_id = r.vec_id))
+             WHERE rn = 1),
+           s$k AS (SELECT query_id, vec_id FROM s${k - 1}
+                   UNION ALL SELECT query_id, vec_id FROM p$k)"""
+      }.mkString(",\n         ")
+      val union = (1 to 5).map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")
+      s"""WITH m AS (
+           SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+               AS max_abs
+           FROM embeddings),
+         c AS (
+           SELECT vec_id,
+             CASE WHEN max_abs = 0
+               THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS BIGINT)) END AS q
+           FROM m),
+         qs AS (SELECT vec_id AS query_id, q AS qq FROM c WHERE vec_id < 10),
+         rel AS (
+           SELECT qs.query_id, c.vec_id,
+             CAST(SUM(c.q[CAST(i AS INT)] * qs.qq[CAST(i AS INT)]) AS BIGINT) AS rel
+           FROM c, qs, (SELECT unnest(generate_series(1, 64)) AS i) idx
+           WHERE c.vec_id >= 10
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT query_id, vec_id, rel FROM (
+             SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS rn
+             FROM rel) WHERE rn <= 10),
+         cq AS (SELECT cand.query_id, cand.vec_id, c.q
+                FROM cand JOIN c USING (vec_id)),
+         sims AS (
+           SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+             CAST(SUM(a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)]) AS BIGINT) AS sim
+           FROM cq a JOIN cq b
+             ON a.query_id = b.query_id AND a.vec_id <> b.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) idx
+           GROUP BY 1, 2, 3),
+         p1 AS (
+           SELECT query_id, 1 AS rank, vec_id, rel, rel AS mmr2x FROM (
+             SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS rn
+             FROM cand) WHERE rn = 1),
+         s1 AS (SELECT query_id, vec_id FROM p1),
+         $picks
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, rel, mmr2x
+         FROM ($union) ORDER BY query_id, rank"""
     },
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (

@@ -358,6 +358,56 @@ class SimilaritySpec extends SparkSpec {
     assert(full == sliced && full.nonEmpty)
   }
 
+  test("q154 MMR: complete ranks, relevance-first pick, monotone scores, diversity engages") {
+    val rows = SparkEntry.queries("q154_mmr_rerank")(spark, sf)
+      .select("query_id", "rank", "vec_id", "rel", "mmr2x")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // exactly 5 picks, ranks 1..5, all distinct candidates
+      assert(sorted.map(_._2) == (1 to 5), s"query $q ranks broken")
+      assert(sorted.map(_._3).distinct.size == 5, s"query $q repeats a pick")
+      // pick 1 is pure relevance: nothing else picked can out-rel it
+      assert(sorted.head._4 == rs.map(_._4).max, s"query $q pick 1 not max-rel")
+      // from rank 2 on, each round's winning score can't beat the
+      // previous round's: the kept set only grows, so every candidate's
+      // max_sim only rises and its score only falls. Rank 1 is excluded
+      // — its mmr2x is bare rel (no −max_sim term), and int8 dots can
+      // be NEGATIVE, so rank 2 may legitimately score above it.
+      sorted.drop(1).map(_._5).sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"query $q mmr2x not non-increasing")
+        case _ => ()
+      }
+    }
+    // the diversity term ENGAGES on the fixture: for at least one query
+    // the MMR selection differs from the plain rel-top-5 (otherwise the
+    // law suite would pass on a rel-only re-implementation)
+    val e = Tables.embeddings(spark, sf)
+    val mx = org.apache.spark.sql.functions.expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    val qArr = org.apache.spark.sql.functions.expr(
+      """transform(embedding, x ->
+         CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxabs + 0.5) AS BIGINT))""")
+    val codes = e.withColumn("mxabs", mx)
+      .select($"vec_id", org.apache.spark.sql.functions.when($"mxabs" === 0.0,
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+        .otherwise(qArr).as("q"))
+    val qs = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"q".as("qq"))
+    val relTop5 = codes.filter($"vec_id" >= 10).crossJoin(broadcast(qs))
+      .select($"query_id", $"vec_id", org.apache.spark.sql.functions.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("rel"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rel".desc, $"vec_id".asc)))
+      .filter($"rn" <= 5).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mmrSets = byQ.view.mapValues(_.map(_._3).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => relTop5(q) != s },
+      "MMR never diverged from plain top-5 relevance; diversity law is vacuous")
+  }
+
   test("q115 JL projection preserves pairwise distance in expectation") {
     // For a ±1 sign projection, each projected coordinate of a
     // difference vector u has mean 0 and variance |u|², so
