@@ -482,10 +482,11 @@ object Similarity {
     // deterministic (ties → smaller vec_id) and the DuckDB oracle
     // replays it pick for pick. Scale shape: the corpus sees ONE
     // broadcast-query scan (the q38 shape, PlanSpec-allowlisted);
-    // everything after the top-10 cut is bounded — ≤10 candidates and
-    // ≤90 sim pairs per query — so the 4 unrolled greedy rounds are
-    // joins over |queries|-sized tables no matter the corpus size.
+    // after the top-10 cut the greedy is per-query LOCAL (one fold
+    // over ≤10 candidates), so no global barrier exists past the cut
+    // no matter the corpus or query-set size.
     "q154_mmr_rerank" -> ((s, dir) => {
+      graft.plans.DotLong.register(s)
       val mx = expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
       val qArr = expr(
         """transform(embedding, x ->
@@ -497,7 +498,9 @@ object Similarity {
           when(col("mxabs") === 0.0, zeros).otherwise(qArr).as("q")))
       val queries = codes.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      // codegen'd integer dot (plans/DotLong); the HOF spelling is the
+      // interpreted lockstep reference, pinned equal in SimilaritySpec
+      val idot = "dot_long(%s, %s)"
       val wRel = Window.partitionBy(col("query_id"))
         .orderBy(col("rel").desc, col("vec_id").asc)
       val cand = graft.Caches.cached(
@@ -506,42 +509,47 @@ object Similarity {
             expr(idot.format("q", "qq")).as("rel"), col("q"))
           .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= 10)
           .select("query_id", "vec_id", "rel", "q"))
-      val sims = graft.Caches.cached(
-        cand.select(col("query_id"), col("vec_id").as("a"), col("q").as("qa"))
-          .join(cand.select(col("query_id"), col("vec_id").as("b"), col("q").as("qb")),
-            Seq("query_id"))
-          .filter(col("a") =!= col("b"))
-          .select(col("query_id"), col("a"), col("b"),
-            expr(idot.format("qa", "qb")).as("sim")))
-      val slim = cand.select("query_id", "vec_id", "rel")
-      // pick 1 is pure relevance (nothing kept yet): mmr2x = rel − 0
-      var picked = slim.withColumn("rn", row_number().over(wRel))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(1).as("rank"), col("vec_id"),
-          col("rel"), col("rel").as("mmr2x"))
-      for (k <- 2 to 5) {
-        // max sim from each still-unpicked candidate to the kept set;
-        // sims is complete over candidate pairs, so the join is total
-        val ms = sims
-          .join(picked.select(col("query_id"), col("vec_id").as("b")),
-            Seq("query_id", "b"))
-          .groupBy(col("query_id"), col("a").as("vec_id"))
-          .agg(max(col("sim")).as("max_sim"))
-        val next = slim
-          .join(picked.select("query_id", "vec_id"),
-            Seq("query_id", "vec_id"), "left_anti")
-          .join(ms, Seq("query_id", "vec_id"))
-          .withColumn("mmr2x", col("rel") - col("max_sim"))
-          .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-            .orderBy(col("mmr2x").desc, col("vec_id").asc)))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), lit(k).as("rank"), col("vec_id"),
-            col("rel"), col("mmr2x"))
-        picked = picked.unionByName(next)
-      }
-      picked
-        .select(col("query_id"), col("rank").cast("int").as("rank"),
-          col("vec_id"), col("rel"), col("mmr2x"))
+      // The greedy itself is PER-QUERY LOCAL once the top-10 cut is
+      // made — ≤10 candidates and ≤45 pairwise dots per query — so it
+      // runs as ONE fold over each query's candidate array (nested
+      // HOFs + the dot_long kernel), not as 4 driver-sequenced rounds
+      // of global joins: k global barriers would serialize every
+      // query behind the slowest round, while this shape is
+      // embarrassingly parallel after a single groupBy. The fold is
+      // interpreted (HOFs are CodegenFallback) but touches only the
+      // bounded post-cut arrays, never the corpus.
+      val pickStruct =
+        "STRUCT<rank: INT, vec_id: BIGINT, rel: BIGINT, mmr2x: BIGINT, q: ARRAY<BIGINT>>"
+      val picks = s"""
+        aggregate(
+          sequence(1, 5),
+          CAST(array() AS ARRAY<$pickStruct>),
+          (acc, k) -> array_append(acc,
+            aggregate(
+              transform(
+                filter(cs, c -> NOT exists(acc, p -> p.vec_id = c.vec_id)),
+                c -> named_struct(
+                  'rank', CAST(k AS INT),
+                  'vec_id', c.vec_id,
+                  'rel', c.rel,
+                  'mmr2x', c.rel - (CASE WHEN size(acc) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE aggregate(acc, CAST(-4611686018427387904 AS BIGINT),
+                           (m, p) -> greatest(m, dot_long(c.q, p.q))) END),
+                  'q', c.q)),
+              CAST(NULL AS $pickStruct),
+              (best, c) -> CASE WHEN best IS NULL THEN c
+                                WHEN c.mmr2x > best.mmr2x THEN c
+                                WHEN c.mmr2x = best.mmr2x
+                                     AND c.vec_id < best.vec_id THEN c
+                                ELSE best END)))"""
+      cand.groupBy("query_id")
+        .agg(collect_list(struct(col("vec_id"), col("rel"), col("q"))).as("cs"))
+        .select(col("query_id"), expr(picks).as("picks"))
+        .select(col("query_id"), expr("inline(picks)"))
+        .filter(col("vec_id").isNotNull) // a <5-candidate query pads with NULL picks
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("rel"), col("mmr2x"))
         .orderBy("query_id", "rank")
     }),
 

@@ -293,6 +293,31 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("codegen'd dot_long matches the HOF reference spelling") {
+    import org.apache.spark.sql.functions._
+    graft.plans.DotLong.register(spark)
+    // integer arithmetic is order-independent, so the two spellings
+    // must agree bit for bit on real quantized codes
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val q = e.select($"vec_id", expr(
+      """transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))""").as("q"))
+    val pairs = q.select($"vec_id".as("a_id"), $"q".as("qa"))
+      .crossJoin(broadcast(q.select($"vec_id".as("b_id"), $"q".as("qb"))))
+      .filter($"a_id" < $"b_id")
+    val both = pairs.select($"a_id", $"b_id",
+      call_function("dot_long", $"qa", $"qb").as("kernel"),
+      expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hof"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (_, _, k, h) => k == h })
+    // degenerate-case parity: unequal lengths and null elements → NULL,
+    // empty arrays → 0
+    val edge = spark.sql(
+      """SELECT dot_long(array(CAST(1 AS BIGINT)), array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS a,
+                dot_long(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS b,
+                dot_long(array(), array()) AS c""").collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getLong(2) == 0L)
+  }
+
   test("q121 drift report matches a driver-side recomputation") {
     val rows = SparkEntry.queries("q121_index_drift")(spark, sf).collect()
     assert(rows.length == 8)
