@@ -1034,6 +1034,51 @@ object TextAnalysis {
         .orderBy("octile")
     }),
 
+    // CONTEXT-LENGTH SWEEP — the pack-vs-pad decision table: under
+    // one-document-per-sequence batching at context length L, exactly
+    // how many pad tokens (docs shorter than L) and truncated tokens
+    // (docs longer than L) does each source cost, and what share of
+    // the sequence budget is real text (util ppm)? Read next to
+    // q94/q119/q147's packed manifests, this quantifies what packing
+    // SAVES at each L before anyone commits to a context size. Exact
+    // integer accounting at four L's from ONE narrow pass: the
+    // 4-way explode multiplies rows before a bounded-key
+    // ((source, L)) map-side-combined aggregate — no join, no window.
+    "q155_context_sweep" -> ((s, dir) => {
+      val ls = Seq(512, 1024, 2048, 4096).map(l => lit(l.toLong))
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), nTokens.cast("long").as("n_tok"))
+        .withColumn("ctx_len", explode(array(ls: _*)))
+        .groupBy("source", "ctx_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(greatest(col("ctx_len") - col("n_tok"), lit(0L))).as("pad_tokens"),
+          sum(greatest(col("n_tok") - col("ctx_len"), lit(0L))).as("trunc_tokens"))
+        .withColumn("util_ppm",
+          expr("((n_tokens - trunc_tokens) * 1000000) DIV (n_docs * ctx_len)"))
+        .orderBy("source", "ctx_len")
+    }),
+
+    // TOKEN FREQUENCY SPECTRUM — the Zipf head/tail profile a
+    // tokenizer team reads next to q153's growth curve: token types
+    // and occurrence mass per power-of-two frequency band (band =
+    // ⌊log2 f⌋ via the all-integer bin()-length spelling shared with
+    // q113/q142). A corpus whose mass sits in the top bands is
+    // head-heavy (small vocab suffices); a fat tail says the opposite.
+    // Scale shape: one token-keyed map-side-combined count, then a
+    // ≤64-key band rollup — no sort, no rank, no corpus-sized window
+    // (a RANK-based Zipf plot would need a global vocabulary sort;
+    // the band histogram answers the same sizing question without it).
+    "q156_token_spectrum" -> ((s, dir) => {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(explode(wsToks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .withColumn("band", expr("CAST(length(bin(f)) - 1 AS INT)"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_occurrences"))
+        .orderBy("band")
+    }),
+
     // Incremental aggregate-state maintenance — the nightly-rollup
     // pattern: a STORED per-source state (count / sum / sum-of-squares
     // / min / max over the pre-existing corpus) merges with tonight's
@@ -2225,6 +2270,33 @@ object TextAnalysis {
          SELECT CAST(k AS BIGINT) AS octile, cum AS cum_vocab,
            cum - COALESCE(lag(cum) OVER (ORDER BY k), 0) AS new_vocab
          FROM c ORDER BY octile""",
+    // per-(source, L) pad/truncation accounting under
+    // one-doc-per-sequence batching; util ppm integer fixed point
+    "q155_context_sweep" ->
+      """WITH d AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         ls(ctx_len) AS (VALUES (CAST(512 AS BIGINT)), (1024), (2048), (4096)),
+         a AS (
+           SELECT source, ctx_len, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(GREATEST(ctx_len - n_tok, 0)) AS BIGINT) AS pad_tokens,
+             CAST(SUM(GREATEST(n_tok - ctx_len, 0)) AS BIGINT) AS trunc_tokens
+           FROM d CROSS JOIN ls GROUP BY 1, 2)
+         SELECT source, ctx_len, n_docs, n_tokens, pad_tokens, trunc_tokens,
+           ((n_tokens - trunc_tokens) * 1000000) // (n_docs * ctx_len) AS util_ppm
+         FROM a ORDER BY source, ctx_len""",
+    // token types + occurrence mass per power-of-two frequency band;
+    // band = floor(log2 f) via the bin()-length spelling (q113's)
+    "q156_token_spectrum" ->
+      """WITH t AS (
+           SELECT unnest(str_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT w, COUNT(*) AS f FROM t GROUP BY 1)
+         SELECT CAST(length(bin(f)) - 1 AS INT) AS band,
+           COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_occurrences
+         FROM tf GROUP BY 1 ORDER BY band""",
     "q72_dup_spans" ->
       """WITH d AS (
            SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks

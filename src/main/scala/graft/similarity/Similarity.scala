@@ -553,6 +553,41 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training-data extractor:
+    // per query, its best SAME-label neighbor (the positive) and its
+    // best DIFFERENT-label neighbor (the hard negative — the lure a
+    // contrastive loss most needs to see), plus the cosine margin
+    // between them. Uses the labeled embeddings table's label column
+    // and q38's exact decimal-pinned cosine spelling, so the whole
+    // report is hash-checked; ties break to the smaller candidate id
+    // on both engines. Scale shape: one broadcast-query corpus scan
+    // (the q38 shape), then ONE map-side-combined per-query aggregate
+    // — the same-label/different-label argmaxes are FILTERed max_by's
+    // inside a single groupBy, no window, no second scan.
+    "q157_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_norm"), col("label").as("q_label"))
+      val c = fanOut(e.filter(col("vec_id") >= 10))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          norm(col("embedding")).as("c_norm"), col("label").as("c_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"),
+          cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos"),
+          (col("c_label") === col("q_label")).as("same"))
+      val pick = "max_by(named_struct('id', c_id, 'cos', cos), " +
+        "named_struct('c', cos, 'v', -c_id)) FILTER (WHERE %s)"
+      scored.groupBy("q_id")
+        .agg(expr(pick.format("same")).as("p"),
+          expr(pick.format("NOT same")).as("n"))
+        .select(col("q_id"),
+          col("p.id").as("pos_id"), col("p.cos").as("pos_cos"),
+          col("n.id").as("neg_id"), col("n.cos").as("neg_cos"),
+          (col("p.cos") - col("n.cos")).as("margin"))
+        .orderBy("q_id")
+    }),
+
     // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
     // data-pruning family: instead of deduping or keeping prototypes,
     // draw a 20% corpus sample whose CLUSTER MIX matches the full
@@ -1017,6 +1052,30 @@ object Similarity {
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id, rel, mmr2x
          FROM ($union) ORDER BY query_id, rank"""
     },
+    // q38's cosine CTEs with the corpus-only candidate pool, labels
+    // joined in, and per-(query, same-label-flag) argmaxes pivoted to
+    // one row per query; margin computed as the same two-term IEEE
+    // subtraction as the Spark column
+    "q157_hard_negatives" -> (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10",
+      "a.vec_id <> b.vec_id") +
+      """, lab AS (SELECT vec_id, label FROM embeddings),
+         sc AS (
+           SELECT c.a_id, c.b_id, c.cos, (lb.label = la.label) AS same
+           FROM cosines c JOIN lab la ON la.vec_id = c.a_id
+                          JOIN lab lb ON lb.vec_id = c.b_id),
+         rk AS (
+           SELECT a_id, b_id, cos, same,
+             row_number() OVER (PARTITION BY a_id, same
+               ORDER BY cos DESC, b_id) AS rn
+           FROM sc)
+         SELECT a_id AS q_id,
+           MAX(CASE WHEN same AND rn = 1 THEN b_id END) AS pos_id,
+           MAX(CASE WHEN same AND rn = 1 THEN cos END) AS pos_cos,
+           MAX(CASE WHEN NOT same AND rn = 1 THEN b_id END) AS neg_id,
+           MAX(CASE WHEN NOT same AND rn = 1 THEN cos END) AS neg_cos,
+           MAX(CASE WHEN same AND rn = 1 THEN cos END)
+             - MAX(CASE WHEN NOT same AND rn = 1 THEN cos END) AS margin
+         FROM rk GROUP BY 1 ORDER BY q_id"""),
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
            SELECT a_id, b_id, cos,

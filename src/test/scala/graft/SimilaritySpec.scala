@@ -318,6 +318,22 @@ class SimilaritySpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getLong(2) == 0L)
   }
 
+  test("q157 hard negatives: label discipline and margin consistency") {
+    val rows = SparkEntry.queries("q157_hard_negatives")(spark, sf)
+      .select("q_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "margin")
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toSeq
+    assert(rows.size == 10, "one row per query vector")
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.foreach { case (q, pid, pc, nid, nc, m) =>
+      // the positive shares the query's label; the hard negative must not
+      assert(labels(pid) == labels(q), s"q=$q positive label mismatch")
+      assert(labels(nid) != labels(q), s"q=$q negative shares the label")
+      assert(pid >= 10 && nid >= 10, "candidates must come from the corpus pool")
+      assert(m == pc - nc, s"q=$q margin not pos_cos - neg_cos")
+    }
+  }
+
   test("q121 drift report matches a driver-side recomputation") {
     val rows = SparkEntry.queries("q121_index_drift")(spark, sf).collect()
     assert(rows.length == 8)

@@ -609,4 +609,45 @@ class TextDedupSpec extends SparkSpec {
       .distinct().count()
     assert(rows.last._2 == vocab)
   }
+
+  test("context sweep: monotone pad/truncation and budget-bounded util (q155 laws)") {
+    val rows = SparkEntry.queries("q155_context_sweep")(spark, sf)
+      .select("source", "ctx_len", "n_docs", "n_tokens", "pad_tokens",
+        "trunc_tokens", "util_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byL = rs.sortBy(_._2)
+      assert(byL.map(_._2) == Seq(512L, 1024L, 2048L, 4096L))
+      // a longer context can only truncate less and pad more
+      byL.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._6 <= a._6, s"$src truncation grew with L")
+          assert(b._5 >= a._5, s"$src padding shrank with L")
+        case _ => ()
+      }
+      byL.foreach { case (_, l, nd, nt, pad, tr, util) =>
+        // kept + pad fills the sequence budget exactly
+        assert((nt - tr) + pad == nd * l, s"$src L=$l budget not conserved")
+        assert(util >= 0 && util <= 1000000L)
+      }
+    }
+  }
+
+  test("token spectrum partitions the vocabulary and the corpus mass (q156 laws)") {
+    val rows = SparkEntry.queries("q156_token_spectrum")(spark, sf)
+      .select("band", "n_types", "n_occurrences")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._1 >= 0))
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+    assert(rows.map(_._2).sum == toks.distinct().count(),
+      "band type counts must partition the vocabulary")
+    assert(rows.map(_._3).sum == toks.count(),
+      "band occurrence mass must sum to the corpus token count")
+    // a band-b type occurs in [2^b, 2^b+1) times, so mass is bounded
+    rows.foreach { case (b, nt, no) =>
+      assert(no >= nt * (1L << b) && no < nt * (1L << (b + 1)))
+    }
+  }
 }
