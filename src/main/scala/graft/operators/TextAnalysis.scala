@@ -1059,6 +1059,52 @@ object TextAnalysis {
         .orderBy("source", "ctx_len")
     }),
 
+    // LENGTH-DISTRIBUTION DRIFT MONITOR — the nightly check a corpus
+    // pipeline runs before admitting a new batch: per source, how far
+    // has the batch's token-length distribution drifted from the
+    // stored corpus's? Lengths land in power-of-two bands (the q156
+    // bin()-length log2), shares are exact ppm integers, and the
+    // drift statistic is total-variation distance over ppm shares —
+    // TV = Σ|p−q|/2 — plus the single most-drifted band, so the alarm
+    // says WHERE the shift is (q121 is this report's vector-index
+    // sibling). All-integer end to end: ppm shares avoid the N²-sized
+    // cross products an exact-rational TV would need at corpus scale.
+    // Scale shape: one narrow pass → a (source, band, is_new)
+    // conditional aggregate (bounded keys) → per-source rollup; the
+    // per-source totals join is |sources|-sized.
+    "q158_length_drift" -> ((s, dir) => {
+      val banded = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+        .withColumn("band", expr("CAST(length(bin(n_tok + 1)) - 1 AS INT)"))
+        // md5-keyed ~12.5% batch split (q60's idiom) — the testdata's
+        // doc_id % 20 == source makes any modular split per-source
+        // degenerate; the hash split is independent of source
+        .withColumn("is_new",
+          substring(md5(col("doc_id").cast("string")), 1, 1) < lit("2"))
+      val counts = banded.groupBy("source", "band")
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
+      val tots = banded.groupBy("source")
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("t_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("t_new"))
+      counts.join(tots, Seq("source"))
+        // a source absent from either side has no defined shares —
+        // emit nothing for it rather than divide by zero (both
+        // engines would otherwise disagree: Spark DIV nulls, DuckDB
+        // raises)
+        .filter(col("t_old") > 0 && col("t_new") > 0)
+        .withColumn("p_ppm", expr("(c_old * 1000000) DIV t_old"))
+        .withColumn("q_ppm", expr("(c_new * 1000000) DIV t_new"))
+        .withColumn("d", abs(col("p_ppm") - col("q_ppm")))
+        .groupBy("source")
+        .agg(max(col("t_old")).as("n_stored"), max(col("t_new")).as("n_batch"),
+          expr("sum(d) DIV 2").as("tv_ppm"),
+          expr("max_by(named_struct('band', band, 'd', d), " +
+            "named_struct('d', d, 'b', -band)).band").as("worst_band"),
+          max(col("d")).as("worst_band_d_ppm"))
+        .orderBy("source")
+    }),
+
     // TOKEN FREQUENCY SPECTRUM — the Zipf head/tail profile a
     // tokenizer team reads next to q153's growth curve: token types
     // and occurrence mass per power-of-two frequency band (band =
@@ -2287,6 +2333,47 @@ object TextAnalysis {
          SELECT source, ctx_len, n_docs, n_tokens, pad_tokens, trunc_tokens,
            ((n_tokens - trunc_tokens) * 1000000) // (n_docs * ctx_len) AS util_ppm
          FROM a ORDER BY source, ctx_len""",
+    // stored-vs-batch ppm shares per power-of-two length band; TV =
+    // floor(Σ|p−q| / 2); worst band via (d DESC, band ASC) rank —
+    // mirrors Spark's max_by struct key
+    "q158_length_drift" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT source, CAST(length(bin(n_tok + 1)) - 1 AS INT) AS band,
+             (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') AS is_new
+           FROM d),
+         counts AS (
+           SELECT source, band,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+           FROM b GROUP BY 1, 2),
+         tots AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS t_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+           FROM b GROUP BY 1),
+         j AS (
+           SELECT c.source, c.band, t.t_old, t.t_new,
+             abs((c.c_old * 1000000) // t.t_old
+               - (c.c_new * 1000000) // t.t_new) AS d
+           FROM counts c JOIN tots t USING (source)
+           WHERE t.t_old > 0 AND t.t_new > 0),
+         agg AS (
+           SELECT source, MAX(t_old) AS n_stored, MAX(t_new) AS n_batch,
+             CAST(SUM(d) AS BIGINT) // 2 AS tv_ppm
+           FROM j GROUP BY 1),
+         worst AS (
+           SELECT source, band AS worst_band, d AS worst_band_d_ppm,
+             row_number() OVER (PARTITION BY source
+               ORDER BY d DESC, band ASC) AS rn
+           FROM j)
+         SELECT a.source, a.n_stored, a.n_batch, a.tv_ppm,
+           w.worst_band, w.worst_band_d_ppm
+         FROM agg a JOIN worst w ON w.source = a.source AND w.rn = 1
+         ORDER BY a.source""",
     // token types + occurrence mass per power-of-two frequency band;
     // band = floor(log2 f) via the bin()-length spelling (q113's)
     "q156_token_spectrum" ->

@@ -650,4 +650,26 @@ class TextDedupSpec extends SparkSpec {
       assert(no >= nt * (1L << b) && no < nt * (1L << (b + 1)))
     }
   }
+
+  test("length drift: TV bounds, split conservation, worst-band dominance (q158 laws)") {
+    val rows = SparkEntry.queries("q158_length_drift")(spark, sf)
+      .select("source", "n_stored", "n_batch", "tv_ppm", "worst_band",
+        "worst_band_d_ppm")
+      .as[(String, Long, Long, Long, Int, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val perSource = Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (src, nOld, nNew, tv, _, worstD) =>
+      // the two splits partition the source's documents
+      assert(nOld + nNew == perSource(src), s"$src split not conserved")
+      assert(nOld > 0 && nNew > 0, s"$src empty side survived the guard")
+      // total variation over ppm shares lives in [0, 1e6]
+      assert(tv >= 0 && tv <= 1000000L, s"$src tv out of range")
+      // TV = floor(Σd/2) ≥ floor(worst_d/2), so the worst band can
+      // never exceed twice the total (+1 for the floor)
+      assert(worstD <= 2 * tv + 1, s"$src worst band exceeds 2·TV")
+    }
+    // the monitor is non-vacuous on the fixture: some source drifts
+    assert(rows.exists(_._4 > 0), "all sources report zero drift")
+  }
 }
