@@ -1105,6 +1105,54 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // QUALITY-SIGNAL CALIBRATION TABLE — the reliability diagram for
+    // the q113/q126 surprisal score: per eighth-bit score band (score
+    // DIV 64 — scores are 1/512-bit granules, and the whole corpus
+    // fits inside one power-of-two octave, so the q156 bands would
+    // collapse to a single row), how many docs land there and what
+    // fraction are actually the target class ('en', q126's label)?
+    // q126's AUC says the signal RANKS well; this table says what
+    // purity a THRESHOLD at each band buys — the number a filtering
+    // pipeline actually sets. Exact and all-integer (ppm rates); the
+    // band domain is bounded by 512·log2(corpus tokens)/64 ≈ 8·log2 N
+    // keys. Scale shape: the shared cached surprisal pass, one
+    // doc-keyed label join, one bounded-band aggregate.
+    "q159_score_calibration" -> ((s, dir) => {
+      surprisalPerDoc(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("pos")), Seq("doc_id"))
+        .withColumn("band", expr("score DIV 64"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+        .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) DIV n_docs"))
+        .orderBy("band")
+    }),
+
+    // DEDUP SAVINGS ATTRIBUTION — who pays for whose duplicates?
+    // Exact-duplicate clusters under the shared bag-of-words identity
+    // (q73/q80's fingerprint), keeper = min doc_id; every dropped
+    // duplicate's tokens are attributed to the (keeper_source,
+    // dup_source) pair. The diagonal is intra-source redundancy; the
+    // off-diagonal is the doc-level complement of q152's gram-level
+    // matrix — it tells the mixture owner which source to bill for
+    // re-crawled text. Scale shape: one fingerprint pass, an fp-keyed
+    // min (map-side combined), one fp-keyed join back, one doc-keyed
+    // keeper-source lookup, a bounded (source × source) rollup.
+    "q160_dedup_attribution" -> ((s, dir) => {
+      val d = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp"),
+          nTokens.cast("long").as("n_tok")))
+      val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+      d.join(keepers, Seq("fp"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .join(d.select(col("doc_id").as("keeper_id"),
+          col("source").as("keeper_source")), Seq("keeper_id"))
+        .groupBy(col("keeper_source"), col("source").as("dup_source"))
+        .agg(count(lit(1)).as("n_dup_docs"),
+          sum(col("n_tok")).as("tokens_saved"))
+        .orderBy("keeper_source", "dup_source")
+    }),
+
     // TOKEN FREQUENCY SPECTRUM — the Zipf head/tail profile a
     // tokenizer team reads next to q153's growth curve: token types
     // and occurrence mass per power-of-two frequency band (band =
@@ -2333,6 +2381,29 @@ object TextAnalysis {
          SELECT source, ctx_len, n_docs, n_tokens, pad_tokens, trunc_tokens,
            ((n_tokens - trunc_tokens) * 1000000) // (n_docs * ctx_len) AS util_ppm
          FROM a ORDER BY source, ctx_len""",
+    // bag-of-words identity clusters (q73/q80's fp), keeper = MIN
+    // doc_id; dropped duplicates' tokens attributed per source pair
+    "q160_dedup_attribution" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d),
+         k AS (SELECT fp, MIN(doc_id) AS keeper_id FROM f GROUP BY 1),
+         dup AS (
+           SELECT f.source AS dup_source, f.n_tok, k.keeper_id
+           FROM f JOIN k USING (fp) WHERE f.doc_id <> k.keeper_id),
+         att AS (
+           SELECT kf.source AS keeper_source, dup.dup_source,
+             COUNT(*) AS n_dup_docs, CAST(SUM(dup.n_tok) AS BIGINT) AS tokens_saved
+           FROM dup JOIN f kf ON kf.doc_id = dup.keeper_id
+           GROUP BY 1, 2)
+         SELECT keeper_source, dup_source, n_dup_docs, tokens_saved
+         FROM att ORDER BY keeper_source, dup_source""",
     // stored-vs-batch ppm shares per power-of-two length band; TV =
     // floor(Σ|p−q| / 2); worst band via (d DESC, band ASC) rank —
     // mirrors Spark's max_by struct key
@@ -2986,6 +3057,20 @@ object TextAnalysis {
            FROM db JOIN g ON db.b = g.b GROUP BY 1)
          SELECT doc_id, n_tok, log_w, log_w > 0 AS selected
          FROM agg ORDER BY doc_id""",
+    // surprisal CTEs + the en label join + eighth-bit score bands;
+    // purity rates as ppm integer fixed point
+    "q159_score_calibration" -> (surprisalCteSql +
+      """, lab AS (
+           SELECT p.doc_id, p.score,
+             CASE WHEN d2.lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM p JOIN documents d2 ON d2.doc_id = p.doc_id),
+         h AS (
+           SELECT score // 64 AS band,
+             COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos
+           FROM lab GROUP BY 1)
+         SELECT band, n_docs, n_pos,
+           (n_pos * 1000000) // n_docs AS pos_rate_ppm
+         FROM h ORDER BY band"""),
     "q126_filter_auc" -> (surprisalCteSql +
       """, lab AS (
            SELECT p.doc_id, p.score,

@@ -672,4 +672,36 @@ class TextDedupSpec extends SparkSpec {
     // the monitor is non-vacuous on the fixture: some source drifts
     assert(rows.exists(_._4 > 0), "all sources report zero drift")
   }
+
+  test("score calibration partitions the corpus with bounded rates (q159 laws)") {
+    val rows = SparkEntry.queries("q159_score_calibration")(spark, sf)
+      .select("band", "n_docs", "n_pos", "pos_rate_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count(),
+      "bands must partition the corpus")
+    assert(rows.map(_._3).sum == docs.filter($"lang" === "en").count(),
+      "positive counts must sum to the en-doc count")
+    rows.foreach { case (b, n, p, r) =>
+      assert(b >= 0 && p <= n && r >= 0 && r <= 1000000L)
+    }
+  }
+
+  test("dedup attribution conserves the dropped-doc count (q160 laws)") {
+    val rows = SparkEntry.queries("q160_dedup_attribution")(spark, sf)
+      .select("keeper_source", "dup_source", "n_dup_docs", "tokens_saved")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty, "fixture has no exact duplicates; matrix is vacuous")
+    val d = Tables.documents(spark, sf)
+      .select(md5(array_join(array_sort(array_distinct(
+        split(trim($"text"), "\\s+"))), " ")).as("fp"))
+    val total = d.count()
+    val clusters = d.distinct().count()
+    // every non-keeper doc is attributed exactly once
+    assert(rows.map(_._3).sum == total - clusters,
+      "attribution must cover exactly the dropped duplicates")
+    rows.foreach { case (_, _, n, t) => assert(n > 0 && t >= 0) }
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+  }
 }
