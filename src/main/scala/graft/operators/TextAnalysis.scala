@@ -91,6 +91,68 @@ object TextAnalysis {
       .select("doc_id", "n_tok", "score"))
   }
 
+  /** q151's per-source n-gram novelty core — (source, n_docs,
+    * total_grams, novel_grams, novelty_ppm). One spelling shared by
+    * q151 and the q162 health report, so the metric cannot drift
+    * between its standalone and dashboard forms. */
+  private def noveltyPerSource(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), wsToks.as("toks"))
+    val grams = docs.filter(size(col("toks")) >= 8)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+      .distinct()
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    perDoc.join(novel, Seq("doc_id"), "left").join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(coalesce(col("n_novel"), lit(0L))).as("novel_grams"))
+      .withColumn("novelty_ppm",
+        expr("(novel_grams * 1000000) DIV total_grams"))
+  }
+
+  /** q158's per-source length-drift core — (source, n_stored, n_batch,
+    * tv_ppm, worst_band, worst_band_d_ppm). Shared by q158 and the
+    * q162 health report (same no-drift-between-spellings argument as
+    * [[noveltyPerSource]]). */
+  private def lengthDriftPerSource(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    val banded = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+      .withColumn("band", expr("CAST(length(bin(n_tok + 1)) - 1 AS INT)"))
+      // md5-keyed ~12.5% batch split (q60's idiom) — the testdata's
+      // doc_id % 20 == source makes any modular split per-source
+      // degenerate; the hash split is independent of source
+      .withColumn("is_new",
+        substring(md5(col("doc_id").cast("string")), 1, 1) < lit("2"))
+    val counts = banded.groupBy("source", "band")
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
+    val tots = banded.groupBy("source")
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("t_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("t_new"))
+    counts.join(tots, Seq("source"))
+      // a source absent from either side has no defined shares — emit
+      // nothing for it rather than divide by zero (both engines would
+      // otherwise disagree: Spark DIV nulls, DuckDB raises)
+      .filter(col("t_old") > 0 && col("t_new") > 0)
+      .withColumn("p_ppm", expr("(c_old * 1000000) DIV t_old"))
+      .withColumn("q_ppm", expr("(c_new * 1000000) DIV t_new"))
+      .withColumn("d", abs(col("p_ppm") - col("q_ppm")))
+      .groupBy("source")
+      .agg(max(col("t_old")).as("n_stored"), max(col("t_new")).as("n_batch"),
+        expr("sum(d) DIV 2").as("tv_ppm"),
+        expr("max_by(named_struct('band', band, 'd', d), " +
+          "named_struct('d', d, 'b', -band)).band").as("worst_band"),
+        max(col("d")).as("worst_band_d_ppm"))
+  }
+
   /** The q149 decremental maintainer: remove the docs matching
     * `deleted` from the stored per-source rollup by SUBTRACTING their
     * partial state (exact for count/Σ/Σ² — integer subtraction is the
@@ -947,27 +1009,8 @@ object TextAnalysis {
     // combined) → two DOC-keyed aggregates joined doc-to-doc. No
     // gram-level join-back and no corpus² anywhere: the owner table
     // collapses to one row per distinct gram before anything joins.
-    "q151_novelty_profile" -> ((s, dir) => {
-      val docs = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), wsToks.as("toks"))
-      val grams = docs.filter(size(col("toks")) >= 8)
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
-        .select(col("doc_id"),
-          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
-        .distinct()
-      val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      perDoc.join(novel, Seq("doc_id"), "left").join(src, Seq("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_grams")).as("total_grams"),
-          sum(coalesce(col("n_novel"), lit(0L))).as("novel_grams"))
-        .withColumn("novelty_ppm",
-          expr("(novel_grams * 1000000) DIV total_grams"))
-        .orderBy("source")
-    }),
+    "q151_novelty_profile" -> ((s, dir) =>
+      noveltyPerSource(s, dir).orderBy("source")),
 
     // CROSS-SOURCE DUPLICATION MATRIX — which sources are feeding the
     // mixture the same text? For every source pair, the number of
@@ -1072,38 +1115,8 @@ object TextAnalysis {
     // Scale shape: one narrow pass → a (source, band, is_new)
     // conditional aggregate (bounded keys) → per-source rollup; the
     // per-source totals join is |sources|-sized.
-    "q158_length_drift" -> ((s, dir) => {
-      val banded = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
-        .withColumn("band", expr("CAST(length(bin(n_tok + 1)) - 1 AS INT)"))
-        // md5-keyed ~12.5% batch split (q60's idiom) — the testdata's
-        // doc_id % 20 == source makes any modular split per-source
-        // degenerate; the hash split is independent of source
-        .withColumn("is_new",
-          substring(md5(col("doc_id").cast("string")), 1, 1) < lit("2"))
-      val counts = banded.groupBy("source", "band")
-        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
-      val tots = banded.groupBy("source")
-        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("t_old"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("t_new"))
-      counts.join(tots, Seq("source"))
-        // a source absent from either side has no defined shares —
-        // emit nothing for it rather than divide by zero (both
-        // engines would otherwise disagree: Spark DIV nulls, DuckDB
-        // raises)
-        .filter(col("t_old") > 0 && col("t_new") > 0)
-        .withColumn("p_ppm", expr("(c_old * 1000000) DIV t_old"))
-        .withColumn("q_ppm", expr("(c_new * 1000000) DIV t_new"))
-        .withColumn("d", abs(col("p_ppm") - col("q_ppm")))
-        .groupBy("source")
-        .agg(max(col("t_old")).as("n_stored"), max(col("t_new")).as("n_batch"),
-          expr("sum(d) DIV 2").as("tv_ppm"),
-          expr("max_by(named_struct('band', band, 'd', d), " +
-            "named_struct('d', d, 'b', -band)).band").as("worst_band"),
-          max(col("d")).as("worst_band_d_ppm"))
-        .orderBy("source")
-    }),
+    "q158_length_drift" -> ((s, dir) =>
+      lengthDriftPerSource(s, dir).orderBy("source")),
 
     // QUALITY-SIGNAL CALIBRATION TABLE — the reliability diagram for
     // the q113/q126 surprisal score: per eighth-bit score band (score
@@ -1151,6 +1164,42 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_dup_docs"),
           sum(col("n_tok")).as("tokens_saved"))
         .orderBy("keeper_source", "dup_source")
+    }),
+
+    // CORPUS HEALTH REPORT — the one-page nightly dashboard a corpus
+    // owner actually reads, one row per source: volume (docs, tokens),
+    // exact-duplicate burden (bag-of-words, ppm), n-gram novelty (the
+    // q151 marginal-value signal, via the SHARED noveltyPerSource
+    // core), and length-distribution drift (the q158 monitor, via the
+    // SHARED lengthDriftPerSource core). A capstone in the q100 sense:
+    // it composes already-proven pipelines into the report that decides
+    // re-crawl / re-weight / alarm — and because every component rides
+    // the single shared spelling, the dashboard can never disagree
+    // with its standalone queries. Scale shape: the union of its
+    // parts' shapes (each documented at its core); the final joins are
+    // all |sources|-sized.
+    "q162_corpus_health" -> ((s, dir) => {
+      val base = Tables.fanOut(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTokens.cast("long")).as("total_tokens"))
+      val d = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp")))
+      val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+      val dups = d.join(keepers, Seq("fp"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+      base.join(dups, Seq("source"), "left")
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .withColumn("dup_rate_ppm", expr("(dup_docs * 1000000) DIV n_docs"))
+        .join(noveltyPerSource(s, dir).select("source", "novelty_ppm"),
+          Seq("source"), "left")
+        .join(lengthDriftPerSource(s, dir)
+          .select(col("source"), col("tv_ppm").as("drift_tv_ppm")),
+          Seq("source"), "left")
+        .select("source", "n_docs", "total_tokens", "dup_docs",
+          "dup_rate_ppm", "novelty_ppm", "drift_tv_ppm")
+        .orderBy("source")
     }),
 
     // TOKEN FREQUENCY SPECTRUM — the Zipf head/tail profile a
@@ -2404,6 +2453,77 @@ object TextAnalysis {
            GROUP BY 1, 2)
          SELECT keeper_source, dup_source, n_dup_docs, tokens_saved
          FROM att ORDER BY keeper_source, dup_source""",
+    // the q151/q158/q160 CTE blocks composed into one per-source
+    // report; LEFT JOINs keep sources that lack a component defined
+    "q162_corpus_health" ->
+      """WITH d0 AS (
+           SELECT doc_id, source,
+             str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         base AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+           FROM d0 GROUP BY 1),
+         f AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d0),
+         kk AS (SELECT fp, MIN(doc_id) AS keeper_id FROM f GROUP BY 1),
+         dups AS (
+           SELECT f.source, COUNT(*) AS dup_docs
+           FROM f JOIN kk USING (fp) WHERE f.doc_id <> kk.keeper_id
+           GROUP BY 1),
+         g AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d0 WHERE len(toks) >= 8),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+         novel AS (
+           SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+           GROUP BY 1),
+         nv AS (
+           SELECT dd.source,
+             (CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) * 1000000)
+               // CAST(SUM(p.n_grams) AS BIGINT) AS novelty_ppm
+           FROM per_doc p LEFT JOIN novel v USING (doc_id)
+                JOIN documents dd USING (doc_id)
+           GROUP BY 1),
+         b AS (
+           SELECT source,
+             CAST(length(bin(CAST(len(toks) AS BIGINT) + 1)) - 1 AS INT) AS band,
+             (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') AS is_new
+           FROM d0),
+         counts AS (
+           SELECT source, band,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+           FROM b GROUP BY 1, 2),
+         tots AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS t_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+           FROM b GROUP BY 1),
+         j AS (
+           SELECT c.source,
+             abs((c.c_old * 1000000) // t.t_old
+               - (c.c_new * 1000000) // t.t_new) AS d
+           FROM counts c JOIN tots t USING (source)
+           WHERE t.t_old > 0 AND t.t_new > 0),
+         drift AS (
+           SELECT source, CAST(SUM(d) AS BIGINT) // 2 AS drift_tv_ppm
+           FROM j GROUP BY 1)
+         SELECT base.source, base.n_docs, base.total_tokens,
+           COALESCE(dups.dup_docs, 0) AS dup_docs,
+           (COALESCE(dups.dup_docs, 0) * 1000000) // base.n_docs AS dup_rate_ppm,
+           nv.novelty_ppm, drift.drift_tv_ppm
+         FROM base LEFT JOIN dups USING (source)
+              LEFT JOIN nv USING (source)
+              LEFT JOIN drift USING (source)
+         ORDER BY base.source""",
     // stored-vs-batch ppm shares per power-of-two length band; TV =
     // floor(Σ|p−q| / 2); worst band via (d DESC, band ASC) rank —
     // mirrors Spark's max_by struct key

@@ -114,6 +114,8 @@ class PlanSpec extends SparkSpec {
     //        10-vector quantized query set) feeding the MMR greedy
     //  q157 — the same q38-shaped broadcast-query scan feeding the
     //        labeled positive/hard-negative argmaxes
+    //  q159 — surprisalPerDoc's broadcast 1-row token-total (the
+    //        q113/q126 shape, shared helper)
     val allowed = Set("q17_gap_detect", "q38_cosine_topk",
       "q39_embedding_neardup", "q43_ann_ivf", "q59_fill_forward",
       "q79_kmeans_step", "q81_ann_recall", "q87_ivf_serve",
@@ -123,7 +125,8 @@ class PlanSpec extends SparkSpec {
       "q142_bigram_lm_score", "q145_dsir_weights",
       "q146_cluster_quota_sample", "q148_matryoshka_recall",
       "q150_incremental_postings", "q153_vocab_growth",
-      "q154_mmr_rerank", "q157_hard_negatives")
+      "q154_mmr_rerank", "q157_hard_negatives",
+      "q159_score_calibration")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -704,4 +704,34 @@ class TextDedupSpec extends SparkSpec {
     rows.foreach { case (_, _, n, t) => assert(n > 0 && t >= 0) }
     assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
   }
+
+  test("corpus health report agrees with its standalone components (q162 law)") {
+    val health = SparkEntry.queries("q162_corpus_health")(spark, sf)
+      .select("source", "n_docs", "dup_docs", "novelty_ppm", "drift_tv_ppm")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(health.nonEmpty)
+    // one row per source, volumes conserved
+    val perSource = Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(health.keySet == perSource.keySet)
+    health.foreach { case (src, (n, _, _, _)) => assert(n == perSource(src)) }
+    // the dashboard's novelty and drift columns are the STANDALONE
+    // queries' values — the shared-core guarantee, asserted
+    val nov = SparkEntry.queries("q151_novelty_profile")(spark, sf)
+      .select("source", "novelty_ppm").as[(String, Long)].collect().toMap
+    val drift = SparkEntry.queries("q158_length_drift")(spark, sf)
+      .select("source", "tv_ppm").as[(String, Long)].collect().toMap
+    health.foreach { case (src, (_, _, novOpt, drOpt)) =>
+      assert(novOpt == nov.get(src), s"$src novelty disagrees with q151")
+      assert(drOpt == drift.get(src), s"$src drift disagrees with q158")
+    }
+    // dup counts sum to the corpus's dropped-duplicate total (q160's law)
+    val d = Tables.documents(spark, sf)
+      .select(md5(array_join(array_sort(array_distinct(
+        split(trim($"text"), "\\s+"))), " ")).as("fp"))
+    assert(health.values.map(_._2).sum == d.count() - d.distinct().count())
+  }
 }
