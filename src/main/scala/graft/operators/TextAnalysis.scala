@@ -1166,6 +1166,36 @@ object TextAnalysis {
         .orderBy("keeper_source", "dup_source")
     }),
 
+    // LANG-ID PER-CLASS PRECISION/RECALL — the classifier scorecard
+    // q31's raw confusion matrix implies but doesn't state: for each
+    // language class, support, predicted count, correct count, and
+    // recall/precision in ppm — the numbers that decide whether the
+    // marker-based router is good enough to gate a mixture. NULLIF
+    // guards keep zero-support ('und' appears only as a prediction)
+    // and zero-predicted classes NULL on both engines. Scale shape:
+    // one narrow lang-ID pass into a bounded (lang × pred) aggregate;
+    // every rollup after that is on the ≤|langs|² matrix.
+    "q161_langid_prf" -> ((s, dir) => {
+      val cm = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("lang"), langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")))
+      val sup = cm.groupBy("lang").agg(sum(col("n")).as("support"))
+      val pred = cm.groupBy(col("pred_lang").as("lang"))
+        .agg(sum(col("n")).as("predicted"))
+      val cor = cm.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n").as("correct"))
+      sup.join(pred, Seq("lang"), "full").join(cor, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("support"), lit(0L)).as("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          coalesce(col("correct"), lit(0L)).as("correct"))
+        .withColumn("recall_ppm",
+          expr("(correct * 1000000) DIV nullif(support, 0)"))
+        .withColumn("precision_ppm",
+          expr("(correct * 1000000) DIV nullif(predicted, 0)"))
+        .orderBy("lang")
+    }),
+
     // CORPUS HEALTH REPORT — the one-page nightly dashboard a corpus
     // owner actually reads, one row per source: volume (docs, tokens),
     // exact-duplicate burden (bag-of-words, ppm), n-gram novelty (the
@@ -2453,6 +2483,31 @@ object TextAnalysis {
            GROUP BY 1, 2)
          SELECT keeper_source, dup_source, n_dup_docs, tokens_saved
          FROM att ORDER BY keeper_source, dup_source""",
+    // q31's confusion CTE rolled to per-class support/predicted/
+    // correct; ppm rates NULLIF-guarded like the Spark spelling
+    "q161_langid_prf" ->
+      s"""WITH cm AS (
+           SELECT lang, $langIdSql AS pred_lang, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+         sup AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS support
+                 FROM cm GROUP BY 1),
+         pred AS (SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS predicted
+                  FROM cm GROUP BY 1),
+         cor AS (SELECT lang, CAST(n AS BIGINT) AS correct
+                 FROM cm WHERE lang = pred_lang),
+         j AS (
+           SELECT COALESCE(s.lang, p.lang) AS lang,
+             COALESCE(s.support, 0) AS support,
+             COALESCE(p.predicted, 0) AS predicted
+           FROM sup s FULL JOIN pred p ON p.lang = s.lang)
+         SELECT j.lang, j.support, j.predicted,
+           COALESCE(c.correct, 0) AS correct,
+           (COALESCE(c.correct, 0) * 1000000) // NULLIF(j.support, 0)
+             AS recall_ppm,
+           (COALESCE(c.correct, 0) * 1000000) // NULLIF(j.predicted, 0)
+             AS precision_ppm
+         FROM j LEFT JOIN cor c ON c.lang = j.lang
+         ORDER BY j.lang""",
     // the q151/q158/q160 CTE blocks composed into one per-source
     // report; LEFT JOINs keep sources that lack a component defined
     "q162_corpus_health" ->

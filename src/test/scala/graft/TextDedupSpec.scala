@@ -734,4 +734,18 @@ class TextDedupSpec extends SparkSpec {
         split(trim($"text"), "\\s+"))), " ")).as("fp"))
     assert(health.values.map(_._2).sum == d.count() - d.distinct().count())
   }
+
+  test("lang-ID scorecard conserves the corpus on both axes (q161 laws)") {
+    val rows = SparkEntry.queries("q161_langid_prf")(spark, sf)
+      .select("lang", "support", "predicted", "correct")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    // every doc has exactly one true class and one predicted class
+    assert(rows.map(_._2).sum == total, "supports must sum to the corpus")
+    assert(rows.map(_._3).sum == total, "predictions must sum to the corpus")
+    rows.foreach { case (l, s, p, c) =>
+      assert(c <= s && c <= p, s"$l correct exceeds support or predicted")
+    }
+  }
 }
