@@ -965,8 +965,12 @@ object TextAnalysis {
     // driver hash proves append == rebuild all the way to ranked
     // results, idf/avgdl shifts included — the property that lets a
     // 100 TB index take nightly batches without re-tokenizing the
-    // corpus. Scale shape: only the batch is tokenized at merge time
-    // here-as-at-scale; the df full-outer merge is vocab-sized.
+    // corpus. Spelled STATE-FREE (the q93/q121 exact-twin pattern):
+    // the "stored" state is derived inline from the corpus slice so
+    // the whole computation is oracle-checkable — in production that
+    // side is READ from the persisted index, and only the batch pays
+    // tokenization; the merge itself (the part this query proves) is
+    // union + a vocab-sized full-outer df join + totals add.
     "q150_incremental_postings" -> ((s, dir) => {
       val d = Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), wsToks.as("toks"))
