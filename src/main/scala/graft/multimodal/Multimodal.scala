@@ -641,6 +641,47 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // AUDIO SILENCE TRIM: the first cleaning op every speech-data
+    // pipeline runs — locate the leading/trailing LOW-AMPLITUDE runs
+    // (|sample − 128| ≤ 11 around the 8-bit PCM midpoint; under the
+    // ASCII byte == code point contract that's bytes 117–139, so the
+    // trim genuinely engages on this corpus's letter signals) in the
+    // REAL-decoded WAV signal and emit the trim manifest: lead/trail cut lengths, kept
+    // span, and a position-weighted checksum of the kept samples that
+    // pins BOTH boundaries exactly (a wrong first-sample index shifts
+    // every weight). All-integer; the oracle replays the byte math
+    // from the source text. Narrow map over decoded signals — the
+    // payloads never shuffle, and lead+kept+trail == n by spec law.
+    "q163_audio_trim" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.fanOut(syntheticMedia(s, dir))
+        .filter(col("kind") === "audio")
+        .select("media_id", "payload").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val sig = Codec.signalOf(bytes) // REAL javax.sound.sampled decode
+          val n = sig.length
+          def silent(b: Byte): Boolean = math.abs((b & 0xff) - 128) <= 11
+          var first = 0
+          while (first < n && silent(sig(first))) first += 1
+          if (first == n) (id, n.toLong, n.toLong, 0L, 0L, 0L)
+          else {
+            var last = n - 1
+            while (last >= 0 && silent(sig(last))) last -= 1
+            var ck = 0L
+            var i = first
+            while (i <= last) {
+              ck += (i - first + 1).toLong * (sig(i) & 0xff)
+              i += 1
+            }
+            (id, n.toLong, first.toLong, (n - 1 - last).toLong,
+              (last - first + 1).toLong, ck)
+          }
+        }
+        .toDF("media_id", "n_samples", "lead_trim", "trail_trim",
+          "kept_samples", "kept_checksum")
+        .orderBy("media_id")
+    }),
+
     // REAL 2-D IMAGE PIPELINE: each image doc's bytes encode into a
     // genuine width-64 grayscale PNG (zero-padded final row), decode
     // through javax.imageio, and 2×2 sum-pool — encode, container,
@@ -728,6 +769,37 @@ object Multimodal {
          SELECT media_id, COUNT(*) AS n_frames, MAX(energy) AS max_energy,
            CAST(SUM(zcr) AS BIGINT) AS total_zcr
          FROM g GROUP BY 1 ORDER BY media_id""",
+    // byte replay: first/last non-silent (|code − 128| > 11) positions
+    // bound the kept span; weights restart at 1 from the kept span's
+    // first sample so the checksum pins both trim boundaries
+    "q163_audio_trim" ->
+      """WITH a AS (
+           SELECT doc_id AS media_id, text, length(text) AS n
+           FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+         pos AS (
+           SELECT media_id, n, text,
+             unnest(generate_series(1, n)) AS i
+           FROM a),
+         ns AS (
+           SELECT media_id, MIN(i) AS first_i, MAX(i) AS last_i
+           FROM pos WHERE abs(unicode(substr(text, CAST(i AS INT), 1)) - 128) > 11
+           GROUP BY 1),
+         ck AS (
+           SELECT p.media_id,
+             CAST(SUM((p.i - ns.first_i + 1)
+               * unicode(substr(p.text, CAST(p.i AS INT), 1))) AS BIGINT)
+               AS kept_checksum
+           FROM pos p JOIN ns ON ns.media_id = p.media_id
+           WHERE p.i BETWEEN ns.first_i AND ns.last_i
+           GROUP BY 1)
+         SELECT a.media_id, CAST(a.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(ns.first_i - 1, a.n) AS BIGINT) AS lead_trim,
+           CAST(COALESCE(a.n - ns.last_i, 0) AS BIGINT) AS trail_trim,
+           CAST(COALESCE(ns.last_i - ns.first_i + 1, 0) AS BIGINT) AS kept_samples,
+           CAST(COALESCE(ck.kept_checksum, 0) AS BIGINT) AS kept_checksum
+         FROM a LEFT JOIN ns USING (media_id)
+              LEFT JOIN ck ON ck.media_id = a.media_id
+         ORDER BY a.media_id""",
     // row-major replay: pixel(r,c) = code unit at r*64+c when < n, 0
     // in the padded tail; only complete 2×2 blocks pool
     "q104_image_pool" ->

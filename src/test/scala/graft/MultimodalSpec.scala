@@ -264,4 +264,23 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum(length($"text"))).as[Long].head()
     assert(total == expected)
   }
+
+  test("q163 trim manifest partitions every signal and engages on the fixture") {
+    val rows = SparkEntry.queries("q163_audio_trim")(spark, sf)
+      .select("media_id", "n_samples", "lead_trim", "trail_trim",
+        "kept_samples", "kept_checksum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, lead, trail, kept, ck) =>
+      // the three spans tile the decoded signal exactly
+      assert(lead + kept + trail == n, s"media $id spans don't tile")
+      assert(lead >= 0 && trail >= 0 && kept >= 0)
+      // an empty kept span has nothing to checksum
+      if (kept == 0) assert(ck == 0L)
+    }
+    // non-vacuity: the trim actually cuts something somewhere, and
+    // most signals keep a non-empty span
+    assert(rows.exists(r => r._3 > 0 || r._4 > 0), "no signal ever trimmed")
+    assert(rows.exists(_._5 > 0), "no signal kept any samples")
+  }
 }
