@@ -588,6 +588,41 @@ object Similarity {
         .orderBy("q_id")
     }),
 
+    // PER-LABEL EMBEDDING DISPERSION — the dataset-diversity probe a
+    // curation team reads before balancing classes: for each label,
+    // the mean squared distance of its vectors to their own centroid,
+    // computed EXACTLY via the algebraic identity n·Σ||x||² − ||Σx||²
+    // over 1e-6-scaled integer coordinates — no centroid division, no
+    // sqrt, no doubles cross the engines. A label with collapsed
+    // dispersion is near-duplicate mass wearing one tag; an outsized
+    // one is probably mislabeled. ||x||² rides the dot_long kernel
+    // (its second call site). Scale shape: one narrow pass for the
+    // per-vector norms + one posexplode into a (label, dim)-keyed
+    // map-side-combined sum (64·|labels| keys) — nothing quadratic,
+    // nothing corpus-sized past the scans. Overflow bound: with
+    // |x| ≤ 1, n·Σ||x||² ≤ n²·64·10¹² ⇒ safe to ~380k vectors/label
+    // in int64 (document scale knob: raise the label granularity or
+    // drop to 1e-3 scaling past that).
+    "q164_label_dispersion" -> ((s, dir) => {
+      graft.plans.DotLong.register(s)
+      val e = graft.Caches.cached(Tables.fanOut(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("f")))
+      val a = e.select(col("label"),
+        call_function(graft.plans.DotLong.NAME, col("f"), col("f")).as("sq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("ssq"))
+      val b = e.select(col("label"), posexplode(col("f")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(sum(col("v")).as("sx"))
+        .groupBy("label").agg(sum(expr("sx * sx")).as("s2"))
+      a.join(b, Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          (col("n_vecs") * col("ssq") - col("s2")).as("disp_num"),
+          expr("(n_vecs * ssq - s2) DIV (n_vecs * n_vecs)").as("msd_e12"))
+        .orderBy("label")
+    }),
+
     // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
     // data-pruning family: instead of deduping or keeping prototypes,
     // draw a 20% corpus sample whose CLUSTER MIX matches the full
@@ -1076,6 +1111,30 @@ object Similarity {
            MAX(CASE WHEN same AND rn = 1 THEN cos END)
              - MAX(CASE WHEN NOT same AND rn = 1 THEN cos END) AS margin
          FROM rk GROUP BY 1 ORDER BY q_id"""),
+    // same 1e-6 scaled-integer coordinates; dispersion by the identity
+    // n·Σ||x||² − ||Σx||², all BIGINT
+    "q164_label_dispersion" ->
+      """WITH f AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+           FROM embeddings),
+         el AS (
+           SELECT label, vec_id, unnest(f) AS v,
+             generate_subscripts(f, 1) AS d
+           FROM f),
+         a AS (
+           SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+             CAST(SUM(v * v) AS BIGINT) AS ssq
+           FROM el GROUP BY 1),
+         sx AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS sx
+                FROM el GROUP BY 1, 2),
+         b AS (SELECT label, CAST(SUM(sx * sx) AS BIGINT) AS s2
+               FROM sx GROUP BY 1)
+         SELECT a.label, a.n_vecs,
+           (a.n_vecs * a.ssq - b.s2) AS disp_num,
+           (a.n_vecs * a.ssq - b.s2) // (a.n_vecs * a.n_vecs) AS msd_e12
+         FROM a JOIN b USING (label) ORDER BY a.label""",
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
            SELECT a_id, b_id, cos,

@@ -334,6 +334,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q164 dispersion: nonnegative, total, and matches a direct recomputation") {
+    val rows = SparkEntry.queries("q164_label_dispersion")(spark, sf)
+      .select("label", "n_vecs", "disp_num", "msd_e12")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    assert(rows.map(_._2).sum == vecs.length, "labels must partition the table")
+    // n·Σ||x||² − ||Σx||² ≥ 0 is Cauchy–Schwarz; 0 only for identical vectors
+    rows.foreach { case (l, n, d, m) =>
+      assert(d >= 0 && m >= 0, s"label $l negative dispersion")
+      assert(d > 0, s"label $l has zero spread — law vacuous on collapsed data")
+    }
+    // the integer identity equals the geometric mean-squared-distance to
+    // the centroid (direct double recomputation, quantization tolerance)
+    val (label0, n0, _, m0) = rows.head
+    val vs = vecs.filter(_._1 == label0).map(_._2.map(_.toDouble).toArray)
+    val dims = vs.head.length
+    val c = Array.tabulate(dims)(d => vs.map(_(d)).sum / vs.length)
+    val msd = vs.map(v => v.indices.map(d => (v(d) - c(d)) * (v(d) - c(d))).sum).sum / vs.length
+    assert(math.abs(m0 / 1e12 - msd) < 1e-4,
+      s"label $label0 integer identity ${m0 / 1e12} vs direct $msd")
+    assert(n0 == vs.length)
+  }
+
   test("q121 drift report matches a driver-side recomputation") {
     val rows = SparkEntry.queries("q121_index_drift")(spark, sf).collect()
     assert(rows.length == 8)
