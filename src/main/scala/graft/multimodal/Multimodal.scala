@@ -625,6 +625,45 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // VIDEO KEYFRAME DETECTION — the frame-sampling policy a vision
+    // pipeline actually ships (scene-change sampling beats fixed
+    // stride): frame 0 is always a keyframe, frame i ≥ 1 is one when
+    // its REAL-decoded inter-frame motion exceeds the 4000 threshold
+    // (the corpus's median pair motion is ≈3.1k, so the gate
+    // genuinely splits). Emits the keyframe manifest per media —
+    // count plus a position checksum (Σ 1-based keyframe indices)
+    // that pins WHICH frames were picked, not just how many. Same
+    // no-shuffle shape as q144: one media row in, one manifest row
+    // out, computed inside the decode kernel; containers never move.
+    "q173_video_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.fanOut(syntheticMedia(s, dir))
+        .filter(col("kind") === "video")
+        .select("media_id", "payload").as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, bytes) =>
+            val frames = Codec.decodeVideoFrames(bytes)
+            var nKey = 1L; var ck = 1L; var maxM = 0L // frame 0 always keys
+            var i = 1
+            while (i < frames.length) {
+              val prev = frames(i - 1)._3; val cur = frames(i)._3
+              var m = 0L; var j = 0
+              while (j < cur.length) {
+                m += math.abs((prev(j) & 0xff) - (cur(j) & 0xff)); j += 1
+              }
+              if (m > maxM) maxM = m
+              if (m > 4000L) { nKey += 1; ck += i + 1L }
+              i += 1
+            }
+            (id, frames.length.toLong, nKey, ck, maxM)
+          }
+        }
+        .toDF("media_id", "n_frames", "n_keyframes", "key_checksum",
+          "max_motion")
+        .orderBy("media_id")
+    }),
+
     // REAL AUDIO PIPELINE: audio docs' bytes travel through a genuine
     // WAV container (8-bit PCM, javax.sound.sampled decode) before
     // the framed energy / zero-crossing kernel — encode, container,
@@ -711,6 +750,41 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    // q144's tiling-replay motion CTE with the keyframe gate on top;
+    // single-frame videos (nf = 1) degrade to the frame-0-only manifest
+    "q173_video_keyframes" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, text, length(text) AS n,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 256) AS BIGINT) AS nf
+           FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+         pairs AS (
+           SELECT media_id, text, n,
+             unnest(generate_series(1, nf - 1)) AS i
+           FROM v WHERE nf >= 2),
+         px AS (
+           SELECT media_id, i, text,
+             unnest(generate_series(1, least(256, n - i * 256))) AS j
+           FROM pairs),
+         m AS (
+           SELECT media_id, i,
+             SUM(abs(unicode(substr(text, CAST((i - 1) * 256 + j AS INT), 1))
+                   - unicode(substr(text, CAST(i * 256 + j AS INT), 1))))
+               AS motion
+           FROM px GROUP BY 1, 2),
+         k AS (
+           SELECT media_id,
+             CAST(SUM(CASE WHEN motion > 4000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nk,
+             CAST(SUM(CASE WHEN motion > 4000 THEN i + 1 ELSE 0 END)
+               AS BIGINT) AS ck,
+             CAST(MAX(motion) AS BIGINT) AS mm
+           FROM m GROUP BY 1)
+         SELECT v.media_id, nf AS n_frames,
+           CAST(1 + COALESCE(nk, 0) AS BIGINT) AS n_keyframes,
+           CAST(1 + COALESCE(ck, 0) AS BIGINT) AS key_checksum,
+           CAST(COALESCE(mm, 0) AS BIGINT) AS max_motion
+         FROM v LEFT JOIN k ON v.media_id = k.media_id
+         ORDER BY v.media_id""",
     // tiling replay: frame i (0-based) covers source positions
     // i*256+1 .. i*256+len_i (1-based substr), len_i = least(256,
     // n - i*256); pair i in 1..nf-1 diffs over the later frame's length

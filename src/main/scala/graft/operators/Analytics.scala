@@ -403,6 +403,40 @@ object Analytics {
           max(col("late_ms")).as("max_late_ms"))
         .withColumn("drop_milli", expr("(n_dropped * 1000) DIV n_events"))
         .orderBy("event_type")
+    }),
+
+    // MARKET-BASKET CO-PURCHASE LIFT — the association-rule read on
+    // the order/lineitem fact: for part pairs sharing ≥ 3 orders,
+    // lift = P(a,b)/(P(a)·P(b)) in exact ppm fixed point —
+    // (c_ab·N·10⁶) DIV (c_a·c_b), all-integer, so the statistic
+    // hashes bit-stably. Scale shape: pair generation self-joins the
+    // DISTINCT (order, part) item table on the ORDER key — bounded
+    // by basket size (O(|basket|²) pairs per order, never parts²);
+    // the pair reduce is map-side-combined; per-part counts join
+    // back on the pair's parts; N is a 1-row broadcast. The
+    // c_ab ≥ 3 support floor bounds the output the way df-ceilings
+    // bound the sparse-retrieval family.
+    "q172_copurchase_lift" -> ((s, dir) => {
+      val it = graft.Caches.cached(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      val n = it.select(countDistinct(col("ok")).as("n_orders"))
+      val cnt = it.groupBy("pk").agg(count(lit(1)).as("c"))
+      val a = it.select(col("ok"), col("pk").as("part_a"))
+      val b = it.select(col("ok").as("ok2"), col("pk").as("part_b"))
+      a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+        .join(cnt.select(col("pk").as("part_a"), col("c").as("c_a")),
+          "part_a")
+        .join(cnt.select(col("pk").as("part_b"), col("c").as("c_b")),
+          "part_b")
+        .crossJoin(broadcast(n)) // 1 row: the order count
+        .withColumn("lift_ppm",
+          expr("(c_ab * n_orders * 1000000) DIV (c_a * c_b)"))
+        .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
+          col("c_b"), col("lift_ppm"))
+        .orderBy("part_a", "part_b")
     })
   )
 
@@ -623,6 +657,27 @@ object Analytics {
            CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
            (CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
              * 1000) // COUNT(*) AS drop_milli
-         FROM l GROUP BY 1 ORDER BY event_type"""
+         FROM l GROUP BY 1 ORDER BY event_type""",
+    // same basket-bounded pair generation; every statistic is an
+    // integer count or a single integer floor-division
+    "q172_copurchase_lift" ->
+      """WITH it AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM it),
+         cnt AS (SELECT pk, COUNT(*) AS c FROM it GROUP BY 1),
+         pairs AS (
+           SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS c_ab
+           FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+           CAST((c_ab * n.n_orders * 1000000) // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+         FROM pairs
+         JOIN cnt ca ON ca.pk = part_a
+         JOIN cnt cb ON cb.pk = part_b
+         CROSS JOIN n
+         ORDER BY part_a, part_b"""
   )
 }

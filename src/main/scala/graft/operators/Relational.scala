@@ -269,6 +269,40 @@ object Relational {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
+    }),
+
+    // The TPC-H Q2 shape (minimum-cost supplier) on this schema's
+    // columns: for every sourceable part (it appears in lineitem),
+    // the supplier quoting the LOWEST observed price — argmin via
+    // min(struct(price, suppkey)), tie-broken on suppkey so both
+    // engines pick the same supplier — enriched with the supplier's
+    // nation. Scale shape: the (part, supp) quote reduce and the
+    // per-part argmin are BOTH map-side-combinable partial
+    // aggregates (no window, no correlated re-scan of lineitem —
+    // the naive Q2 spelling re-runs the min subquery per part);
+    // supplier and nation are stats-gated broadcasts. min_price is
+    // compared, never arithmetic'd, so doubles hash exactly.
+    "q170_cheapest_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      val p = Tables.part(s, dir).filter(col("p_size") >= 40)
+        .select("p_partkey", "p_type")
+      val sup = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val quote = li.groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice")).as("best_price"))
+      val cheapest = quote.groupBy("l_partkey")
+        .agg(min(struct(col("best_price"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"), col("m.best_price").as("min_price"),
+          col("m.l_suppkey").as("s_pick"))
+      cheapest.join(p, cheapest("l_partkey") === p("p_partkey"))
+        .join(Tables.maybeBroadcast(sup), col("s_pick") === sup("s_suppkey"))
+        .join(Tables.maybeBroadcast(n),
+          sup("s_nationkey") === n("n_nationkey"))
+        .select(col("p_partkey"), col("p_type"), col("s_name"),
+          col("n_name"), col("min_price"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -388,6 +422,26 @@ object Relational {
                AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_returnflag = 'R')
          GROUP BY s_name
-         ORDER BY numwait DESC, s_name ASC LIMIT 20"""
+         ORDER BY numwait DESC, s_name ASC LIMIT 20""",
+    // row_number over (price, suppkey) replays the min(struct) argmin;
+    // min_price is selected, never computed, so the doubles hash
+    "q170_cheapest_supplier" ->
+      """WITH quote AS (
+           SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice) AS best_price
+           FROM lineitem GROUP BY 1, 2),
+         pick AS (
+           SELECT l_partkey, l_suppkey, best_price,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY best_price, l_suppkey) AS rn
+           FROM quote)
+         SELECT p_partkey, p_type, s_name, n_name,
+           best_price AS min_price
+         FROM pick
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE rn = 1 AND p_size >= 40
+         ORDER BY p_partkey"""
   )
 }

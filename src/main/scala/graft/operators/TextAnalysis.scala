@@ -2080,6 +2080,280 @@ object TextAnalysis {
         .select(col("epoch"), col("rank").cast("long").as("rank"),
           col("doc_id"), col("skey"))
         .orderBy("epoch", "rank")
+    }),
+
+    // C4-STYLE CROSS-DOCUMENT SEGMENT DEDUP (Raffel et al. 2020 §2.2's
+    // "any three-sentence span occurring more than once in the data
+    // set is removed, keeping one" rule, re-expressed over this
+    // corpus's whitespace tokens): docs tile into fixed 16-token
+    // paragraphs (short tail kept), the GLOBALLY FIRST occurrence in
+    // (doc_id, tile) order survives, and every later occurrence —
+    // across docs and intra-doc repeats alike — is scrubbed. The
+    // per-doc manifest (kept/removed tiles and tokens + a kept-tile
+    // checksum) pins exactly which spans survived. Scale shape: the
+    // tile explode is narrow; first-occurrence is min(struct(doc_id,
+    // tile)) — PARTIALLY AGGREGABLE, so a corpus-wide mega-duplicated
+    // paragraph combines map-side instead of flooding one reducer
+    // (the row_number-window spelling the oracle uses would sort
+    // every occurrence of a hot paragraph in one task); the fan-back
+    // join on the tile key inherits AQE skew splitting; shuffle keys
+    // are ≤ 16 tokens, never whole documents.
+    "q165_paragraph_dedup" -> ((s, dir) => {
+      val tiles = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), wsToks.as("toks"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .select(col("doc_id"), col("toks"), col("nt"),
+            explode(expr("sequence(CAST(0 AS BIGINT), (nt - 1) DIV 16)"))
+              .as("i"))
+          .withColumn("ptok", least(col("nt") - col("i") * 16, lit(16L)))
+          .withColumn("para",
+            concat_ws(" ", expr("slice(toks, CAST(i * 16 + 1 AS INT), 16)")))
+          .select("doc_id", "i", "ptok", "para"))
+      val first = tiles.groupBy("para")
+        .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+      tiles.join(first, "para")
+        .withColumn("keep",
+          col("doc_id") === col("f.doc_id") && col("i") === col("f.i"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("dup_tiles"),
+          sum(when(col("keep"), col("ptok")).otherwise(0L)).as("kept_tokens"),
+          sum(when(!col("keep"), col("ptok")).otherwise(0L))
+            .as("removed_tokens"),
+          sum(when(col("keep"), col("i") + 1).otherwise(0L))
+            .as("kept_checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT per-source token-count percentiles WITHOUT a global sort:
+    // percentile_disc(p) = the smallest value whose cumulative doc
+    // count reaches p·N, computed at HISTOGRAM level. Per-doc token
+    // counts reduce map-side to (source, n_tok) cells; each source's
+    // histogram — bounded by its DISTINCT lengths, not its doc count
+    // — cumulates in a per-source window; the three thresholds read
+    // off with all-integer comparisons (2·cum ≥ N ⇔ cum ≥ N/2, no
+    // doubles, no ceil). The corpus is never sorted; the only
+    // corpus-sized exchange is the histogram reduce.
+    "q166_token_percentiles" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n_docs"), col("n_tok"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_tok")))
+            .as("p90"),
+          min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_tok")))
+            .as("p99"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy("source")
+    }),
+
+    // WINSORIZED robust statistics — the outlier-clamped per-source
+    // length profile a mixture designer trusts over raw means (one
+    // pathological megadoc can't move it): exact p05/p95 come from
+    // q166's histogram-cumulation trick, then the clamp REAPPLIES at
+    // histogram level too — sum over cells of c·clamp(n_tok, p05,
+    // p95) — so neither pass touches per-doc rows after the first
+    // reduce. The threshold table is sources-sized and broadcast;
+    // wins_mean_milli is fixed-point all-integer.
+    "q167_winsorized_stats" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      val th = h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 20 >= col("n_docs"), col("n_tok"))).as("p05"),
+          min(when(col("cum") * 20 >= col("n_docs") * 19, col("n_tok")))
+            .as("p95"))
+      h.join(broadcast(th), "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          sum(col("c") * greatest(least(col("n_tok"), col("p95")),
+            col("p05"))).as("wins_sum"),
+          sum(when(col("n_tok") < col("p05"), col("c")).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("n_tok") > col("p95"), col("c")).otherwise(0L))
+            .as("n_hi"))
+        .withColumn("wins_mean_milli", expr("(wins_sum * 1000) DIV n_docs"))
+        .orderBy("source")
+    }),
+
+    // PHRASE-QUERY SERVING FROM POSITIONAL POSTINGS — the retrieval
+    // op BM25 can't express: find every occurrence of an exact
+    // 3-token phrase by INTERSECTING position lists (term t at p,
+    // t' at p+1, t'' at p+2), never re-scanning document text. The
+    // phrase is the corpus's own top trigram (count desc, lexical
+    // asc — deterministic), so the query is self-contained and
+    // non-empty at every SF. Scale shape: the phrase row is a 1-row
+    // broadcast; each leg filters the postings to ONE term before
+    // its equi-join on (doc, pos±k) — at production scale postings
+    // live term-sharded, so each leg is a pushed-down point lookup,
+    // and the join moves only the three terms' lists, not the corpus.
+    "q168_phrase_search" -> ((s, dir) => {
+      val toksDf = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), wsToks.as("toks")))
+      val top = toksDf.filter(size(col("toks")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+             j -> concat_ws(' ', toks[j-1], toks[j], toks[j+1]))""")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(1)
+        .select(col("g"), split(col("g"), " ").as("ts"))
+        .select(col("g"), col("ts").getItem(0).as("w1"),
+          col("ts").getItem(1).as("w2"), col("ts").getItem(2).as("w3"))
+      val pos = graft.Caches.cached(
+        toksDf.select(col("doc_id"), posexplode(col("toks"))
+          .as(Seq("p", "w"))))
+      val b = broadcast(top)
+      val m1 = pos.crossJoin(b).filter(col("w") === col("w1"))
+        .select(col("doc_id"), col("p"), col("g"), col("w2"), col("w3"))
+      val m2 = pos.select(col("doc_id").as("d2"), col("p").as("q2"),
+        col("w").as("u2"))
+      val m3 = pos.select(col("doc_id").as("d3"), col("p").as("q3"),
+        col("w").as("u3"))
+      m1.join(m2, col("doc_id") === col("d2") &&
+          col("q2") === col("p") + 1 && col("u2") === col("w2"))
+        .join(m3, col("doc_id") === col("d3") &&
+          col("q3") === col("p") + 2 && col("u3") === col("w3"))
+        .groupBy(col("doc_id"), col("g").as("phrase"))
+        .agg(count(lit(1)).as("n_occ"))
+        .select(col("doc_id"), col("phrase"), col("n_occ"))
+        .orderBy("doc_id")
+    }),
+
+    // DETERMINISTIC WEIGHTED SAMPLING — bottom-k by hash priority,
+    // the reservoir-less spelling of weighted reservoir sampling:
+    // priority = u DIV w with u a 48-bit md5 integer and w the token
+    // count, so doubling a doc's weight halves its expected priority
+    // (longer docs win proportionally) yet any engine, any re-run,
+    // and the oracle derive the IDENTICAL sample with no RNG state —
+    // the q60/q120 determinism contract extended to WEIGHTED draws.
+    // Per-source bottom-5 by (priority, doc_id). Scale shape: the
+    // rank<=k filter compiles to WindowGroupLimit (q120's plan
+    // shape, PlanSpec-pinned): per-partition top-k BEFORE the
+    // exchange — the corpus is never globally sorted to draw k docs.
+    "q169_weighted_sample" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))
+      Tables.fanOut(Tables.documents(s, dir))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), col("doc_id"),
+          size(wsToks).cast("long").as("n_tok"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),
+             16, 10) AS BIGINT)"""))
+        .withColumn("priority", expr("u DIV n_tok"))
+        .withColumn("rank", row_number().over(wS))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("n_tok"), col("priority"))
+        .orderBy("source", "rank")
+    }),
+
+    // QUALITY-ORDERED CURRICULUM PHASES — the schedule builder behind
+    // curriculum training: docs sort by an integer quality signal
+    // (type-token ratio, milli fixed-point) and split into 4
+    // equal-TOKEN-budget phases, each phase's manifest emitted. The
+    // running token offset that places every cut rides
+    // `Prefix.exclusiveSum` over the COMPUTED key ttr·2⁴⁰ + doc_id —
+    // the operator's first call site whose domain is an ORDERING THE
+    // QUERY ITSELF DERIVES (q147's was the raw doc_id line): the
+    // packed key keeps (ttr, doc_id) lexicographic inside one
+    // non-negative long, and the two-phase recursion caps every
+    // window task at span rows no matter how the scores distribute.
+    // phase = 4·off DIV total needs one 1-row broadcast; the rollup
+    // is a 4-key aggregate.
+    "q174_curriculum_phases" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wsToks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_dis"))
+        .withColumn("ttr", expr("(n_dis * 1000) DIV n_tok"))
+        .withColumn("k", expr("ttr * 1099511627776 + doc_id")) // 2^40
+      val tot = d.agg(sum(col("n_tok")).as("t"))
+      Prefix.exclusiveSum(d, Nil, "k", "n_tok", "off")
+        .crossJoin(broadcast(tot)) // 1 row: the corpus token budget
+        .withColumn("phase", expr("(off * 4) DIV t"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("ttr")).as("min_ttr"), max(col("ttr")).as("max_ttr"))
+        .orderBy("phase")
+    }),
+
+    // HELD-OUT BACKOFF LM SCORING — the LM-filter shape q142 cannot
+    // show (training on the scored corpus itself means every bigram
+    // is seen, so backoff never fires): counts train on the md5-¾
+    // split, the held-out quarter is scored, and an eval bigram
+    // UNSEEN in training backs off stupid-backoff-style to the
+    // add-one unigram model plus a 2-bit penalty (1024 granules =
+    // log2(1/α) for α = ¼ — exact in q113's integer 1/512-bit
+    // granules, no doubles anywhere). Per-source eval report counts
+    // how often the model had to back off — the OOV-pressure signal
+    // a perplexity filter monitors. Scale shape: train tables are
+    // vocab-bounded map-side-combined aggregates; eval bigrams LEFT
+    // join the bigram table (null ⇒ backoff); unigram/vocab sides
+    // are stats-gated / 1-row broadcasts.
+    "q175_backoff_lm" -> ((s, dir) => {
+      val docs = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), wsToks.as("toks"))
+        .withColumn("trainside",
+          substring(md5(col("doc_id").cast("string")), 1, 1) < lit("c")))
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(col("doc_id"), col("source"),
+          element_at(col("toks"), col("i")).as("v"),
+          element_at(col("toks"), col("i") + 1).as("w"))
+      val tr = graft.Caches.cached(bigrams(docs.filter(col("trainside"))))
+      val cv = tr.groupBy("v").agg(count(lit(1)).as("cv"))
+      val cw = tr.groupBy("w").agg(count(lit(1)).as("cw"))
+      val cvw = tr.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+      val stats = tr.agg(count(lit(1)).as("nb"),
+        countDistinct(col("w")).as("vsz"))
+      bigrams(docs.filter(!col("trainside")))
+        .join(Tables.maybeBroadcast(cvw), Seq("v", "w"), "left")
+        .join(Tables.maybeBroadcast(cv), Seq("v"), "left")
+        .join(Tables.maybeBroadcast(cw), Seq("w"), "left")
+        .crossJoin(broadcast(stats)) // 1 row: (train bigrams, vocab)
+        .na.fill(0L, Seq("cvw", "cv", "cw"))
+        // both branches keep r >= 256 (denominator <= numerator/256),
+        // so the octave k >= 8 and sbits stays nonnegative
+        .withColumn("r", expr(
+          """CASE WHEN cvw > 0 THEN ((cv + vsz) * 256) DIV (cvw + 1)
+             ELSE ((nb + vsz) * 256) DIV (cw + 1) END"""))
+        .withColumn("k", expr("length(bin(r)) - 1"))
+        .withColumn("sbits", expr(
+          """(k - 8) * 512 +
+             ((r - shiftleft(CAST(1 AS BIGINT), k)) * 512)
+               DIV shiftleft(CAST(1 AS BIGINT), k)
+             + CASE WHEN cvw = 0 THEN 1024 ELSE 0 END"""))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("cvw") === 0, 1L).otherwise(0L)).as("n_backoff"),
+          sum(col("sbits")).as("sum_sbits"))
+        .withColumn("mean_sbits", expr("sum_sbits DIV n_bigrams"))
+        .orderBy("source")
     })
   )
 
@@ -3527,6 +3801,213 @@ object TextAnalysis {
              ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY skey) AS rank
            FROM k)
          SELECT epoch, rank, doc_id, skey
-         FROM r WHERE rank <= 20 ORDER BY epoch, rank"""
+         FROM r WHERE rank <= 20 ORDER BY epoch, rank""",
+    // row_number over (doc_id, tile) replays the min(struct) first-
+    // occurrence pick; slice [a:b] is 1-based inclusive = Spark
+    // slice(toks, a, 16)'s truncating window
+    "q165_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         t AS (
+           SELECT doc_id, i,
+             least(len(toks) - i * 16, 16) AS ptok,
+             array_to_string(toks[(i*16+1):least(len(toks), i*16+16)], ' ')
+               AS para
+           FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) - 1) // 16)) AS i
+                 FROM d)),
+         r AS (
+           SELECT doc_id, i, ptok,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+           FROM t)
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_tiles,
+           CAST(SUM(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN rn > 1 THEN ptok ELSE 0 END) AS BIGINT)
+             AS removed_tokens,
+           CAST(SUM(CASE WHEN rn = 1 THEN i + 1 ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // identical histogram-cumulation spelling; integer threshold
+    // comparisons sidestep ceil/doubles on both engines
+    "q166_token_percentiles" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+           FROM h),
+         tot AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1)
+         SELECT source, n_docs,
+           CAST(MIN(CASE WHEN cum * 2 >= n_docs THEN n_tok END) AS BIGINT)
+             AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= n_docs * 9 THEN n_tok END)
+             AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= n_docs * 99 THEN n_tok END)
+             AS BIGINT) AS p99,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+         FROM cum JOIN tot USING (source)
+         GROUP BY source, n_docs ORDER BY source""",
+    "q167_winsorized_stats" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+           FROM h),
+         tot AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1),
+         th AS (
+           SELECT source, n_docs,
+             CAST(MIN(CASE WHEN cum * 20 >= n_docs THEN n_tok END)
+               AS BIGINT) AS p05,
+             CAST(MIN(CASE WHEN cum * 20 >= n_docs * 19 THEN n_tok END)
+               AS BIGINT) AS p95
+           FROM cum JOIN tot USING (source)
+           GROUP BY source, n_docs)
+         SELECT h.source, th.n_docs, th.p05, th.p95,
+           CAST(SUM(h.c * greatest(least(h.n_tok, th.p95), th.p05))
+             AS BIGINT) AS wins_sum,
+           CAST(SUM(CASE WHEN h.n_tok < th.p05 THEN h.c ELSE 0 END)
+             AS BIGINT) AS n_lo,
+           CAST(SUM(CASE WHEN h.n_tok > th.p95 THEN h.c ELSE 0 END)
+             AS BIGINT) AS n_hi,
+           CAST((SUM(h.c * greatest(least(h.n_tok, th.p95), th.p05)) * 1000)
+             // th.n_docs AS BIGINT) AS wins_mean_milli
+         FROM h JOIN th ON th.source = h.source
+         GROUP BY h.source, th.n_docs, th.p05, th.p95
+         ORDER BY h.source""",
+    // same top-trigram pick (count desc, lexical asc), then per-doc
+    // occurrence counts replayed positionally; overlapping
+    // occurrences count once per start position on both engines
+    "q168_phrase_search" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         j AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS j
+           FROM d WHERE len(toks) >= 3),
+         g AS (
+           SELECT doc_id, array_to_string(toks[j:(j+2)], ' ') AS g
+           FROM j),
+         top AS (
+           SELECT g, COUNT(*) AS c FROM g
+           GROUP BY 1 ORDER BY c DESC, g ASC LIMIT 1)
+         SELECT doc_id, (SELECT g FROM top) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM g WHERE g = (SELECT g FROM top)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // '0x'-prefixed hex cast replays Spark's conv(_, 16, 10); both
+    // division operands are nonnegative, so DuckDB's flooring // and
+    // Spark's truncating DIV agree
+    "q169_weighted_sample" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents WHERE length(trim(text)) > 0),
+         p AS (
+           SELECT source, doc_id, n_tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) // n_tok AS priority
+           FROM d),
+         r AS (
+           SELECT source, doc_id, n_tok, priority,
+             row_number() OVER (PARTITION BY source
+               ORDER BY priority, doc_id) AS rank
+           FROM p)
+         SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_tok,
+           priority
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
+    // window prefix-sum over (ttr, doc_id) replays the packed-key
+    // Prefix order; one flooring division each for ttr and phase
+    "q174_curriculum_phases" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         s AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 1000)
+               // len(toks) AS ttr
+           FROM d),
+         o AS (
+           SELECT doc_id, n_tok, ttr,
+             COALESCE(SUM(n_tok) OVER (ORDER BY ttr, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off,
+             SUM(n_tok) OVER () AS t
+           FROM s)
+         SELECT CAST((off * 4) // t AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(ttr) AS BIGINT) AS min_ttr,
+           CAST(MAX(ttr) AS BIGINT) AS max_ttr
+         FROM o GROUP BY 1 ORDER BY phase""",
+    // q142's octave spelling with the LEFT-join backoff branch; both
+    // division operands stay nonnegative in every branch
+    "q175_backoff_lm" ->
+      """WITH d AS (
+           SELECT doc_id, source, str_split_regex(trim(text), '\s+') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS trainside
+           FROM documents),
+         big AS (
+           SELECT doc_id, source, trainside,
+             toks[CAST(i AS INT)] AS v, toks[CAST(i + 1 AS INT)] AS w
+           FROM (SELECT doc_id, source, trainside, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM d WHERE len(toks) >= 2)),
+         tr AS (SELECT * FROM big WHERE trainside),
+         cv AS (SELECT v, COUNT(*) AS cv FROM tr GROUP BY 1),
+         cw AS (SELECT w, COUNT(*) AS cw FROM tr GROUP BY 1),
+         cvw AS (SELECT v, w, COUNT(*) AS cvw FROM tr GROUP BY 1, 2),
+         st AS (SELECT COUNT(*) AS nb, COUNT(DISTINCT w) AS vsz FROM tr),
+         ev AS (
+           SELECT e.doc_id, e.source,
+             COALESCE(cvw.cvw, 0) AS cvw, COALESCE(cv.cv, 0) AS cv,
+             COALESCE(cw.cw, 0) AS cw, st.nb, st.vsz
+           FROM big e
+           LEFT JOIN cvw ON cvw.v = e.v AND cvw.w = e.w
+           LEFT JOIN cv ON cv.v = e.v
+           LEFT JOIN cw ON cw.w = e.w
+           CROSS JOIN st
+           WHERE NOT e.trainside),
+         sc AS (
+           SELECT doc_id, source, cvw,
+             CASE WHEN cvw > 0 THEN ((cv + vsz) * 256) // (cvw + 1)
+                  ELSE ((nb + vsz) * 256) // (cw + 1) END AS r
+           FROM ev),
+         sb AS (SELECT doc_id, source, cvw, r,
+                  length(bin(r)) - 1 AS k FROM sc)
+         SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN cvw = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           CAST(SUM((k - 8) * 512 +
+               ((r - (CAST(1 AS BIGINT) << k)) * 512)
+                 // (CAST(1 AS BIGINT) << k)
+               + CASE WHEN cvw = 0 THEN 1024 ELSE 0 END) AS BIGINT)
+             AS sum_sbits,
+           CAST(SUM((k - 8) * 512 +
+               ((r - (CAST(1 AS BIGINT) << k)) * 512)
+                 // (CAST(1 AS BIGINT) << k)
+               + CASE WHEN cvw = 0 THEN 1024 ELSE 0 END) AS BIGINT)
+             // COUNT(*) AS mean_sbits
+         FROM sb GROUP BY source ORDER BY source"""
   )
 }

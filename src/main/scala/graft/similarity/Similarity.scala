@@ -623,6 +623,42 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // INTER-LABEL SEPARATION MATRIX — q164's complement: the pairwise
+    // distance between label CENTROIDS, the between-class half of a
+    // Fisher-style separability read on the embedding space. Means
+    // are 1e-6 fixed-point integers via bias-then-DIV — (S + n·2e6)
+    // DIV n − 2e6 keeps the numerator nonnegative so Spark's
+    // truncating DIV and DuckDB's flooring // agree (the q145
+    // negative-division dodge) — and the Σ_d diff² rollup stays
+    // ≤ 4e12·64 ≪ int64. Scale shape: the per-(label, dim) sum is
+    // map-side-combined (|labels|·64 keys); the pair join on dim and
+    // the final rollup run on that BOUNDED table — corpus size only
+    // touches the first reduce.
+    "q171_label_separation" -> ((s, dir) => {
+      val e = Tables.fanOut(Tables.embeddings(s, dir))
+        .select(col("label"), expr(
+          """transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))""")
+          .as("f"))
+        .select(col("label"), posexplode(col("f")).as(Seq("d", "v")))
+        .groupBy("label", "d")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"))
+        .withColumn("m", expr("(sx + n * 2000000) DIV n - 2000000"))
+      val a = e.select(col("label").as("label_a"), col("d"),
+        col("n").as("n_a"), col("m").as("m_a"))
+      val b = e.select(col("label").as("label_b"), col("d").as("d2"),
+        col("n").as("n_b"), col("m").as("m_b"))
+      a.join(b, col("d") === col("d2") && col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b")))
+            .as("sep_e12"))
+        .select(col("label_a").cast("long").as("label_a"),
+          col("label_b").cast("long").as("label_b"),
+          col("n_a"), col("n_b"), col("sep_e12"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // CLUSTER-BALANCED QUOTA SAMPLING — the third member of the q90/q96
     // data-pruning family: instead of deduping or keeping prototypes,
     // draw a 20% corpus sample whose CLUSTER MIX matches the full
@@ -1135,6 +1171,31 @@ object Similarity {
            (a.n_vecs * a.ssq - b.s2) AS disp_num,
            (a.n_vecs * a.ssq - b.s2) // (a.n_vecs * a.n_vecs) AS msd_e12
          FROM a JOIN b USING (label) ORDER BY a.label""",
+    // same 1e-6 scaled coordinates; the bias-then-divide mean keeps
+    // both engines in floor-division territory (nonneg numerator);
+    // subscript base (0 vs 1) never leaves the join key
+    "q171_label_separation" ->
+      """WITH f AS (
+           SELECT label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+           FROM embeddings),
+         el AS (
+           SELECT label, unnest(f) AS v, generate_subscripts(f, 1) AS d
+           FROM f),
+         g AS (
+           SELECT label, d, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx
+           FROM el GROUP BY 1, 2),
+         m AS (
+           SELECT label, d, n,
+             (sx + n * 2000000) // n - 2000000 AS m
+           FROM g)
+         SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+           CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS sep_e12
+         FROM m a JOIN m b ON a.d = b.d AND a.label < b.label
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q38_cosine_topk" -> (cosSql("WHERE vec_id < 10", "", "a.vec_id <> b.vec_id") +
       """SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
            SELECT a_id, b_id, cos,

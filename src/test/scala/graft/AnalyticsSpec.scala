@@ -161,4 +161,32 @@ class AnalyticsSpec extends SparkSpec {
       ts.foreach(r => assert(r.getAs[Long]("n") > 0))
     }
   }
+
+  test("q172 co-purchase lift matches a direct basket recount") {
+    val rows = SparkEntry.queries("q172_copurchase_lift")(spark, sf)
+      .select("part_a", "part_b", "c_ab", "c_a", "c_b", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty, "support floor left no pairs; fixture too sparse")
+    val baskets = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val nOrders = baskets.map(_._1).distinct.size.toLong
+    val cPart = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cPair = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cPair.filter(_._2 >= 3).map { case ((a, b), cab) =>
+      (a, b, cab, cPart(a), cPart(b),
+        cab * nOrders * 1000000L / (cPart(a) * cPart(b)))
+    }.toSet
+    assert(rows.toSet == expected, "lift table must equal the local recount")
+    rows.foreach { case (a, b, cab, ca, cb, _) =>
+      assert(a < b && cab >= 3 && cab <= ca && cab <= cb)
+    }
+    // the statistic DISCRIMINATES: some pair must sit above and some
+    // below independence (1e6 ppm), or the fixture is uninformative
+    assert(rows.exists(_._6 > 1000000L) && rows.exists(_._6 < 1000000L * 8),
+      "lift values degenerate")
+  }
 }

@@ -283,4 +283,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r._3 > 0 || r._4 > 0), "no signal ever trimmed")
     assert(rows.exists(_._5 > 0), "no signal kept any samples")
   }
+
+  test("q173 keyframe manifest matches a byte-level replay and the gate engages") {
+    val rows = SparkEntry.queries("q173_video_keyframes")(spark, sf)
+      .select("media_id", "n_frames", "n_keyframes", "key_checksum",
+        "max_motion")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // direct recompute from source bytes (ASCII corpus: byte == code
+    // point, the tiling contract every GVID oracle rides)
+    val docs = Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 2 && length($"text") > 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, nf, nk, ck, mm) =>
+      val b = docs(id).getBytes("UTF-8")
+      val frames = b.grouped(256).toSeq
+      assert(nf == frames.size.toLong, s"media $id frame count")
+      val motions = frames.sliding(2).collect { case Seq(p, c) =>
+        c.indices.map(j => math.abs((p(j) & 0xff) - (c(j) & 0xff)).toLong).sum
+      }.toSeq
+      val keys = 0L +: motions.zipWithIndex.collect {
+        case (m, i) if m > 4000L => i + 1L
+      }
+      assert(nk == keys.size.toLong, s"media $id keyframe count")
+      assert(ck == keys.map(_ + 1).sum, s"media $id keyframe checksum")
+      assert(mm == (if (motions.isEmpty) 0L else motions.max))
+      assert(nk >= 1 && nk <= nf)
+    }
+    // the threshold genuinely splits: some transition keys, some doesn't
+    assert(rows.exists(r => r._3 > 1), "gate never fired")
+    assert(rows.exists(r => r._2 > 1 && r._3 < r._2), "gate always fired")
+  }
 }

@@ -126,7 +126,9 @@ class PlanSpec extends SparkSpec {
       "q146_cluster_quota_sample", "q148_matryoshka_recall",
       "q150_incremental_postings", "q153_vocab_growth",
       "q154_mmr_rerank", "q157_hard_negatives",
-      "q159_score_calibration")
+      "q159_score_calibration",
+      "q172_copurchase_lift", // 1-row order-count broadcast (q142 pattern)
+      "q174_curriculum_phases") // 1-row token-budget broadcast
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -171,6 +173,23 @@ class PlanSpec extends SparkSpec {
     // epoch to serve a 20-row prefix
     assert(p.contains("WindowGroupLimit"),
       s"q120's rank filter must push into the window as a group limit:\n${p.take(3000)}")
+  }
+
+  test("paragraph-dedup first-occurrence reduce combines map-side (q165)") {
+    val p = plan("q165_paragraph_dedup")
+    // the whole skew argument: a corpus-wide mega-duplicated paragraph
+    // must combine BEFORE the exchange (partial min(struct)), not sort
+    // all its occurrences in one reducer as a window rank would
+    assert(p.contains("partial_min"),
+      s"q165's argmin must partial-aggregate before the exchange:\n${p.take(3000)}")
+  }
+
+  test("weighted-sample rank filter compiles to WindowGroupLimit (q169)") {
+    val p = plan("q169_weighted_sample")
+    // same contract as q120: the per-source bottom-5 must prune
+    // per-partition before the exchange, never globally sort the corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"q169's rank filter must push into the window as a group limit:\n${p.take(3000)}")
   }
 
   test("gap detection pushes its window filter into the fact scan (q17)") {

@@ -50,6 +50,35 @@ class RelationalSpec extends SparkSpec {
     assert(r.filter($"n_1996" === 0 && $"spend_1996" =!= 0.0).isEmpty)
   }
 
+  test("q170 picks the true per-part argmin with suppkey tie-break") {
+    val rows = SparkEntry.queries("q170_cheapest_supplier")(spark, sf)
+      .select("p_partkey", "s_name", "min_price")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.size == rows.size, "one row per part")
+    // local recompute of the argmin over observed quotes
+    val quotes = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(q => (q._1, q._2)).map { case ((p, su), qs) =>
+        (p, su, qs.map(_._3).min)
+      }.toSeq
+    val argmin = quotes.groupBy(_._1).map { case (p, qs) =>
+      p -> qs.map(q => (q._3, q._2)).min
+    }
+    val sizes = Tables.part(spark, sf).filter($"p_size" >= 40)
+      .select($"p_partkey").as[Long].collect().toSet
+    val sups = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect().toMap
+    rows.foreach { case (p, sname, price) =>
+      assert(sizes.contains(p), s"part $p fails the size filter")
+      val (bp, bs) = argmin(p)
+      assert(price == bp && sname == sups(bs), s"part $p wrong pick")
+    }
+    assert(rows.map(_._1).toSet == argmin.keySet.intersect(sizes),
+      "every sourceable filtered part appears")
+  }
+
   test("all registered queries return rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, q) =>
       assert(q(spark, sf).count() > 0, s"$name returned 0 rows")

@@ -504,4 +504,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.nonEmpty && median > 0.5 && median < 2.0,
       s"JL median distance ratio out of band: $median")
   }
+
+  test("q171 separation: complete pair matrix matching a direct recomputation") {
+    val rows = SparkEntry.queries("q171_label_separation")(spark, sf)
+      .select("label_a", "label_b", "n_a", "n_b", "sep_e12")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val labels = Tables.embeddings(spark, sf)
+      .select($"label".cast("long")).distinct().as[Long].collect().sorted
+    // every unordered pair exactly once, ordered a < b
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      (for (i <- labels; j <- labels if i < j) yield (i, j)).toSet)
+    rows.foreach { case (a, b, _, _, s) =>
+      assert(a < b && s >= 0, s"pair ($a,$b) malformed")
+    }
+    // direct recompute with the same fixed-point integer mean
+    val byLabel = Tables.embeddings(spark, sf)
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.groupBy(_._1)
+      .map { case (l, vs) =>
+        val n = vs.size.toLong
+        val sums = vs.map(_._2.map(x =>
+          math.floor(x.toDouble * 1e6).toLong)).transpose.map(_.sum)
+        l -> (n, sums.map(sx => (sx + n * 2000000L) / n - 2000000L))
+      }
+    rows.foreach { case (a, b, na, nb, s) =>
+      val (ea, ma) = byLabel(a); val (eb, mb) = byLabel(b)
+      assert(na == ea && nb == eb)
+      val exp = ma.zip(mb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(s == exp, s"pair ($a,$b) separation $s != $exp")
+    }
+    // between-class distances must be COMPARABLE to within-class
+    // dispersion for a labeled space — at least one pair separates
+    assert(rows.exists(_._5 > 0), "all centroids identical is vacuous")
+  }
 }
