@@ -2354,6 +2354,82 @@ object TextAnalysis {
           sum(col("sbits")).as("sum_sbits"))
         .withColumn("mean_sbits", expr("sum_sbits DIV n_bigrams"))
         .orderBy("source")
+    }),
+
+    // DELETE-PROPAGATION AUDIT — the right-to-be-forgotten cascade a
+    // production corpus must prove: a deterministic delete list (the
+    // md5 'f' bucket, 1/16 of docs) propagates through three derived
+    // stores and each store's accounting is emitted. The fingerprint
+    // store carries the real subtlety: a dedup-signature entry
+    // SURVIVES the deletion of its canonical owner when another
+    // holder of the same fingerprint remains — it is RE-OWNED, not
+    // dropped (dropping it would let a future duplicate of a
+    // surviving doc slip past admission). Scale shape: three
+    // independent map-side-combined aggregates; the fingerprint
+    // reduce keys on fp (conditional min reassigns ownership in the
+    // same pass — no second scan, no join); output is 3 rows.
+    "q176_delete_propagation" -> ((s, dir) => {
+      val docs = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), wsToks.as("toks"))
+        .withColumn("del",
+          substring(md5(col("doc_id").cast("string")), 1, 1) === "f"))
+      def acct(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("b"),
+          sum(when(!col("del"), 1L).otherwise(0L)).as("a"))
+          .select(lit(name).as("store"), col("b").as("rows_before"),
+            col("a").as("rows_after"),
+            (col("b") - col("a")).as("rows_deleted"),
+            lit(0L).as("rows_reowned"))
+      val dStats = acct(docs, "docs")
+      val pStats = acct(docs
+        .select(col("doc_id"), col("del"), explode(col("toks")).as("w"))
+        .distinct(), "postings")
+      val fStats = docs
+        .select(col("del"), col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
+            .as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("owner_b"),
+          sum(when(!col("del"), 1L).otherwise(0L)).as("survivors"),
+          min(when(!col("del"), col("doc_id"))).as("owner_a"))
+        .agg(count(lit(1)).as("b"),
+          sum(when(col("survivors") > 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("survivors") > 0 && col("owner_a") =!= col("owner_b"),
+            1L).otherwise(0L)).as("ro"))
+        .select(lit("fingerprints").as("store"), col("b").as("rows_before"),
+          col("a").as("rows_after"),
+          (col("b") - col("a")).as("rows_deleted"),
+          col("ro").as("rows_reowned"))
+      dStats.union(pStats).union(fStats).orderBy("store")
+    }),
+
+    // SMOOTH WEIGHTED ROUND-ROBIN INTERLEAVE — the corpus-assembly
+    // ORDER between full-shuffle and naive concatenation: when
+    // training order must keep every source at its proportional
+    // share in EVERY prefix (so no source floods early batches), the
+    // classic smooth-WRR key ((2k−1)·N) DIV (2·q_s) for a source's
+    // k-th doc places all N docs deterministically — Bresenham's
+    // line algorithm as a mixing schedule, all-integer. The query
+    // serves the schedule's head-48 manifest. Scale shape: the
+    // per-source rank k comes from Prefix.exclusiveSum partitioned
+    // by source (NO per-source single-task window at any corpus
+    // size); quotas are a |sources|-row broadcast, N a 1-row
+    // broadcast; the head-48 is TakeOrdered (top-k, never a global
+    // sort materialization).
+    "q177_interleave_schedule" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id")).withColumn("one", lit(1L))
+      val keyed = Prefix
+        .exclusiveSum(d, Seq("source"), "doc_id", "one", "k0")
+        .withColumn("k", col("k0") + 1)
+      val quota = d.groupBy("source").agg(count(lit(1)).as("q"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      keyed.join(Tables.maybeBroadcast(quota), "source")
+        .crossJoin(broadcast(tot)) // 1 row: the corpus size
+        .withColumn("key", expr("((2 * k - 1) * n) DIV (2 * q)"))
+        .orderBy(col("key"), col("source"), col("k"))
+        .limit(48)
+        .select(col("key"), col("source"), col("k"), col("doc_id"))
     })
   )
 
@@ -4008,6 +4084,68 @@ object TextAnalysis {
                  // (CAST(1 AS BIGINT) << k)
                + CASE WHEN cvw = 0 THEN 1024 ELSE 0 END) AS BIGINT)
              // COUNT(*) AS mean_sbits
-         FROM sb GROUP BY source ORDER BY source"""
+         FROM sb GROUP BY source ORDER BY source""",
+    // the same md5-'f' delete bucket and q160 fingerprint spelling;
+    // ownership reassignment is the conditional-min in one pass
+    "q176_delete_propagation" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS del
+           FROM documents),
+         ds AS (
+           SELECT 'docs' AS store, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_after
+           FROM d),
+         p AS (
+           SELECT DISTINCT doc_id, del, t
+           FROM (SELECT doc_id, del, unnest(toks) AS t FROM d)),
+         ps AS (
+           SELECT 'postings' AS store, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_after
+           FROM p),
+         f AS (
+           SELECT doc_id, del,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+               AS fp
+           FROM d),
+         g AS (
+           SELECT fp, MIN(doc_id) AS owner_b,
+             SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS survivors,
+             MIN(CASE WHEN NOT del THEN doc_id END) AS owner_a
+           FROM f GROUP BY 1),
+         fs AS (
+           SELECT 'fingerprints' AS store, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN survivors > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS rows_after,
+             CAST(SUM(CASE WHEN survivors > 0 AND owner_a <> owner_b
+               THEN 1 ELSE 0 END) AS BIGINT) AS rows_reowned
+           FROM g)
+         SELECT store, rows_before, rows_after,
+           rows_before - rows_after AS rows_deleted,
+           CAST(0 AS BIGINT) AS rows_reowned FROM ds
+         UNION ALL
+         SELECT store, rows_before, rows_after,
+           rows_before - rows_after, CAST(0 AS BIGINT) FROM ps
+         UNION ALL
+         SELECT store, rows_before, rows_after,
+           rows_before - rows_after, rows_reowned FROM fs
+         ORDER BY store""",
+    // row_number per source replays the Prefix rank; (key, source, k)
+    // is a total order so the 48-row head is unambiguous
+    "q177_interleave_schedule" ->
+      """WITH d AS (SELECT source, doc_id FROM documents),
+         k AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS k
+           FROM d),
+         q AS (SELECT source, COUNT(*) AS q FROM d GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM d)
+         SELECT ((2 * k.k - 1) * n.n) // (2 * q.q) AS key, k.source,
+           CAST(k.k AS BIGINT) AS k, k.doc_id
+         FROM k JOIN q USING (source) CROSS JOIN n
+         ORDER BY key, k.source, k LIMIT 48"""
   )
 }

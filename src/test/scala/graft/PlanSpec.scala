@@ -128,7 +128,9 @@ class PlanSpec extends SparkSpec {
       "q154_mmr_rerank", "q157_hard_negatives",
       "q159_score_calibration",
       "q172_copurchase_lift", // 1-row order-count broadcast (q142 pattern)
-      "q174_curriculum_phases") // 1-row token-budget broadcast
+      "q174_curriculum_phases", // 1-row token-budget broadcast
+      "q175_backoff_lm", // 1-row (train-bigrams, vocab) stats broadcast
+      "q177_interleave_schedule") // 1-row corpus-size broadcast
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

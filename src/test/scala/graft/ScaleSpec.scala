@@ -218,4 +218,53 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("adversarial mega-paragraph: q165's argmin combines map-side (scale law)") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // 20k occurrences of ONE 16-token paragraph across 8 input
+    // partitions + 64 unique background docs — the distribution the
+    // min(struct) reduce exists for (a window-rank spelling would sort
+    // all 20k occurrences in one task)
+    val hotPara = (1 to 16).map(i => s"h$i").mkString(" ")
+    val docs = ((1L to 20000L).map(i => (i, hotPara)) ++
+      (1L to 64L).map(i => (30000L + i,
+        (1 to 16).map(j => s"u${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text").repartition(8)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off so the executed plan instance keeps its metrics and no
+      // runtime re-plan masks a dead combine
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val tiles = docs
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .withColumn("nt", size($"toks").cast("long"))
+        .select($"doc_id", $"toks", $"nt",
+          explode(expr("sequence(CAST(0 AS BIGINT), (nt - 1) DIV 16)"))
+            .as("i"))
+        .withColumn("para",
+          concat_ws(" ", expr("slice(toks, CAST(i * 16 + 1 AS INT), 16)")))
+      val first = tiles.groupBy("para")
+        .agg(min(struct($"doc_id", $"i")).as("f"))
+      val rows = first.collect()
+      assert(rows.length == 65, s"expected 65 distinct paragraphs")
+      val winner = rows.filter(_.getAs[String]("para") == hotPara)
+        .head.getAs[org.apache.spark.sql.Row]("f")
+      assert(winner.getLong(0) == 1L && winner.getLong(1) == 0L,
+        "globally-first occurrence must win the argmin")
+      // the scale claim, measured: 20 064 tile occurrences must leave
+      // the map side as <= partitions x paragraphs PARTIAL rows — the
+      // combine that keeps a corpus-wide hot paragraph off one reducer
+      val partialOut = first.queryExecution.executedPlan.collect {
+        case a: BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode == Partial) => a
+      }.map(_.metrics("numOutputRows").value).sum
+      assert(partialOut > 0 && partialOut <= 8L * 65,
+        s"partial argmin emitted $partialOut rows for 20064 occurrences " +
+          "— the map-side combine has silently stopped engaging")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.releaseAll()
+    }
+  }
 }

@@ -951,4 +951,73 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_._4).sum == expBackoff, "backoff count must be exact")
     assert(expBackoff > 0, "fixture never backs off; branch is vacuous")
   }
+
+  test("delete propagation conserves every store and re-owns, not drops (q176 laws)") {
+    val rows = SparkEntry.queries("q176_delete_propagation")(spark, sf)
+      .select("store", "rows_before", "rows_after", "rows_deleted",
+        "rows_reowned")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(rows.keySet == Set("docs", "postings", "fingerprints"))
+    // per-store conservation
+    rows.foreach { case (st, (b, a, d, ro)) =>
+      assert(b == a + d, s"$st not conserved")
+      assert(ro >= 0 && ro <= a, s"$st reowned out of range")
+    }
+    // the delete bucket is exactly the md5-'f' sixteenth
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .as[(Long, Seq[String])].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val deleted = docs.filter(d => hex(d._1.toString).head == 'f')
+      .map(_._1).toSet
+    assert(rows("docs")._3 == deleted.size.toLong)
+    // fingerprint store: entries survive while ANY holder survives,
+    // and re-owned counts exactly the owner changes
+    val byFp = docs.map { case (id, toks) =>
+      (hex(toks.distinct.sorted.mkString(" ")), id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val surviving = byFp.view.mapValues(_.filterNot(deleted)).toMap
+    assert(rows("fingerprints")._2 ==
+      surviving.count(_._2.nonEmpty).toLong, "fp survival rule")
+    val reowned = byFp.count { case (fp, holders) =>
+      surviving(fp).nonEmpty && surviving(fp).head != holders.head
+    }
+    assert(rows("fingerprints")._4 == reowned.toLong, "exact re-own count")
+    assert(reowned > 0, "fixture never re-owns; the subtle branch is vacuous")
+  }
+
+  test("interleave schedule is smooth in every prefix (q177 laws)") {
+    val rows = SparkEntry.queries("q177_interleave_schedule")(spark, sf)
+      .select("key", "source", "k", "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.size == 48)
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSeq
+    val n = docs.size.toLong
+    val byS = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val full = byS.toSeq.flatMap { case (src, ids) =>
+      ids.zipWithIndex.map { case (id, i) =>
+        val k = i + 1L
+        (((2 * k - 1) * n) / (2 * ids.size), src, k, id)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(rows == full.take(48), "head-48 must equal the full schedule's")
+    // smoothness: in every prefix of the FULL schedule, each source's
+    // pick count stays within one of its proportional share — the
+    // property that makes this ordering batch-safe
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    full.zipWithIndex.foreach { case ((_, src, _, _), p0) =>
+      counts(src) += 1
+      val p = p0 + 1L
+      byS.keys.foreach { s2 =>
+        val share = p.toDouble * byS(s2).size / n
+        assert(math.abs(counts(s2) - share) <= 1.0 + 1e-9,
+          s"prefix $p: $s2 at ${counts(s2)} vs share $share")
+      }
+    }
+  }
 }
