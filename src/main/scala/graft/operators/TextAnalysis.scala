@@ -2430,6 +2430,83 @@ object TextAnalysis {
         .orderBy(col("key"), col("source"), col("k"))
         .limit(48)
         .select(col("key"), col("source"), col("k"), col("doc_id"))
+    }),
+
+    // PER-DOCUMENT KEYWORD EXTRACTION — top-3 TF-IDF terms per doc
+    // (the tagging/routing signal a corpus catalog serves next to
+    // q68's per-SOURCE vocabulary): idf is q92's rational integer
+    // ((N+1)·10⁶ DIV (df+1)), so every score is exact fixed point
+    // and ties break on the token itself. Scale shape: tf and df are
+    // map-side-combined aggregates; the df table is vocab-sized and
+    // stats-gated; N is a 1-row broadcast; the per-doc rank<=3
+    // compiles to WindowGroupLimit (q120's plan shape) — top-k
+    // per partition BEFORE the exchange, never a global sort.
+    "q178_doc_keywords" -> ((s, dir) => {
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_scaled").desc, col("token").asc)
+      val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(wsToks).as("token")))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfT = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = tok.select(countDistinct(col("doc_id")).as("n"))
+      tf.join(Tables.maybeBroadcast(dfT), Seq("token"))
+        .crossJoin(broadcast(n)) // 1 row: the doc count
+        .withColumn("score_scaled",
+          expr("tf * (((n + 1) * 1000000) DIV (df + 1))"))
+        .withColumn("rank", row_number().over(wD))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"), col("score_scaled"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // POSTINGS-SIZE PLANNER — the index-capacity estimate an IR store
+    // runs before choosing encodings: rare tokens (df ≤ 256) cost
+    // their exact VARINT-coded doc-id gaps (7 bits per byte —
+    // (len(bin(gap)) + 6) DIV 7, all-integer); hot tokens cost a
+    // BITMAP (maxdoc DIV 8 + 1 bytes each) computed in CLOSED FORM
+    // from df alone — no per-posting pass ever touches a hot list.
+    // Report per df-octave band and encoding class. Scale shape: the
+    // gap window partitions by token ONLY AFTER the df ≤ 256 filter,
+    // so every window task is ceiling-bounded by construction — the
+    // same df-ceiling idea that bounds the sparse-retrieval family,
+    // here bounding a WINDOW instead of a join.
+    "q179_postings_bytes" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token")).orderBy(col("doc_id"))
+      val post = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(wsToks).as("token"))
+        .distinct())
+      val dfT = graft.Caches.cached(
+        post.groupBy("token").agg(count(lit(1)).as("df")))
+      val mx = post.agg(max(col("doc_id")).as("maxdoc"))
+      val rare = post
+        .join(Tables.maybeBroadcast(dfT.filter(col("df") <= 256)),
+          Seq("token"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(wT))
+        .withColumn("gap", when(col("prev").isNull, col("doc_id") + 1)
+          .otherwise(col("doc_id") - col("prev")))
+        .withColumn("vb", expr("(length(bin(gap)) + 6) DIV 7"))
+        .withColumn("band", expr("CAST(length(bin(df)) AS BIGINT)"))
+        .groupBy("band")
+        .agg(countDistinct(col("token")).as("n_tokens"),
+          count(lit(1)).as("n_postings"), sum(col("vb")).as("enc_bytes"))
+        .select(lit("varint").as("cls"), col("band"), col("n_tokens"),
+          col("n_postings"), col("enc_bytes"))
+      val hot = dfT.filter(col("df") > 256)
+        .crossJoin(broadcast(mx)) // 1 row: the doc-id ceiling
+        .withColumn("band", expr("CAST(length(bin(df)) AS BIGINT)"))
+        .groupBy("band")
+        .agg(countDistinct(col("token")).as("n_tokens"),
+          sum(col("df")).as("n_postings"),
+          sum(expr("maxdoc DIV 8 + 1")).as("enc_bytes"))
+        .select(lit("bitmap").as("cls"), col("band"), col("n_tokens"),
+          col("n_postings"), col("enc_bytes"))
+      rare.union(hot).orderBy("cls", "band")
     })
   )
 
@@ -4146,6 +4223,67 @@ object TextAnalysis {
          SELECT ((2 * k.k - 1) * n.n) // (2 * q.q) AS key, k.source,
            CAST(k.k AS BIGINT) AS k, k.doc_id
          FROM k JOIN q USING (source) CROSS JOIN n
-         ORDER BY key, k.source, k LIMIT 48"""
+         ORDER BY key, k.source, k LIMIT 48""",
+    // q92's rational integer idf; rank ties break on the token
+    "q178_doc_keywords" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         tf AS (
+           SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfT AS (
+           SELECT token, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+         sc AS (
+           SELECT tf.doc_id, tf.token, tf.tf, dfT.df,
+             tf.tf * (((n.n + 1) * 1000000) // (dfT.df + 1))
+               AS score_scaled
+           FROM tf JOIN dfT USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, tf, df, score_scaled,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_scaled DESC, token ASC) AS rank
+           FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_scaled AS BIGINT) AS score_scaled
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // same varint (7-bit groups via bin length) and closed-form
+    // bitmap arithmetic; the first gap is doc_id + 1 (delta from -1)
+    "q179_postings_bytes" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         post AS (
+           SELECT DISTINCT doc_id, token
+           FROM (SELECT doc_id, unnest(toks) AS token FROM d)),
+         dfT AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+         mx AS (SELECT MAX(doc_id) AS maxdoc FROM post),
+         rare AS (
+           SELECT p.token, dfT.df, p.doc_id,
+             lag(p.doc_id) OVER (PARTITION BY p.token
+               ORDER BY p.doc_id) AS prev
+           FROM post p JOIN dfT USING (token) WHERE dfT.df <= 256),
+         rb AS (
+           SELECT CAST(length(bin(df)) AS BIGINT) AS band, token,
+             (length(bin(CASE WHEN prev IS NULL THEN doc_id + 1
+                              ELSE doc_id - prev END)) + 6) // 7 AS vb
+           FROM rare),
+         rg AS (
+           SELECT 'varint' AS cls, band,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_postings, CAST(SUM(vb) AS BIGINT) AS enc_bytes
+           FROM rb GROUP BY 2),
+         hg AS (
+           SELECT 'bitmap' AS cls,
+             CAST(length(bin(df)) AS BIGINT) AS band,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+             CAST(SUM(df) AS BIGINT) AS n_postings,
+             CAST(SUM(mx.maxdoc // 8 + 1) AS BIGINT) AS enc_bytes
+           FROM dfT CROSS JOIN mx WHERE df > 256 GROUP BY 2)
+         SELECT * FROM rg UNION ALL SELECT * FROM hg
+         ORDER BY cls, band"""
   )
 }

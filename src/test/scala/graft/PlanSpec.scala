@@ -130,7 +130,9 @@ class PlanSpec extends SparkSpec {
       "q172_copurchase_lift", // 1-row order-count broadcast (q142 pattern)
       "q174_curriculum_phases", // 1-row token-budget broadcast
       "q175_backoff_lm", // 1-row (train-bigrams, vocab) stats broadcast
-      "q177_interleave_schedule") // 1-row corpus-size broadcast
+      "q177_interleave_schedule", // 1-row corpus-size broadcast
+      "q178_doc_keywords", // 1-row doc-count broadcast
+      "q179_postings_bytes") // 1-row doc-id-ceiling broadcast
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -192,6 +194,12 @@ class PlanSpec extends SparkSpec {
     // per-partition before the exchange, never globally sort the corpus
     assert(p.contains("WindowGroupLimit"),
       s"q169's rank filter must push into the window as a group limit:\n${p.take(3000)}")
+  }
+
+  test("keyword extraction rank filter compiles to WindowGroupLimit (q178)") {
+    val p = plan("q178_doc_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"q178's per-doc top-3 must push into the window as a group limit:\n${p.take(3000)}")
   }
 
   test("gap detection pushes its window filter into the fact scan (q17)") {

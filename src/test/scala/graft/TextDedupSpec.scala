@@ -1020,4 +1020,68 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("doc keywords are the exact per-doc TF-IDF argmax (q178 laws)") {
+    val rows = SparkEntry.queries("q178_doc_keywords")(spark, sf)
+      .select("doc_id", "rank", "token", "tf", "df", "score_scaled")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .as[(Long, Seq[String])].collect().toSeq
+    val n = docs.size.toLong
+    val dfMap = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = docs.flatMap { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.size.toLong)
+      tf.toSeq.map { case (t, c) =>
+        (t, c, dfMap(t), c * (((n + 1) * 1000000L) / (dfMap(t) + 1)))
+      }.sortBy { case (t, _, _, sc) => (-sc, t) }.take(3).zipWithIndex
+        .map { case ((t, c, d, sc), i) => (id, i + 1L, t, c, d, sc) }
+    }.toSet
+    assert(rows.toSet == expected,
+      "keyword table must equal the exact local TF-IDF recompute")
+    // idf discriminates: the planted 'dup' marker (rare) must outrank
+    // common corpus vocabulary somewhere
+    assert(rows.exists(r => r._2 == 1 && r._5 * 10 < n),
+      "no doc's top keyword is a rare term — idf is vacuous")
+  }
+
+  test("postings-size planner conserves and prices exactly (q179 laws)") {
+    val rows = SparkEntry.queries("q179_postings_bytes")(spark, sf)
+      .select("cls", "band", "n_tokens", "n_postings", "enc_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet.subsetOf(Set("varint", "bitmap")))
+    assert(rows.exists(_._1 == "varint") && rows.exists(_._1 == "bitmap"),
+      "both encoding classes must engage on the fixture")
+    val postings = Tables.documents(spark, sf)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("t"))
+      .distinct().as[(Long, String)].collect().toSeq
+    val byTok = postings.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+    // conservation across classes and bands
+    assert(rows.map(_._3).sum == byTok.size.toLong, "token conservation")
+    assert(rows.map(_._4).sum == postings.size.toLong,
+      "posting conservation")
+    // exact varint pricing for the rare class
+    def vbytes(gap: Long): Long =
+      (java.lang.Long.toBinaryString(gap).length + 6) / 7
+    val rareExp = byTok.filter(_._2.size <= 256).toSeq.map {
+      case (_, ids) =>
+        val gaps = (ids.head + 1) +: ids.sliding(2).collect {
+          case Seq(a, b) => b - a
+        }.toSeq
+        gaps.map(vbytes).sum
+    }.sum
+    assert(rows.filter(_._1 == "varint").map(_._5).sum == rareExp,
+      "varint bytes must equal the exact gap recompute")
+    // closed-form bitmap pricing for the hot class
+    val maxDoc = postings.map(_._1).max
+    val hotExp = byTok.count(_._2.size > 256).toLong * (maxDoc / 8 + 1)
+    assert(rows.filter(_._1 == "bitmap").map(_._5).sum == hotExp,
+      "bitmap bytes must equal tokens x (maxdoc/8 + 1)")
+  }
 }
