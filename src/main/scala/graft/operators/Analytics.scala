@@ -437,6 +437,60 @@ object Analytics {
         .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
           col("c_b"), col("lift_ppm"))
         .orderBy("part_a", "part_b")
+    }),
+
+    // RFM CUSTOMER SEGMENTATION — the classic BI capstone (recency/
+    // frequency quartile codes + monetary rollup per segment), with
+    // the quartile fences computed EXACTLY and WITHOUT ntile: ntile
+    // globally sorts every customer, while recency and frequency are
+    // small-DOMAIN integers (calendar days; orders per customer), so
+    // q166's histogram-cumulation trick prices the three fences per
+    // metric on a bounded table and the codes reapply via 1-row
+    // broadcasts (q167's pattern on DERIVED per-entity metrics).
+    // Monetary sums ride DECIMAL end-to-end and cast DOUBLE only in
+    // the final projection (the Exact convention), so the segment
+    // table hashes bit-stably. One corpus-sized reduce (per-customer);
+    // everything after runs on bounded tables.
+    "q180_rfm_segments" -> ((s, dir) => {
+      val wV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val ref = o.agg(max(col("o_orderdate")).as("refd"))
+      val cust = graft.Caches.cached(o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("mon"))
+        .crossJoin(broadcast(ref)) // 1 row: the reference date
+        .withColumn("rec_days",
+          datediff(col("refd"), col("lastd")).cast("long")))
+      def fences(metric: String, p: String) = {
+        val h = cust.select(col(metric).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c"))
+        h.withColumn("cum", sum(col("c")).over(wV))
+          .crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
+          .agg(min(when(col("cum") * 4 >= col("n"), col("v")))
+            .as(p + "25"),
+            min(when(col("cum") * 2 >= col("n"), col("v"))).as(p + "50"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+              .as(p + "75"))
+      }
+      cust.crossJoin(broadcast(fences("rec_days", "r")))
+        .crossJoin(broadcast(fences("freq", "f")))
+        .withColumn("r_code", (lit(1) +
+          (col("rec_days") > col("r25")).cast("int") +
+          (col("rec_days") > col("r50")).cast("int") +
+          (col("rec_days") > col("r75")).cast("int")).cast("long"))
+        .withColumn("f_code", (lit(1) +
+          (col("freq") > col("f25")).cast("int") +
+          (col("freq") > col("f50")).cast("int") +
+          (col("freq") > col("f75")).cast("int")).cast("long"))
+        .groupBy("r_code", "f_code")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("freq")).as("sum_freq"),
+          min(col("rec_days")).as("min_rec"),
+          max(col("rec_days")).as("max_rec"),
+          sum(col("mon")).cast("double").as("sum_monetary"))
+        .orderBy("r_code", "f_code")
     })
   )
 
@@ -678,6 +732,51 @@ object Analytics {
          JOIN cnt ca ON ca.pk = part_a
          JOIN cnt cb ON cb.pk = part_b
          CROSS JOIN n
-         ORDER BY part_a, part_b"""
+         ORDER BY part_a, part_b""",
+    // same histogram-fence quartiles (smallest v with 4cum >= kN);
+    // monetary stays DECIMAL until the final DOUBLE cast
+    "q180_rfm_segments" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             o_totalprice
+           FROM orders),
+         ref AS (SELECT MAX(d) AS refd FROM o),
+         cust AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', MAX(d), ref.refd) AS BIGINT)
+               AS rec_days,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+           FROM o CROSS JOIN ref GROUP BY o_custkey, ref.refd),
+         hr AS (SELECT rec_days AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+         qr AS (
+           SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS r25,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS r50,
+             MIN(CASE WHEN cum * 4 >= 3 * n THEN v END) AS r75
+           FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hr)
+             CROSS JOIN (SELECT SUM(c) AS n FROM hr)),
+         hf AS (SELECT freq AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+         qf AS (
+           SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS f25,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS f50,
+             MIN(CASE WHEN cum * 4 >= 3 * n THEN v END) AS f75
+           FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hf)
+             CROSS JOIN (SELECT SUM(c) AS n FROM hf)),
+         seg AS (
+           SELECT
+             CAST(1 + CAST(rec_days > r25 AS INT)
+                 + CAST(rec_days > r50 AS INT)
+                 + CAST(rec_days > r75 AS INT) AS BIGINT) AS r_code,
+             CAST(1 + CAST(freq > f25 AS INT)
+                 + CAST(freq > f50 AS INT)
+                 + CAST(freq > f75 AS INT) AS BIGINT) AS f_code,
+             freq, rec_days, mon
+           FROM cust CROSS JOIN qr CROSS JOIN qf)
+         SELECT r_code, f_code, COUNT(*) AS n_customers,
+           CAST(SUM(freq) AS BIGINT) AS sum_freq,
+           CAST(MIN(rec_days) AS BIGINT) AS min_rec,
+           CAST(MAX(rec_days) AS BIGINT) AS max_rec,
+           CAST(SUM(mon) AS DOUBLE) AS sum_monetary
+         FROM seg GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -189,4 +189,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._6 > 1000000L) && rows.exists(_._6 < 1000000L * 8),
       "lift values degenerate")
   }
+
+  test("q180 RFM codes partition customers at the exact quartile fences") {
+    val rows = SparkEntry.queries("q180_rfm_segments")(spark, sf)
+      .select("r_code", "f_code", "n_customers", "sum_freq", "min_rec",
+        "max_rec")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate".cast("date").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val refd = java.time.LocalDate.parse(orders.map(_._2).max)
+    val cust = orders.groupBy(_._1).map { case (c, os) =>
+      val rec = java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.parse(os.map(_._2).max), refd)
+      (c, rec, os.size.toLong)
+    }.toSeq
+    // conservation: every customer lands in exactly one segment
+    assert(rows.map(_._3).sum == cust.size.toLong)
+    assert(rows.map(_._4).sum == orders.size.toLong)
+    // exact fences: percentile_disc(p) over each metric
+    def fences(vs: Seq[Long]): (Long, Long, Long) = {
+      val s = vs.sorted
+      def d(num: Long, den: Long) = s(((num * s.size + den - 1) / den - 1).toInt)
+      (d(1, 4), d(1, 2), d(3, 4))
+    }
+    val (r25, r50, r75) = fences(cust.map(_._2))
+    val (f25, f50, f75) = fences(cust.map(_._3))
+    def code(v: Long, a: Long, b: Long, c: Long): Long =
+      1L + (if (v > a) 1 else 0) + (if (v > b) 1 else 0) +
+        (if (v > c) 1 else 0)
+    val expected = cust.groupBy { case (_, r, f) =>
+      (code(r, r25, r50, r75), code(f, f25, f50, f75))
+    }.map { case (k, cs) =>
+      (k._1, k._2, cs.size.toLong, cs.map(_._3).sum,
+        cs.map(_._2).min, cs.map(_._2).max)
+    }.toSet
+    assert(rows.toSet == expected, "segments must equal the local recompute")
+    // recency bands never interleave across r_codes
+    val byR = rows.groupBy(_._1)
+    byR.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byR(a).map(_._6).max <= byR(b).map(_._5).min,
+          s"r_code $a overlaps $b in recency")
+      case _ =>
+    }
+  }
 }

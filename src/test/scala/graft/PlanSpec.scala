@@ -132,7 +132,8 @@ class PlanSpec extends SparkSpec {
       "q175_backoff_lm", // 1-row (train-bigrams, vocab) stats broadcast
       "q177_interleave_schedule", // 1-row corpus-size broadcast
       "q178_doc_keywords", // 1-row doc-count broadcast
-      "q179_postings_bytes") // 1-row doc-id-ceiling broadcast
+      "q179_postings_bytes", // 1-row doc-id-ceiling broadcast
+      "q180_rfm_segments") // 1-row reference-date + fence broadcasts
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
