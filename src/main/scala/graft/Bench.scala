@@ -59,12 +59,24 @@ object Bench {
       catch { case _: Throwable => () }
       finally Caches.releaseAll() // timed reps must not reuse warmup caches
     }
+    // Untimed BUILD phase (r8 verdict #4): memoized per-process
+    // fixtures — the media container encode and the persisted store/
+    // index builds — are triggered here, so they are charged to setup
+    // instead of whichever query the map iterates first (the builds run
+    // EAGERLY at DataFrame-construction time inside Scratch.ensure /
+    // the media memo; constructing the plan is enough, no consume).
+    // Store/media query lines then time SERVING on every rep,
+    // independent of map iteration order.
+    SparkEntry.benchBuilds.filter(selected.contains).foreach { n =>
+      try { selected(n)(spark, sfDir); () }
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH SETUP $n: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+      finally Caches.releaseAll()
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.flatMap { case (name, fn) =>
-      // scale-shape pins (q86) time ONE rep: min-of-reps exists to cut
-      // host noise on throughput queries, not to double a pin's cost
-      val qReps = if (SparkEntry.singleRep(name)) 1 else reps
-      val times = (1 to qReps).flatMap { _ =>
+      def runReps(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
@@ -73,6 +85,18 @@ object Bench {
         }
         finally Caches.releaseAll() // each rep pays its own cache cost
       }
+      // scale-shape pins (q86) time ONE rep: min-of-reps exists to cut
+      // host noise on throughput queries, not to double a pin's cost
+      val qReps = if (SparkEntry.singleRep(name)) 1 else reps
+      var times = runReps(qReps)
+      // Sub-second queries get extra reps (r8 verdict #5): min-of-2 on
+      // a trivial line still carried 8–10× host-noise swings between
+      // artifacts (q06/q15 in BENCH_r08, byte-identical code since r7).
+      // Extra reps on a < 1 s line are cheap by definition; the target
+      // is min-of-4 so the committed artifact's sub-second cohort stops
+      // moving multi-x on identical code.
+      if (!SparkEntry.singleRep(name) && times.nonEmpty && times.min < 1.0 && qReps < 4)
+        times = times ++ runReps(4 - qReps)
       if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,9 +33,17 @@ object Scratch {
     r
   }
 
-  /** Stable per-(process, kind, source-dir) store path. */
-  def dirFor(kind: String, srcDir: String): String =
-    s"$root/${kind}_${srcDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  /** Stable per-(process, kind, source-dir) store path. The sanitized
+    * readable segment is for humans; INJECTIVITY comes from the md5
+    * digest of the RAW path (r8 ADVICE: sanitization alone maps every
+    * non-[A-Za-z0-9._-] char to '_', so "/a/b" and "/a_b" collided —
+    * and ensure() would then silently serve the first dir's prebuilt
+    * store for the second). */
+  def dirFor(kind: String, srcDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$root/${kind}_${srcDir.replaceAll("[^A-Za-z0-9._-]", "_")}_$digest"
+  }
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 

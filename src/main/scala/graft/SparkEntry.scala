@@ -47,6 +47,23 @@ object SparkEntry {
     * currently; q86 moved to [[benchExcluded]] (r7 verdict #4). */
   val singleRep: Set[String] = Set.empty
 
+  /** Queries whose construction triggers a MEMOIZED per-process build
+    * (media container encode, persisted IVF/range/Z-order/bloom/
+    * signature stores). Bench invokes each once in the UNTIMED setup
+    * phase (r8 verdict #4) so the build is charged to setup, not to
+    * whichever query the map happens to iterate first — q104's 3.4×
+    * phantom regression in BENCH_r08 was exactly such a first-touch
+    * media-encode charge. Membership here does NOT exclude a query
+    * from timing; it only pre-pays its shared fixture. */
+  val benchBuilds: Seq[String] = Seq(
+    "q42_multimodal_features",   // syntheticMedia container encode
+    "q87_ivf_serve",             // persisted IVF index
+    "q103_ivf_append_serve",     // IVF append layout
+    "q106_stats_pruned_scan",    // range store + manifest
+    "q111_zorder_scan",          // Z-order store + manifest
+    "q127_bloom_pruned_scan",    // bloom store + manifest
+    "q88_incremental_minhash")   // MinHash signature store
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

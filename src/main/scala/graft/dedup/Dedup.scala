@@ -954,14 +954,17 @@ object Dedup {
     // assembly done at CLUSTER granularity: near-duplicate documents
     // must land in the SAME split, or eval measures memorization of
     // train (row-wise random splitting leaks every dup pair that
-    // straddles the cut). Exact token-5-gram clusters (q85's proven
-    // spelling); each doc's split is decided by the md5 of its CLUSTER
-    // id (q97's 2-hex threshold mechanism: <'cc' train ~80%, <'e6'
-    // val ~10%, else test), so membership in a cluster fully
-    // determines the split — straddle-freedom is structural, and
-    // TextDedupSpec pins it. Scale shape: the chain is q85's (bucketed
-    // inverted-index pairs, budget-routed components); the split
-    // decision adds one codegen'd projection, and the accounting
+    // straddles the cut). Clusters come from the PRODUCTION pair
+    // route — q86's budget-routed MinHash+LSH survivors + exact
+    // verify (see leakageFreeSplit's doc; the exact inverted-index
+    // chain is the spec twin and the oracle spelling). Each doc's
+    // split is decided by the md5 of its CLUSTER id (q97's 2-hex
+    // threshold mechanism: <'cc' train ~80%, <'e6' val ~10%, else
+    // test), so membership in a cluster fully determines the split —
+    // straddle-freedom is structural, and TextDedupSpec pins it plus
+    // LSH-route == exact-route assignment equality. Scale shape:
+    // banded candidates, never an unceilinged gram self-join; the
+    // split decision adds one projection, and the accounting
     // aggregates (source, split) — never the corpus twice.
     "q112_leakage_free_split" -> ((s, dir) => {
       val assigned = leakageFreeSplit(s, dir)
@@ -974,16 +977,35 @@ object Dedup {
   )
 
   /** (doc_id, source, n_tok, cluster_id, split) for every document:
-    * q85's exact near-dup closure, unclustered docs are their own
-    * cluster, split chosen by md5(cluster_id) thresholds. Shared by
-    * q112 and the straddle-freedom law in TextDedupSpec. */
-  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    * near-dup closure, unclustered docs are their own cluster, split
+    * chosen by md5(cluster_id) thresholds. Shared by q112 and the
+    * straddle-freedom / route-equality laws in TextDedupSpec.
+    *
+    * PAIR ROUTE (r8 verdict #1): the default candidate source is the
+    * PRODUCTION one — [[minhashNearDupsTokens]], i.e. q86's
+    * budget-routed narrow+salted LSH survivors join followed by the
+    * exact-Jaccard verify — because train/val/test assembly is a
+    * production-semantics consumer and the exact inverted-index
+    * self-join it used to ride has no df ceiling (a corpus-frequent
+    * 5-gram fans out quadratically in its posting at 100 TB). The
+    * exact chain stays available via `exactPairs = true` as the spec
+    * twin: both routes verify candidates with the SAME exact measure
+    * at the SAME threshold, so they differ only if LSH banding misses
+    * a qualifying pair — TextDedupSpec pins assignment equality of the
+    * two routes at tested scale, and the q112 oracle (the exact chain
+    * in SQL) hash-matching tri-SF re-proves it on the driver's gate. */
+  def leakageFreeSplit(s: SparkSession, dir: String,
+                       exactPairs: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
     val pairs = graft.Caches.cached(
-      jaccardPairsTokens(docs.select("doc_id", "text"), 5)
-        .filter(col("jaccard") >= 0.7))
+      if (exactPairs)
+        jaccardPairsTokens(docs.select("doc_id", "text"), 5)
+          .filter(col("jaccard") >= 0.7)
+      else
+        minhashNearDupsTokens(docs.select("doc_id", "text"),
+          w = 5, k = 32, bands = 8, threshold = 0.7))
     val h = substring(md5(col("cluster_id").cast("string")), 1, 2)
     docs.join(components(pairs), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))

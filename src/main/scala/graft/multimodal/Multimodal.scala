@@ -234,12 +234,25 @@ object Multimodal {
     * (at production scale the media STORE plays this role: blobs are
     * encoded once at ingest, queries only decode). */
   def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + dir
+    // r8 ADVICE: key on the OWNING SESSION, not just the context — a
+    // cached DataFrame built under one session served to a sibling
+    // session of the same context would carry the first session's
+    // session-level conf/registrations. Within Bench/Verify there is
+    // one session, so the build-once economics are unchanged; spec
+    // suites that rebuild sessions re-encode (fixture-sized cost).
+    val key = System.identityHashCode(s) + "|" + s.sparkContext.applicationId + "|" + dir
+    // evict entries owned by stopped contexts (r8 ADVICE: the memo
+    // otherwise grows without bound across session restarts in spec
+    // suites, pinning orphaned checkpoint handles)
+    mediaMemo.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
     val cached = mediaMemo.get(key)
-    // a restarted context (spec suites stop/rebuild sessions) orphans
-    // checkpoint blocks — validate liveness, never serve a dead handle
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    // validate liveness AND ownership — never serve a dead handle or a
+    // sibling session's plan
+    if (cached != null && (cached.sparkSession eq s) &&
+        !s.sparkContext.isStopped) cached
     else {
+      mediaMemo.remove(key)
       val df = encodeMediaPayloads(mediaBase(s, dir)).localCheckpoint()
       mediaMemo.put(key, df)
       df

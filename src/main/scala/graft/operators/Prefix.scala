@@ -47,6 +47,13 @@ import org.apache.spark.sql.functions._
   *  - `valueCol` is numeric; sums must fit the input's integral type
   *    (call sites use LONG counts/millis).
   *  - column names starting with `__pfx` are reserved.
+  *  - EAGER AT CONSTRUCTION (r8 ADVICE): each recursion level runs a
+  *    2-value min/max driver aggregate when the RESULT DATAFRAME IS
+  *    BUILT, not when it is consumed — merely constructing the plan
+  *    (explain, plan specs, dry runs) executes ≤ 4 small Spark jobs.
+  *    That is the design trade for stats-derived level counts; callers
+  *    that need a job-free plan must not call Prefix at plan-assembly
+  *    time.
   */
 object Prefix {
 
@@ -83,7 +90,15 @@ object Prefix {
     // returning silently wrong prefixes.
     val Array(row) = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"))
       .collect()
-    if (row.isNullAt(1)) return df.withColumn(out, runOver(Window.orderBy(k)))
+    if (row.isNullAt(1)) {
+      // empty input: still honor partitionCols in the window (r8
+      // ADVICE — the unpartitioned spelling violated the operator's
+      // own "no unpartitioned window in partitioned mode" invariant;
+      // harmless on zero rows, but plan audits see the shape)
+      val w = if (parts.isEmpty) Window.orderBy(k)
+              else Window.partitionBy(parts.map(col): _*).orderBy(k)
+      return df.withColumn(out, runOver(w))
+    }
     require(row.getLong(0) >= 0,
       s"Prefix: order column $k must be non-negative (min=${row.getLong(0)})")
     val maxK = row.getLong(1)

@@ -143,6 +143,42 @@ object Sketches {
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
           (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
         .orderBy("source")
+    }),
+
+    // INCREMENTAL SKETCH-STATE MAINTENANCE (r8 verdict #6) — the
+    // approximate member of the incremental-maintenance family (q93
+    // exact aggregates, q149 decremental, q150 postings, q103 IVF):
+    // per-(event_type, day) Datasketches-HLL sketches of the distinct
+    // user set are the PERSISTED state a nightly pipeline appends one
+    // day's sketch to; corpus-wide distinct-user estimates per
+    // event_type are then served by hll_union_agg over the daily
+    // sketches — pure register-max state algebra, NO rescan of history
+    // (the reference's update loop maintains its stats counters
+    // imperatively, update_ticker_info.py:98-105; this is that idea
+    // for a non-linear aggregate). HLL union is lossless at equal
+    // lgConfigK — union-of-partials has the SAME register state as a
+    // one-shot sketch of the whole stream — so serving from maintained
+    // state is not a second approximation; SketchesSpec pins
+    // merge == recompute estimate equality, stored+tonight == full
+    // (the nightly algebra), and the estimate within 5% of the exact
+    // count. Rows-only: DuckDB's approx sketch is a different
+    // implementation, so no SQL twin can hash-match; the estimates
+    // themselves are deterministic (register max is order-free).
+    // Scale shape: one (event_type, day)-keyed aggregate (map-side
+    // combined sketch partials), then an |event_types|-row union —
+    // state is days × types sketch blobs, never user-count-sized.
+    "q181_hll_maintenance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = graft.Caches.cached(
+        ev.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events")))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("n_events"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy("event_type")
     })
   )
 

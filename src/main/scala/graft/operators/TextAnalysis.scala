@@ -970,30 +970,42 @@ object TextAnalysis {
     // the whole computation is oracle-checkable — in production that
     // side is READ from the persisted index, and only the batch pays
     // tokenization; the merge itself (the part this query proves) is
-    // union + a vocab-sized full-outer df join + totals add.
+    // union + a vocab-sized df add + totals add.
+    //
+    // ONE tokenize pass (r8 verdict #3): the corpus is tagged with an
+    // is_batch flag and BOTH slices' states come out of the same cached
+    // (doc, is_batch, token, tf) postings aggregate via conditional
+    // aggregation — the per-slice dfs are still computed separately
+    // (the sum(when(is_batch...)) partials ARE the two states) and then
+    // ADDED, so the state algebra this query proves is unchanged; what
+    // went away is the second tokenize+explode of the corpus that the
+    // two disjoint-slice pipelines used to pay (and a third, from the
+    // uncached tf feeding both the df derivation and the scoring join).
     "q150_incremental_postings" -> ((s, dir) => {
       val d = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), wsToks.as("toks"))
-      def state(dd: org.apache.spark.sql.DataFrame) = {
-        val dl = dd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-        val tf = dd.select(col("doc_id"), explode(col("toks")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val tots = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-        (tf, dfT, dl, tots)
-      }
-      val (tfS, dfS, dlS, totS) = state(d.filter(col("doc_id") % 10 =!= 0))
-      val (tfB, dfB, dlB, totB) = state(d.filter(col("doc_id") % 10 === 0))
-      val dfT = dfS.select(col("token"), col("df").as("dfa"))
-        .join(dfB.select(col("token"), col("df").as("dfb")), Seq("token"), "full")
-        .select(col("token"),
-          (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L))).as("df"))
-      val stats = totS.unionByName(totB)
-        .agg(sum(col("n")).as("n_docs"), sum(col("tot")).as("tot"))
-        .select(col("n_docs"),
-          (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-      bm25Score(bm25Qterms(s), tfS.unionByName(tfB), dfT,
-        dlS.unionByName(dlB), stats)
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_batch"),
+          wsToks.as("toks"))
+      val dl = d.select(col("doc_id"), col("is_batch"),
+        size(col("toks")).cast("long").as("dl"))
+      val tf = graft.Caches.cached(
+        d.select(col("doc_id"), col("is_batch"), explode(col("toks")).as("token"))
+          .groupBy("doc_id", "is_batch", "token").agg(count(lit(1)).as("tf")))
+      // stored df + batch df, added — the two conditional partials are
+      // exactly the per-slice df states the full-outer join used to merge
+      val dfT = tf.groupBy("token")
+        .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("df_stored"),
+          sum(when(col("is_batch"), 1L).otherwise(0L)).as("df_batch"))
+        .select(col("token"), (col("df_stored") + col("df_batch")).as("df"))
+      val stats = dl
+        .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("n_stored"),
+          sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+          sum(when(col("is_batch"), 0L).otherwise(col("dl"))).as("tot_stored"),
+          sum(when(col("is_batch"), col("dl")).otherwise(0L)).as("tot_batch"))
+        .select((col("n_stored") + col("n_batch")).as("n_docs"),
+          ((col("tot_stored") + col("tot_batch")).cast("double") /
+            (col("n_stored") + col("n_batch")).cast("double")).as("avgdl"))
+      bm25Score(bm25Qterms(s), tf.select("doc_id", "token", "tf"), dfT,
+        dl.select("doc_id", "dl"), stats)
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("doc_id"),
           (col("sts").cast("double") / lit(1e6)).as("score"))
@@ -2225,10 +2237,19 @@ object TextAnalysis {
       val b = broadcast(top)
       val m1 = pos.crossJoin(b).filter(col("w") === col("w1"))
         .select(col("doc_id"), col("p"), col("g"), col("w2"), col("w3"))
-      val m2 = pos.select(col("doc_id").as("d2"), col("p").as("q2"),
-        col("w").as("u2"))
-      val m3 = pos.select(col("doc_id").as("d3"), col("p").as("q3"),
-        col("w").as("u3"))
+      // r8 verdict #2: legs 2 and 3 are TERM-FILTERED before the
+      // positional join — a broadcast semi-join against the phrase
+      // row's own term column prunes each leg to ONE term's posting
+      // list, so the (doc, pos±k) equi-join moves three terms' lists,
+      // never the full positional posting table (the term equality in
+      // the join condition alone prunes nothing: it compares against a
+      // non-literal, so the whole corpus-sized leg would stream into
+      // the join). PlanSpec pins that no positional-join input is an
+      // unfiltered corpus-sized posting scan.
+      val m2 = pos.join(broadcast(top.select(col("w2").as("w"))), Seq("w"), "left_semi")
+        .select(col("doc_id").as("d2"), col("p").as("q2"), col("w").as("u2"))
+      val m3 = pos.join(broadcast(top.select(col("w3").as("w"))), Seq("w"), "left_semi")
+        .select(col("doc_id").as("d3"), col("p").as("q3"), col("w").as("u3"))
       m1.join(m2, col("doc_id") === col("d2") &&
           col("q2") === col("p") + 1 && col("u2") === col("w2"))
         .join(m3, col("doc_id") === col("d3") &&

@@ -30,6 +30,56 @@ object StatsStore {
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
 
+  /** Overwrite `$dir/manifest` through a tmp-dir write + rename swap
+    * (r8 ADVICE: the append fns' data-append and manifest-overwrite are
+    * two non-atomic steps; a direct overwrite that dies mid-write could
+    * leave a PARTIAL manifest that silently hides data files from
+    * manifest-pruned reads). After the swap the only crash window is
+    * between the two renames, which leaves NO manifest — a loud read
+    * failure, never silent missing rows; [[requireManifestCoversData]]
+    * catches the remaining append-then-crash-before-swap case. */
+  private def swapManifest(rows: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = rows.sparkSession
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest_tmp")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$dir/manifest")
+    val old = new Path(s"$dir/manifest_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"manifest swap: could not retire $live")
+    if (!fs.rename(new Path(s"$dir/manifest_tmp"), live))
+      throw new java.io.IOException(s"manifest swap: could not publish $live")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Loud consistency check (r8 ADVICE): every parquet data file must
+    * appear in the manifest — a data append that crashed before its
+    * manifest swap would otherwise make the new files INVISIBLE to
+    * manifest-pruned reads (silently missing rows). Cost: one manifest
+    * scan + one directory listing, both file-count-sized — the same
+    * metadata cost class as a transaction-log replay. Paths compare
+    * scheme-stripped (`_metadata.file_path` is a URI, listings are
+    * fs-relative). */
+  private def requireManifestCoversData(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dataPath = new Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(dataPath).iterator
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(_.toUri.getPath).toSet
+    val manifestFiles = spark.read.parquet(s"$dir/manifest")
+      .select("file").distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val missing = dataFiles -- manifestFiles
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"store $dir: ${missing.size} data file(s) absent from the manifest " +
+          s"(interrupted append?) — rebuild the store or re-run the append; " +
+          s"first missing: ${missing.head}")
+  }
+
   /** Write `df` range-clustered by `keyCol` into `nBuckets` files and
     * build the per-file min/max manifest (one extra metadata-cheap
     * aggregate over the written files — the price of not having a
@@ -70,8 +120,7 @@ object StatsStore {
     val fresh = rangeManifestRows(
       spark.read.parquet(s"$dir/data")
         .filter(!col("_metadata.file_path").isin(oldFiles: _*)), keyCol)
-    old.unionByName(fresh).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/manifest")
+    swapManifest(old.unionByName(fresh), dir)
   }
 
   /** Files whose [min,max] intersects [lo,hi] — the skip decision,
@@ -87,6 +136,7 @@ object StatsStore {
     * pushdown inside the opened files). An empty prune returns an
     * empty frame with the store's schema. */
   def readRange(spark: SparkSession, dir: String, keyCol: String, lo: Long, hi: Long): DataFrame = {
+    requireManifestCoversData(spark, dir)
     val files = prunedFiles(spark, dir, lo, hi)
     val base = spark.read.parquet(s"$dir/data")
     if (files.isEmpty) base.limit(0)
@@ -152,6 +202,7 @@ object StatsStore {
     * keep the residual predicate for row-level exactness. */
   def readBox(spark: SparkSession, dir: String, xCol: String, yCol: String,
               loX: Long, hiX: Long, loY: Long, hiY: Long): DataFrame = {
+    requireManifestCoversData(spark, dir)
     val files = prunedBoxFiles(spark, dir, loX, hiX, loY, hiY)
     val base = spark.read.parquet(s"$dir/data")
     if (files.isEmpty) base.limit(0)
@@ -214,8 +265,7 @@ object StatsStore {
     val fresh = bloomManifestRows(
       spark.read.parquet(s"$dir/data")
         .filter(!col("_metadata.file_path").isin(oldFiles: _*)), mBits, k)
-    old.unionByName(fresh).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/manifest")
+    swapManifest(old.unionByName(fresh), dir)
   }
 
   /** Files whose bloom has ALL of the needle's k bits — the candidate
@@ -248,6 +298,7 @@ object StatsStore {
     * files, keep the exact membership predicate for row-level truth. */
   def readNeedle(spark: SparkSession, dir: String, needle: String,
                  mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    requireManifestCoversData(spark, dir)
     val files = bloomCandidateFiles(spark, dir, needle, mBits, k)
     val base = spark.read.parquet(s"$dir/data")
     if (files.isEmpty) base.limit(0)

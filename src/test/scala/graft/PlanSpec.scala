@@ -203,6 +203,40 @@ class PlanSpec extends SparkSpec {
       s"q178's per-doc top-3 must push into the window as a group limit:\n${p.take(3000)}")
   }
 
+  test("phrase-search posting legs are term-filtered before the positional join (q168)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    // r8 verdict #2: the (doc, pos±k) equi-joins may move only the three
+    // phrase terms' posting lists. Structurally: every input of every
+    // positional inner join must itself contain a join against the
+    // broadcast phrase row (the m1 term hash-join or an m2/m3 LeftSemi)
+    // — a bare corpus-sized posting scan feeding a positional join means
+    // the term filter regressed into the join condition, where a
+    // non-literal equality prunes nothing.
+    // AdaptiveSparkPlanExec is a leaf wrapper — collect() would walk
+    // nothing; unwrap to the current inner plan first
+    val phys = SparkEntry.queries("q168_phrase_search")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val positional = phys.collect {
+      case j: BaseJoinExec if j.joinType == Inner && j.leftKeys.size >= 2 => j
+    }
+    assert(positional.size >= 2,
+      s"expected the two (doc, pos) positional equi-joins in q168's plan:\n$phys")
+    assert(phys.collect {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }.size >= 2, s"legs 2/3 must semi-join the phrase terms before the positional join:\n$phys")
+    positional.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case c: BaseJoinExec => c }.nonEmpty,
+          s"positional-join input is an unfiltered posting scan:\n$side")
+      }
+    }
+  }
+
   test("gap detection pushes its window filter into the fact scan (q17)") {
     val p = plan("q17_gap_detect")
     // fragments asserted independently: pushed-filter ORDER inside the

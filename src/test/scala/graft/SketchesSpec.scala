@@ -90,4 +90,49 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(rows == exact)
   }
+
+  test("q181 HLL maintenance: merge == recompute, nightly algebra, 5% of exact") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id").cache()
+    try {
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg($"user_id").as("sk")).cache()
+      // (1) merge == recompute: union of the daily sketches carries the
+      // SAME register state as a one-shot sketch of the whole stream
+      // (HLL union at equal lgConfigK is lossless) — estimates must be
+      // EQUAL, not just close
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .as[(String, Long)].collect().toMap
+      val oneShot = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(merged.nonEmpty && merged == oneShot,
+        s"union-of-dailies diverged from one-shot sketch: $merged vs $oneShot")
+      // (2) the nightly algebra: stored state (all days but the last)
+      // + tonight's single-day sketch == the full union — the append a
+      // production pipeline performs without rescanning history
+      val lastDay = ev.agg(max($"day")).head.getDate(0)
+      val stored = daily.filter($"day" =!= lit(lastDay))
+        .groupBy("event_type").agg(hll_union_agg($"sk").as("sk"))
+      val tonight = ev.filter($"day" === lit(lastDay))
+        .groupBy("event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+      val appended = stored.unionByName(tonight)
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(appended == merged,
+        s"stored+tonight union diverged from full union: $appended vs $merged")
+      // (3) exact-twin tolerance: the estimate serves within 5% of the
+      // true distinct count (lgConfigK=12 default ≈ 1.6% RSE)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct($"user_id").as("n")).as[(String, Long)].collect().toMap
+      exact.foreach { case (et, n) =>
+        val est = merged(et)
+        assert(math.abs(est - n).toDouble / n.max(1L) <= 0.05,
+          s"$et: estimate $est vs exact $n exceeds 5%")
+      }
+      daily.unpersist()
+    } finally ev.unpersist()
+  }
 }

@@ -557,6 +557,19 @@ class TextDedupSpec extends SparkSpec {
     } finally asg.unpersist()
   }
 
+  test("leakage-free split: LSH route == exact route assignment (q112 r8-verdict law)") {
+    // r8 verdict #1: q112's default pair source is now the production
+    // LSH route (q86 machinery). Both routes exact-verify candidates at
+    // the same threshold, so they can differ only if banding misses a
+    // qualifying pair — pin full assignment equality at tested scale.
+    val lsh = graft.dedup.Dedup.leakageFreeSplit(spark, sf).cache()
+    val exact = graft.dedup.Dedup.leakageFreeSplit(spark, sf, exactPairs = true).cache()
+    try {
+      assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty,
+        "LSH-route split assignment diverged from the exact-route twin")
+    } finally { lsh.unpersist(); exact.unpersist() }
+  }
+
   test("novelty profile conserves gram ownership (q151 laws)") {
     val rows = SparkEntry.queries("q151_novelty_profile")(spark, sf)
       .select("source", "n_docs", "total_grams", "novel_grams", "novelty_ppm")
