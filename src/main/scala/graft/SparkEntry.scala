@@ -17,6 +17,8 @@ object SparkEntry {
   def queries: Map[String, Q] =
     operators.Relational.queries ++ operators.Snapshots.queries ++
       operators.TimeSeries.queries ++ operators.TextAnalysis.queries ++
+      operators.TextRetrieval.queries ++ operators.TextScoring.queries ++
+      operators.CorpusHealth.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ operators.Analytics.queries ++
       operators.Scale.queries ++ streaming.Streaming.queries ++
@@ -69,6 +71,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Snapshots.oracles ++
       operators.TimeSeries.oracles ++ operators.TextAnalysis.oracles ++
+      operators.TextRetrieval.oracles ++ operators.TextScoring.oracles ++
+      operators.CorpusHealth.oracles ++
       dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ operators.Analytics.oracles ++
       operators.Scale.oracles ++ streaming.Streaming.oracles ++

@@ -1,0 +1,644 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalysis._
+
+/** Corpus-health dashboards and audits (mechanical module split of
+  * the former TextAnalysis.scala, r8 verdict #7): per-source novelty,
+  * cross-source overlap, vocabulary growth, length-distribution
+  * drift, score calibration, dedup savings attribution, lang-ID
+  * scorecards, token spectra, exact histogram percentiles and
+  * winsorized stats, and the per-source health capstone. Shared cores
+  * (novelty/drift/surprisal) stay in [[TextAnalysis]]
+  * (private[operators]) so dashboard == standalone laws keep one
+  * spelling. */
+object CorpusHealth {
+
+  val queries: Map[String, Q] = Map(
+    // N-GRAM NOVELTY PROFILE — the marginal-value-of-data curve a
+    // curation team reads before buying more of a source: in doc_id
+    // (arrival) order, what fraction of each source's distinct token
+    // 8-grams had NEVER appeared in any earlier document? A source
+    // whose novelty rate has collapsed is re-crawling what the corpus
+    // already holds. First occurrence = min(doc_id) over the gram's
+    // whole posting, so the metric is exact, order-deterministic, and
+    // all-integer (ppm fixed point). Scale shape: one tokenize+md5
+    // pass → (doc, gram) distinct (doc+gram-keyed shuffle with partial
+    // aggregation) → a gram-keyed min (the inverted index, map-side
+    // combined) → two DOC-keyed aggregates joined doc-to-doc. No
+    // gram-level join-back and no corpus² anywhere: the owner table
+    // collapses to one row per distinct gram before anything joins.
+    "q151_novelty_profile" -> ((s, dir) =>
+      noveltyPerSource(s, dir).orderBy("source")),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — which sources are feeding the
+    // mixture the same text? For every source pair, the number of
+    // distinct token 8-grams both contain, plus a Jaccard ppm over
+    // their gram-set union — the audit that catches two "independent"
+    // crawls of the same site before they double-weight it in the
+    // mixture. Scale shape: the only corpus-sized stages are the
+    // tokenize pass and a (source, gram) distinct; the self-join is
+    // gram-keyed and fans out at most C(|sources|, 2) rows per gram —
+    // sources are a bounded mixture domain (here 20, in production
+    // maybe hundreds), never corpus-sized, so the pair stream stays
+    // linear in the distinct-gram count.
+    "q152_source_overlap" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), wsToks.as("toks"))
+      val sg = graft.Caches.cached(docs.filter(size(col("toks")) >= 8)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+        .select(col("source"),
+          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+        .distinct())
+      val tot = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val shared = sg.select(col("source").as("source_a"), col("gram"))
+        .join(sg.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(tot.select(col("source").as("source_a"), col("n_grams").as("ga")), Seq("source_a"))
+        .join(tot.select(col("source").as("source_b"), col("n_grams").as("gb")), Seq("source_b"))
+        .withColumn("jaccard_ppm",
+          expr("(shared_grams * 1000000) DIV (ga + gb - shared_grams)"))
+        .select("source_a", "source_b", "shared_grams", "jaccard_ppm")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // VOCABULARY GROWTH (Heaps-law checkpoints) — distinct-token count
+    // after each octile of the corpus in doc_id (arrival) order: the
+    // curve whose flattening tells a tokenizer team the vocabulary has
+    // saturated and more data buys types, not tokens. Exact, no
+    // sampling: each token's FIRST document (gram-keyed min — the
+    // inverted index again) is bucketed against 8 thresholds derived
+    // from max(doc_id), and all 8 cumulative counts come out of ONE
+    // map-side-combined conditional aggregate — no window, no sort, no
+    // per-octile rescan; the unpivot at the end touches 8 values. The
+    // 1-row max(doc_id) broadcast is the same stats-gating crossJoin
+    // shape as q142/q145 (PlanSpec-allowlisted).
+    "q153_vocab_growth" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+      val firstT = docs
+        .select(col("doc_id"), explode(wsToks).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val sums = (1 to 8).map { k =>
+        sum(when(col("first_doc") <= expr(s"(mx * $k) DIV 8"), 1L)
+          .otherwise(0L)).as(s"c$k")
+      }
+      val row = firstT.crossJoin(broadcast(mx)).agg(sums.head, sums.tail: _*)
+      row.select(expr(
+        "stack(8, " + (1 to 8).map { k =>
+          val prev = if (k == 1) "CAST(0 AS BIGINT)" else s"c${k - 1}"
+          s"$k, c$k, c$k - $prev"
+        }.mkString(", ") + ") AS (octile, cum_vocab, new_vocab)"))
+        .select(col("octile").cast("long").as("octile"),
+          col("cum_vocab"), col("new_vocab"))
+        .orderBy("octile")
+    }),
+
+    // LENGTH-DISTRIBUTION DRIFT MONITOR — the nightly check a corpus
+    // pipeline runs before admitting a new batch: per source, how far
+    // has the batch's token-length distribution drifted from the
+    // stored corpus's? Lengths land in power-of-two bands (the q156
+    // bin()-length log2), shares are exact ppm integers, and the
+    // drift statistic is total-variation distance over ppm shares —
+    // TV = Σ|p−q|/2 — plus the single most-drifted band, so the alarm
+    // says WHERE the shift is (q121 is this report's vector-index
+    // sibling). All-integer end to end: ppm shares avoid the N²-sized
+    // cross products an exact-rational TV would need at corpus scale.
+    // Scale shape: one narrow pass → a (source, band, is_new)
+    // conditional aggregate (bounded keys) → per-source rollup; the
+    // per-source totals join is |sources|-sized.
+    "q158_length_drift" -> ((s, dir) =>
+      lengthDriftPerSource(s, dir).orderBy("source")),
+
+    // QUALITY-SIGNAL CALIBRATION TABLE — the reliability diagram for
+    // the q113/q126 surprisal score: per eighth-bit score band (score
+    // DIV 64 — scores are 1/512-bit granules, and the whole corpus
+    // fits inside one power-of-two octave, so the q156 bands would
+    // collapse to a single row), how many docs land there and what
+    // fraction are actually the target class ('en', q126's label)?
+    // q126's AUC says the signal RANKS well; this table says what
+    // purity a THRESHOLD at each band buys — the number a filtering
+    // pipeline actually sets. Exact and all-integer (ppm rates); the
+    // band domain is bounded by 512·log2(corpus tokens)/64 ≈ 8·log2 N
+    // keys. Scale shape: the shared cached surprisal pass, one
+    // doc-keyed label join, one bounded-band aggregate.
+    "q159_score_calibration" -> ((s, dir) => {
+      surprisalPerDoc(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("pos")), Seq("doc_id"))
+        .withColumn("band", expr("score DIV 64"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+        .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) DIV n_docs"))
+        .orderBy("band")
+    }),
+
+    // DEDUP SAVINGS ATTRIBUTION — who pays for whose duplicates?
+    // Exact-duplicate clusters under the shared bag-of-words identity
+    // (q73/q80's fingerprint), keeper = min doc_id; every dropped
+    // duplicate's tokens are attributed to the (keeper_source,
+    // dup_source) pair. The diagonal is intra-source redundancy; the
+    // off-diagonal is the doc-level complement of q152's gram-level
+    // matrix — it tells the mixture owner which source to bill for
+    // re-crawled text. Scale shape: one fingerprint pass, an fp-keyed
+    // min (map-side combined), one fp-keyed join back, one doc-keyed
+    // keeper-source lookup, a bounded (source × source) rollup.
+    "q160_dedup_attribution" -> ((s, dir) => {
+      val d = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp"),
+          nTokens.cast("long").as("n_tok")))
+      val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+      d.join(keepers, Seq("fp"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .join(d.select(col("doc_id").as("keeper_id"),
+          col("source").as("keeper_source")), Seq("keeper_id"))
+        .groupBy(col("keeper_source"), col("source").as("dup_source"))
+        .agg(count(lit(1)).as("n_dup_docs"),
+          sum(col("n_tok")).as("tokens_saved"))
+        .orderBy("keeper_source", "dup_source")
+    }),
+
+    // LANG-ID PER-CLASS PRECISION/RECALL — the classifier scorecard
+    // q31's raw confusion matrix implies but doesn't state: for each
+    // language class, support, predicted count, correct count, and
+    // recall/precision in ppm — the numbers that decide whether the
+    // marker-based router is good enough to gate a mixture. NULLIF
+    // guards keep zero-support ('und' appears only as a prediction)
+    // and zero-predicted classes NULL on both engines. Scale shape:
+    // one narrow lang-ID pass into a bounded (lang × pred) aggregate;
+    // every rollup after that is on the ≤|langs|² matrix.
+    "q161_langid_prf" -> ((s, dir) => {
+      val cm = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("lang"), langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")))
+      val sup = cm.groupBy("lang").agg(sum(col("n")).as("support"))
+      val pred = cm.groupBy(col("pred_lang").as("lang"))
+        .agg(sum(col("n")).as("predicted"))
+      val cor = cm.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n").as("correct"))
+      sup.join(pred, Seq("lang"), "full").join(cor, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("support"), lit(0L)).as("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          coalesce(col("correct"), lit(0L)).as("correct"))
+        .withColumn("recall_ppm",
+          expr("(correct * 1000000) DIV nullif(support, 0)"))
+        .withColumn("precision_ppm",
+          expr("(correct * 1000000) DIV nullif(predicted, 0)"))
+        .orderBy("lang")
+    }),
+
+    // CORPUS HEALTH REPORT — the one-page nightly dashboard a corpus
+    // owner actually reads, one row per source: volume (docs, tokens),
+    // exact-duplicate burden (bag-of-words, ppm), n-gram novelty (the
+    // q151 marginal-value signal, via the SHARED noveltyPerSource
+    // core), and length-distribution drift (the q158 monitor, via the
+    // SHARED lengthDriftPerSource core). A capstone in the q100 sense:
+    // it composes already-proven pipelines into the report that decides
+    // re-crawl / re-weight / alarm — and because every component rides
+    // the single shared spelling, the dashboard can never disagree
+    // with its standalone queries. Scale shape: the union of its
+    // parts' shapes (each documented at its core); the final joins are
+    // all |sources|-sized.
+    "q162_corpus_health" -> ((s, dir) => {
+      val base = Tables.fanOut(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTokens.cast("long")).as("total_tokens"))
+      val d = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp")))
+      val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+      val dups = d.join(keepers, Seq("fp"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+      base.join(dups, Seq("source"), "left")
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .withColumn("dup_rate_ppm", expr("(dup_docs * 1000000) DIV n_docs"))
+        .join(noveltyPerSource(s, dir).select("source", "novelty_ppm"),
+          Seq("source"), "left")
+        .join(lengthDriftPerSource(s, dir)
+          .select(col("source"), col("tv_ppm").as("drift_tv_ppm")),
+          Seq("source"), "left")
+        .select("source", "n_docs", "total_tokens", "dup_docs",
+          "dup_rate_ppm", "novelty_ppm", "drift_tv_ppm")
+        .orderBy("source")
+    }),
+
+    // TOKEN FREQUENCY SPECTRUM — the Zipf head/tail profile a
+    // tokenizer team reads next to q153's growth curve: token types
+    // and occurrence mass per power-of-two frequency band (band =
+    // ⌊log2 f⌋ via the all-integer bin()-length spelling shared with
+    // q113/q142). A corpus whose mass sits in the top bands is
+    // head-heavy (small vocab suffices); a fat tail says the opposite.
+    // Scale shape: one token-keyed map-side-combined count, then a
+    // ≤64-key band rollup — no sort, no rank, no corpus-sized window
+    // (a RANK-based Zipf plot would need a global vocabulary sort;
+    // the band histogram answers the same sizing question without it).
+    "q156_token_spectrum" -> ((s, dir) => {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(explode(wsToks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .withColumn("band", expr("CAST(length(bin(f)) - 1 AS INT)"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_occurrences"))
+        .orderBy("band")
+    }),
+
+    // EXACT per-source token-count percentiles WITHOUT a global sort:
+    // percentile_disc(p) = the smallest value whose cumulative doc
+    // count reaches p·N, computed at HISTOGRAM level. Per-doc token
+    // counts reduce map-side to (source, n_tok) cells; each source's
+    // histogram — bounded by its DISTINCT lengths, not its doc count
+    // — cumulates in a per-source window; the three thresholds read
+    // off with all-integer comparisons (2·cum ≥ N ⇔ cum ≥ N/2, no
+    // doubles, no ceil). The corpus is never sorted; the only
+    // corpus-sized exchange is the histogram reduce.
+    "q166_token_percentiles" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n_docs"), col("n_tok"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_tok")))
+            .as("p90"),
+          min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_tok")))
+            .as("p99"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy("source")
+    }),
+
+    // WINSORIZED robust statistics — the outlier-clamped per-source
+    // length profile a mixture designer trusts over raw means (one
+    // pathological megadoc can't move it): exact p05/p95 come from
+    // q166's histogram-cumulation trick, then the clamp REAPPLIES at
+    // histogram level too — sum over cells of c·clamp(n_tok, p05,
+    // p95) — so neither pass touches per-doc rows after the first
+    // reduce. The threshold table is sources-sized and broadcast;
+    // wins_mean_milli is fixed-point all-integer.
+    "q167_winsorized_stats" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      val th = h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 20 >= col("n_docs"), col("n_tok"))).as("p05"),
+          min(when(col("cum") * 20 >= col("n_docs") * 19, col("n_tok")))
+            .as("p95"))
+      h.join(broadcast(th), "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          sum(col("c") * greatest(least(col("n_tok"), col("p95")),
+            col("p05"))).as("wins_sum"),
+          sum(when(col("n_tok") < col("p05"), col("c")).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("n_tok") > col("p95"), col("c")).otherwise(0L))
+            .as("n_hi"))
+        .withColumn("wins_mean_milli", expr("(wins_sum * 1000) DIV n_docs"))
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // per-gram first owner = MIN(doc_id) over the gram's posting; a
+    // doc's novel grams are those it owns; ppm is integer fixed point
+    "q151_novelty_profile" ->
+      """WITH d AS (
+           SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d WHERE len(toks) >= 8),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+         novel AS (
+           SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+           GROUP BY 1)
+         SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) AS novel_grams,
+           (CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) * 1000000)
+             // CAST(SUM(p.n_grams) AS BIGINT) AS novelty_ppm
+         FROM per_doc p LEFT JOIN novel v USING (doc_id)
+              JOIN documents dd USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    // distinct (source, gram) sets self-joined on gram (fan-out ≤
+    // C(|sources|,2) per gram); Jaccard over the union in ppm
+    "q152_source_overlap" ->
+      """WITH d AS (
+           SELECT source, str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT source, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d WHERE len(toks) >= 8),
+         sg AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         tot AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+         sh AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+           FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, shared_grams,
+           (shared_grams * 1000000)
+             // (ta.n_grams + tb.n_grams - shared_grams) AS jaccard_ppm
+         FROM sh JOIN tot ta ON ta.source = source_a
+                 JOIN tot tb ON tb.source = source_b
+         ORDER BY source_a, source_b""",
+
+    // per-token first document bucketed against 8 max(doc_id)-derived
+    // thresholds; cumulative counts from one conditional aggregate
+    "q153_vocab_growth" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         f AS (SELECT w, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+         m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+         c AS (
+           SELECT k, CAST(SUM(CASE WHEN f.first_doc <= (m.mx * k) // 8
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS cum
+           FROM f CROSS JOIN m CROSS JOIN ks GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS octile, cum AS cum_vocab,
+           cum - COALESCE(lag(cum) OVER (ORDER BY k), 0) AS new_vocab
+         FROM c ORDER BY octile""",
+
+    // bag-of-words identity clusters (q73/q80's fp), keeper = MIN
+    // doc_id; dropped duplicates' tokens attributed per source pair
+    "q160_dedup_attribution" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d),
+         k AS (SELECT fp, MIN(doc_id) AS keeper_id FROM f GROUP BY 1),
+         dup AS (
+           SELECT f.source AS dup_source, f.n_tok, k.keeper_id
+           FROM f JOIN k USING (fp) WHERE f.doc_id <> k.keeper_id),
+         att AS (
+           SELECT kf.source AS keeper_source, dup.dup_source,
+             COUNT(*) AS n_dup_docs, CAST(SUM(dup.n_tok) AS BIGINT) AS tokens_saved
+           FROM dup JOIN f kf ON kf.doc_id = dup.keeper_id
+           GROUP BY 1, 2)
+         SELECT keeper_source, dup_source, n_dup_docs, tokens_saved
+         FROM att ORDER BY keeper_source, dup_source""",
+
+    // q31's confusion CTE rolled to per-class support/predicted/
+    // correct; ppm rates NULLIF-guarded like the Spark spelling
+    "q161_langid_prf" ->
+      s"""WITH cm AS (
+           SELECT lang, $langIdSql AS pred_lang, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+         sup AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS support
+                 FROM cm GROUP BY 1),
+         pred AS (SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS predicted
+                  FROM cm GROUP BY 1),
+         cor AS (SELECT lang, CAST(n AS BIGINT) AS correct
+                 FROM cm WHERE lang = pred_lang),
+         j AS (
+           SELECT COALESCE(s.lang, p.lang) AS lang,
+             COALESCE(s.support, 0) AS support,
+             COALESCE(p.predicted, 0) AS predicted
+           FROM sup s FULL JOIN pred p ON p.lang = s.lang)
+         SELECT j.lang, j.support, j.predicted,
+           COALESCE(c.correct, 0) AS correct,
+           (COALESCE(c.correct, 0) * 1000000) // NULLIF(j.support, 0)
+             AS recall_ppm,
+           (COALESCE(c.correct, 0) * 1000000) // NULLIF(j.predicted, 0)
+             AS precision_ppm
+         FROM j LEFT JOIN cor c ON c.lang = j.lang
+         ORDER BY j.lang""",
+
+    // the q151/q158/q160 CTE blocks composed into one per-source
+    // report; LEFT JOINs keep sources that lack a component defined
+    "q162_corpus_health" ->
+      """WITH d0 AS (
+           SELECT doc_id, source,
+             str_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         base AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+           FROM d0 GROUP BY 1),
+         f AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM d0),
+         kk AS (SELECT fp, MIN(doc_id) AS keeper_id FROM f GROUP BY 1),
+         dups AS (
+           SELECT f.source, COUNT(*) AS dup_docs
+           FROM f JOIN kk USING (fp) WHERE f.doc_id <> kk.keeper_id
+           GROUP BY 1),
+         g AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM d0 WHERE len(toks) >= 8),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gram
+           FROM g),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+         novel AS (
+           SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+           GROUP BY 1),
+         nv AS (
+           SELECT dd.source,
+             (CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) * 1000000)
+               // CAST(SUM(p.n_grams) AS BIGINT) AS novelty_ppm
+           FROM per_doc p LEFT JOIN novel v USING (doc_id)
+                JOIN documents dd USING (doc_id)
+           GROUP BY 1),
+         b AS (
+           SELECT source,
+             CAST(length(bin(CAST(len(toks) AS BIGINT) + 1)) - 1 AS INT) AS band,
+             (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') AS is_new
+           FROM d0),
+         counts AS (
+           SELECT source, band,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+           FROM b GROUP BY 1, 2),
+         tots AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS t_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+           FROM b GROUP BY 1),
+         j AS (
+           SELECT c.source,
+             abs((c.c_old * 1000000) // t.t_old
+               - (c.c_new * 1000000) // t.t_new) AS d
+           FROM counts c JOIN tots t USING (source)
+           WHERE t.t_old > 0 AND t.t_new > 0),
+         drift AS (
+           SELECT source, CAST(SUM(d) AS BIGINT) // 2 AS drift_tv_ppm
+           FROM j GROUP BY 1)
+         SELECT base.source, base.n_docs, base.total_tokens,
+           COALESCE(dups.dup_docs, 0) AS dup_docs,
+           (COALESCE(dups.dup_docs, 0) * 1000000) // base.n_docs AS dup_rate_ppm,
+           nv.novelty_ppm, drift.drift_tv_ppm
+         FROM base LEFT JOIN dups USING (source)
+              LEFT JOIN nv USING (source)
+              LEFT JOIN drift USING (source)
+         ORDER BY base.source""",
+
+    // stored-vs-batch ppm shares per power-of-two length band; TV =
+    // floor(Σ|p−q| / 2); worst band via (d DESC, band ASC) rank —
+    // mirrors Spark's max_by struct key
+    "q158_length_drift" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT source, CAST(length(bin(n_tok + 1)) - 1 AS INT) AS band,
+             (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') AS is_new
+           FROM d),
+         counts AS (
+           SELECT source, band,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+           FROM b GROUP BY 1, 2),
+         tots AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS t_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+           FROM b GROUP BY 1),
+         j AS (
+           SELECT c.source, c.band, t.t_old, t.t_new,
+             abs((c.c_old * 1000000) // t.t_old
+               - (c.c_new * 1000000) // t.t_new) AS d
+           FROM counts c JOIN tots t USING (source)
+           WHERE t.t_old > 0 AND t.t_new > 0),
+         agg AS (
+           SELECT source, MAX(t_old) AS n_stored, MAX(t_new) AS n_batch,
+             CAST(SUM(d) AS BIGINT) // 2 AS tv_ppm
+           FROM j GROUP BY 1),
+         worst AS (
+           SELECT source, band AS worst_band, d AS worst_band_d_ppm,
+             row_number() OVER (PARTITION BY source
+               ORDER BY d DESC, band ASC) AS rn
+           FROM j)
+         SELECT a.source, a.n_stored, a.n_batch, a.tv_ppm,
+           w.worst_band, w.worst_band_d_ppm
+         FROM agg a JOIN worst w ON w.source = a.source AND w.rn = 1
+         ORDER BY a.source""",
+
+    // token types + occurrence mass per power-of-two frequency band;
+    // band = floor(log2 f) via the bin()-length spelling (q113's)
+    "q156_token_spectrum" ->
+      """WITH t AS (
+           SELECT unnest(str_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT w, COUNT(*) AS f FROM t GROUP BY 1)
+         SELECT CAST(length(bin(f)) - 1 AS INT) AS band,
+           COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_occurrences
+         FROM tf GROUP BY 1 ORDER BY band""",
+
+    // surprisal CTEs + the en label join + eighth-bit score bands;
+    // purity rates as ppm integer fixed point
+    "q159_score_calibration" -> (surprisalCteSql +
+      """, lab AS (
+           SELECT p.doc_id, p.score,
+             CASE WHEN d2.lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM p JOIN documents d2 ON d2.doc_id = p.doc_id),
+         h AS (
+           SELECT score // 64 AS band,
+             COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos
+           FROM lab GROUP BY 1)
+         SELECT band, n_docs, n_pos,
+           (n_pos * 1000000) // n_docs AS pos_rate_ppm
+         FROM h ORDER BY band"""),
+
+    // identical histogram-cumulation spelling; integer threshold
+    // comparisons sidestep ceil/doubles on both engines
+    "q166_token_percentiles" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+           FROM h),
+         tot AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1)
+         SELECT source, n_docs,
+           CAST(MIN(CASE WHEN cum * 2 >= n_docs THEN n_tok END) AS BIGINT)
+             AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= n_docs * 9 THEN n_tok END)
+             AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= n_docs * 99 THEN n_tok END)
+             AS BIGINT) AS p99,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+         FROM cum JOIN tot USING (source)
+         GROUP BY source, n_docs ORDER BY source""",
+
+    "q167_winsorized_stats" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+           FROM h),
+         tot AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1),
+         th AS (
+           SELECT source, n_docs,
+             CAST(MIN(CASE WHEN cum * 20 >= n_docs THEN n_tok END)
+               AS BIGINT) AS p05,
+             CAST(MIN(CASE WHEN cum * 20 >= n_docs * 19 THEN n_tok END)
+               AS BIGINT) AS p95
+           FROM cum JOIN tot USING (source)
+           GROUP BY source, n_docs)
+         SELECT h.source, th.n_docs, th.p05, th.p95,
+           CAST(SUM(h.c * greatest(least(h.n_tok, th.p95), th.p05))
+             AS BIGINT) AS wins_sum,
+           CAST(SUM(CASE WHEN h.n_tok < th.p05 THEN h.c ELSE 0 END)
+             AS BIGINT) AS n_lo,
+           CAST(SUM(CASE WHEN h.n_tok > th.p95 THEN h.c ELSE 0 END)
+             AS BIGINT) AS n_hi,
+           CAST((SUM(h.c * greatest(least(h.n_tok, th.p95), th.p05)) * 1000)
+             // th.n_docs AS BIGINT) AS wins_mean_milli
+         FROM h JOIN th ON th.source = h.source
+         GROUP BY h.source, th.n_docs, th.p05, th.p95
+         ORDER BY h.source"""
+  )
+}

@@ -933,7 +933,7 @@ object Streaming {
     // reference, not copied, so the audits are hash-checked against
     // exactly the already-proven q94/q117 spellings.
     "q133_stream_pack" ->
-      graft.operators.TextAnalysis.oracles("q94_sequence_pack"),
+      graft.operators.TextScoring.oracles("q94_sequence_pack"),
     "q134_stream_scd2" ->
       graft.operators.Snapshots.oracles("q117_scd2_intervals"),
 
