@@ -303,6 +303,93 @@ object Relational {
         .select(col("p_partkey"), col("p_type"), col("s_name"),
           col("n_name"), col("min_price"))
         .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q22 shape — above-average-balance customers with NO
+    // finished orders, per nation: a global scalar aggregate gating a
+    // filter, then an anti-join against a filtered fact. The average
+    // threshold is spelled as the exact cross-multiplication
+    // bal·n > s over DECIMALs (no decimal DIVISION, whose result
+    // scale differs between engines), with (s, n) one 2-value bounded
+    // driver action (the q102 contract — a 1-row crossJoin here would
+    // plan the BroadcastNestedLoopJoin PlanSpec bans). Scale shape:
+    // customer scans twice (stats pass + filter pass — both narrow
+    // column-pruned scans); the anti-join is the only exchange.
+    "q182_above_avg_inactive" -> ((s, dir) => {
+      val pos = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,4)").as("bal"))
+      val row = pos.agg(sum(col("bal")).as("s"), count(lit(1)).as("n")).head
+      val (balSum, nPos) = (row.getDecimal(0), row.getLong(1))
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      pos.filter(col("bal") * lit(nPos) > lit(balSum))
+        .join(fOrders, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal")).cast("double").as("total_acctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // TPC-H Q15 shape — the revenue "view" consumed twice (per-supplier
+    // quarter revenue + its global max) without any correlated re-scan:
+    // the aggregate is CACHED, its max is a 1-value bounded driver
+    // action, and the filter reuses the cached rows. The window anchors
+    // on min(l_shipdate) (SF-relative, derived — no wall-clock
+    // constant), revenue sums in DECIMAL so the max-equality compare is
+    // exact on both engines. Scale shape: one shuffle (the supplier
+    // aggregate); supplier join is a stats-gated broadcast.
+    "q183_top_revenue_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      // the anchor arrives as Timestamp (LTZ) or LocalDateTime (NTZ)
+      // depending on the testdata generation — handle both, +90 days
+      // is instant arithmetic either way under the UTC session
+      val (loL, hiL) = li.agg(min(col("l_shipdate"))).head.get(0) match {
+        case t: java.sql.Timestamp =>
+          (lit(t), lit(new java.sql.Timestamp(t.getTime + 90L * 24 * 3600 * 1000)))
+        case t: java.time.LocalDateTime => (lit(t), lit(t.plusDays(90)))
+        case other => throw new IllegalStateException(
+          s"unexpected min(l_shipdate) type: ${other.getClass}")
+      }
+      val rev = graft.Caches.cached(
+        li.filter(col("l_shipdate") >= loL && col("l_shipdate") < hiL)
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r")))
+      val mx = rev.agg(max(col("r"))).head.getDecimal(0)
+      rev.filter(col("r") === lit(mx))
+        .join(Tables.maybeBroadcast(
+          Tables.supplier(s, dir).select("s_suppkey", "s_name")), "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: the HAVING aggregate
+    // collapses the fact table to ORDER grain before any join touches
+    // it (aggregate-before-join, the q07 discipline on a Q18 join
+    // graph), so the orders join moves only qualifying keys and the
+    // customer hop is a broadcast. Quantity sums in DECIMAL; the
+    // > 150 threshold is SF-invariant (per-order line count does not
+    // grow with corpus size).
+    "q184_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 150)
+      big
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          "o_orderkey")
+        .join(Tables.maybeBroadcast(
+          Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("qty").cast("double").as("total_qty"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -442,6 +529,48 @@ object Relational {
          JOIN supplier ON s_suppkey = l_suppkey
          JOIN nation ON n_nationkey = s_nationkey
          WHERE rn = 1 AND p_size >= 40
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+    // exact cross-multiplied threshold (bal*n > s) — no decimal
+    // division anywhere, so both engines compare identical DECIMALs
+    "q182_above_avg_inactive" ->
+      """WITH pos AS (
+           SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+           FROM customer WHERE c_acctbal > 0),
+         st AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pos),
+         rich AS (SELECT c_custkey, c_nationkey, bal FROM pos, st
+                  WHERE bal * n > s),
+         nof AS (SELECT r.* FROM rich r
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = r.c_custkey
+                     AND o.o_orderstatus = 'F'))
+         SELECT c_nationkey, COUNT(*) AS n_custs,
+           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+         FROM nof GROUP BY 1 ORDER BY 1""",
+    "q183_top_revenue_supplier" ->
+      """WITH win AS (SELECT MIN(l_shipdate) AS lo FROM lineitem),
+         rev AS (
+           SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,4))) AS r
+           FROM lineitem, win
+           WHERE l_shipdate >= lo AND l_shipdate < lo + INTERVAL 90 DAY
+           GROUP BY 1),
+         mx AS (SELECT MAX(r) AS m FROM rev)
+         SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier USING (s_suppkey) JOIN mx ON r = m
+         ORDER BY s_suppkey""",
+    "q184_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey AS o_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(qty AS DOUBLE) AS total_qty
+         FROM big JOIN orders USING (o_orderkey)
+           JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_orderkey"""
   )
 }

@@ -815,6 +815,83 @@ object Similarity {
           (col("drift_micro") > 2000 ||
             expr("((n2 - n1) * 1000) DIV n2") > 250).as("rebuild"))
         .orderBy("cell")
+    }),
+
+    // PRODUCT QUANTIZATION + ADC SERVING (Jégou et al. 2011) — the
+    // vector-compression serving path between q69's whole-vector int8
+    // and q87's IVF: the 64-d space splits into 8 subspaces of 8 dims;
+    // each subspace gets a 256-entry codebook (q79's deterministic
+    // one-Lloyd-step means over vec_id % 256 seed cells, per
+    // subspace — the classic PQ 8-bit-code configuration), every
+    // vector encodes to 8 one-byte codes (argmin subspace
+    // distance, cluster-id tie-break), and a query is served by
+    // Asymmetric Distance Computation: its 8×16 distance table is
+    // precomputed once, a candidate's distance is the SUM OF 8 TABLE
+    // LOOKUPS — the corpus pays code bytes, not float reads. Every
+    // number that crosses an aggregation is fixed-point: table entries
+    // floor to 1e-6 granules (BIGINT) so the 8-term ADC sum is
+    // order-independent, and the codebook/assignment arithmetic is
+    // q79's bit-stable left-associated spelling — fully deterministic
+    // ⇒ DuckDB hash-matched. Scale shape: codebooks are 2048 rows
+    // (broadcast); encoding is corpus × 2048 broadcast rows collapsed
+    // by ONE map-side-combined (vec, subspace) argmin; serving joins
+    // codes to the 20480-row broadcast distance table on (subspace,
+    // code) and sums per (query, vec) — one exchange; the top-10 rank
+    // compiles to WindowGroupLimit. In production this composes with
+    // IVF cell pruning (q87) so only probed cells' codes are scanned;
+    // recall vs exact top-10 is pinned in SimilaritySpec.
+    "q185_pq_adc_topk" -> ((s, dir) => {
+      val nSub = 8; val subDim = 8; val nCodes = 256; val dims = 64
+      val e = Tables.fanOut(Tables.embeddings(s, dir))
+        .select("vec_id", "embedding")
+      def x(i: Int): Column =
+        element_at(col("embedding"), i + 1).cast("double")
+      // per-(seed-cell) scaled-long sums over all 64 dims — ONE corpus
+      // aggregate; subspace codebooks are projections of its 16 rows
+      val nums = e
+        .select((col("vec_id") % nCodes).as("cluster") +:
+          (0 until dims).map(i => floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (0 until dims).map(i => sum(col(s"sx$i")).as(s"s$i")): _*)
+      val cents = nums.select(
+        col("cluster") +: col("n") +:
+          Seq(explode(array((0 until nSub).map(ss =>
+            struct(lit(ss).as("ss") +: (0 until subDim).map(j =>
+              ((col(s"s${ss * subDim + j}").cast("double") / 1e6) / col("n"))
+                .as(s"c$j")): _*)): _*)).as("sc")): _*)
+        .select(col("cluster") +: col("sc.ss").as("ss") +:
+          (0 until subDim).map(j => col(s"sc.c$j").as(s"c$j")): _*)
+      // subspace distance to a codebook row, LEFT-ASSOCIATED (the q79
+      // bit-stability discipline); the element index rides the row's
+      // own ss column
+      def subDist(embCol: String): Column =
+        (0 until subDim).map { j =>
+          val xi = element_at(col(embCol), col("ss") * subDim + j + 1)
+            .cast("double")
+          (xi - col(s"c$j")) * (xi - col(s"c$j"))
+        }.reduce(_ + _)
+      val centsB = broadcast(cents) // 128 rows
+      val codes = e.crossJoin(centsB)
+        .withColumn("dist", subDist("embedding"))
+        .groupBy(col("vec_id"), col("ss"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("ss"), col("m.cluster").as("code"))
+      val dtable = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .crossJoin(centsB)
+          .withColumn("gd", floor(subDist("q_emb") * lit(1e6)).cast("long"))
+          .select(col("q_id"), col("ss"), col("cluster").as("code"), col("gd")))
+      val scored = codes.join(dtable, Seq("ss", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("gd")).as("adc_micro"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc_micro"))
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1471,6 +1548,57 @@ object Similarity {
            COALESCE(surv.n_survivors, CAST(0 AS BIGINT)) AS n_survivors,
            base.n_vecs - COALESCE(surv.n_survivors, CAST(0 AS BIGINT)) AS n_removed
          FROM base LEFT JOIN surv ON surv.cell = base.cell ORDER BY cell"""
+    },
+    "q185_pq_adc_topk" -> {
+      // generated spellings, mirroring the Spark query term for term:
+      // per-cell scaled-long sums over all 64 dims; 8 subspace codebook
+      // projections UNION ALL'd; LEFT-ASSOCIATED subspace distances
+      // (the q79 discipline) with the element index riding the row's
+      // ss; ADC granules floored to BIGINT so the 8-term sum is
+      // order-independent (and CAST(SUM(..) AS BIGINT) defuses the
+      // HUGEINT widening)
+      val nSub = 8; val subDim = 8; val nCodes = 256; val dims = 64
+      val sumCols = (0 until dims).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centSel = (0 until nSub).map { ss =>
+        val cs = (0 until subDim).map(j =>
+          s"(CAST(s${ss * subDim + j} AS DOUBLE) / 1e6) / n AS c$j").mkString(", ")
+        s"SELECT cluster, $ss AS ss, $cs FROM nums"
+      }.mkString("\n           UNION ALL ")
+      def distExpr(tbl: String) = (0 until subDim).map(j =>
+        s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j) * " +
+          s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j)")
+        .mkString(" + ")
+      s"""WITH nums AS (
+           SELECT vec_id % $nCodes AS cluster, COUNT(*) AS n, $sumCols
+           FROM embeddings GROUP BY 1),
+         cents AS (
+           $centSel),
+         d AS (
+           SELECT e.vec_id, c.ss, c.cluster, ${distExpr("e")} AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         rk AS (
+           SELECT vec_id, ss, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id, ss
+               ORDER BY dist ASC, cluster ASC) AS rn
+           FROM d),
+         codes AS (SELECT vec_id, ss, cluster AS code FROM rk WHERE rn = 1),
+         qd AS (
+           SELECT q.vec_id AS q_id, c.ss, c.cluster AS code,
+             CAST(floor((${distExpr("q")}) * 1e6) AS BIGINT) AS gd
+           FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10),
+         sc AS (
+           SELECT qd.q_id, codes.vec_id,
+             CAST(SUM(gd) AS BIGINT) AS adc_micro
+           FROM codes JOIN qd USING (ss, code) GROUP BY 1, 2),
+         r AS (
+           SELECT q_id, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_micro ASC, vec_id ASC) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adc_micro
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank"""
     }
   )
 }

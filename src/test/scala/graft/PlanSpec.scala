@@ -133,7 +133,11 @@ class PlanSpec extends SparkSpec {
       "q177_interleave_schedule", // 1-row corpus-size broadcast
       "q178_doc_keywords", // 1-row doc-count broadcast
       "q179_postings_bytes", // 1-row doc-id-ceiling broadcast
-      "q180_rfm_segments") // 1-row reference-date + fence broadcasts
+      "q180_rfm_segments", // 1-row reference-date + fence broadcasts
+      "q185_pq_adc_topk") // corpus × 128 broadcast codebook rows (the
+                          // q43/q79 assignment shape) + the 1280-row
+                          // broadcast ADC table (that one IS an
+                          // equi-join on (ss, code))
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

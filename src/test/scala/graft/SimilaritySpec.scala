@@ -537,4 +537,59 @@ class SimilaritySpec extends SparkSpec {
     // dispersion for a labeled space — at least one pair separates
     assert(rows.exists(_._5 > 0), "all centroids identical is vacuous")
   }
+
+  test("q185 PQ-ADC: recall vs exact L2 top-10, code diversity (q185 laws)") {
+    import org.apache.spark.sql.expressions.Window
+    val pq = SparkEntry.queries("q185_pq_adc_topk")(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    assert(pq.nonEmpty && pq.forall(_._2.size == 10))
+    // exact squared-L2 top-10 (self included — PQ ranks the full
+    // corpus), same tie discipline (dist asc, vec_id asc)
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def x(i: Int) = element_at($"embedding", i + 1).cast("double")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    def qx(i: Int) = element_at($"q_emb", i + 1).cast("double")
+    val d2 = (0 until 64).map(i => (qx(i) - x(i)) * (qx(i) - x(i))).reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy($"d2".asc, $"vec_id".asc)
+    val exact = e.crossJoin(broadcast(q)).withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (qq, vs) => qq -> vs.map(_._2).toSet }
+    val recall = pq.keys.toSeq.map(qq =>
+      (pq(qq) intersect exact(qq)).size.toDouble / 10.0)
+    val mean = recall.sum / recall.size
+    info(f"PQ-ADC mean recall@10 = $mean%.3f")
+    // measures 0.49 on this fixture (synthetic near-random embeddings
+    // are PQ's worst case — no subspace cluster structure to exploit);
+    // the serving contract is "candidate generator before exact
+    // re-rank", not "exact", and the floor sits under the measurement
+    // to catch silent half-regressions (the q40/q43 floor discipline)
+    assert(mean >= 0.4, f"PQ recall@10 $mean%.3f under floor 0.4")
+    // every subspace must actually discriminate: a degenerate codebook
+    // (all vectors one code) would make ADC a constant per subspace —
+    // codes re-derived here with the query's own spelling
+    val nums = e.select(($"vec_id" % 256).as("cluster") +:
+      (0 until 64).map(i => floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), (0 until 64).map(i => sum(col(s"sx$i")).as(s"s$i")): _*)
+    val cents = nums.select(col("cluster") +: col("n") +:
+      Seq(explode(array((0 until 8).map(ss =>
+        struct(lit(ss).as("ss") +: (0 until 8).map(j =>
+          ((col(s"s${ss * 8 + j}").cast("double") / 1e6) / col("n")).as(s"c$j")): _*)): _*)).as("sc")): _*)
+      .select(col("cluster") +: col("sc.ss").as("ss") +:
+        (0 until 8).map(j => col(s"sc.c$j").as(s"c$j")): _*)
+    val dist = (0 until 8).map { j =>
+      val xi = element_at($"embedding", col("ss") * 8 + j + 1).cast("double")
+      (xi - col(s"c$j")) * (xi - col(s"c$j"))
+    }.reduce(_ + _)
+    val diversity = e.crossJoin(broadcast(cents)).withColumn("dist", dist)
+      .groupBy($"vec_id", $"ss").agg(min(struct($"dist", $"cluster")).as("m"))
+      .select($"ss", $"m.cluster".as("code"))
+      .groupBy("ss").agg(countDistinct($"code").as("nc"))
+      .as[(Int, Long)].collect().toMap
+    assert(diversity.size == 8 && diversity.values.forall(_ >= 2),
+      s"degenerate codebook: $diversity")
+  }
 }
