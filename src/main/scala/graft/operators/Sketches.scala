@@ -179,6 +179,57 @@ object Sketches {
           sum(col("n_events")).as("n_events"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy("event_type")
+    }),
+
+    // SLIDING-WINDOW DISTINCT FROM DAILY SKETCHES — the dashboard
+    // query exact distinct cannot serve cheaply: distinct users over
+    // the TRAILING 7 DAYS, for every (event_type, day), computed
+    // entirely from q181's per-day sketch state. Each daily sketch
+    // contributes to the 7 window-ends it falls in (a bounded 7×
+    // explode of SKETCH rows — days × types × 7, never events), then
+    // one hll_union_agg per (event_type, end_day). Exact would pay a
+    // 7-day re-scan of raw events per day served; the sketch algebra
+    // pays |state| × 7. Window ends are clamped to days that exist so
+    // both the window grid and the estimates are data-derived.
+    // Rows-only (Datasketches estimates have no DuckDB twin);
+    // SketchesSpec pins union == direct-window-recompute estimate
+    // EQUALITY and the 5% exact-twin tolerance.
+    "q187_sliding_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = graft.Caches.cached(
+        ev.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events")))
+      val contrib = daily.select(col("event_type"), col("sk"), col("n_events"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("end_day"))
+      val realDays = daily.select(col("event_type"),
+        col("day").as("end_day")).distinct()
+      contrib.join(realDays, Seq("event_type", "end_day"))
+        .groupBy("event_type", "end_day")
+        .agg(count(lit(1)).as("n_days_in_window"),
+          sum(col("n_events")).as("n_events_7d"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users_7d"))
+        .orderBy("event_type", "end_day")
+    }),
+
+    // VARIANT SHREDDING — the semi-structured column path on Spark 4's
+    // VariantType: `props` parses ONCE into a variant (a binary,
+    // schema-on-read encoding that pushes down typed paths), typed
+    // extraction via variant_get, then a banded rollup. Versus q54's
+    // get_json_object (per-access string re-parse), the variant parse
+    // happens once per row and every subsequent path read is a binary
+    // traversal — the 100 TB-relevant difference when a row has many
+    // accessed paths. Values are identical to the JSON spelling, so
+    // the DuckDB twin reads json_extract — hash-matched.
+    "q188_variant_shred" -> ((s, dir) => {
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+      v.groupBy(col("event_type"), expr("k DIV 16").as("band"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type", "band")
     })
   )
 
@@ -209,6 +260,15 @@ object Sketches {
            n_docs - COALESCE(n_contaminated, 0) AS n_clean
          FROM base LEFT JOIN cc ON base.source = cc.source
          ORDER BY base.source""",
+    // identical values to the variant path — the shred only changes
+    // HOW the path is read, never what it yields
+    "q188_variant_shred" ->
+      """SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 16 AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // the exact definition the sketch+verify composition must equal
     "q102_heavy_hitters" ->
       """WITH t AS (

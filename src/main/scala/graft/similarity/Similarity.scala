@@ -191,9 +191,10 @@ object Similarity {
     * Lloyd-step query is exactly this plus a per-cell rollup) and
     * q90's semantic-dedup cells; the q79 oracle mirrors the spelling
     * term for term. */
-  private def lloydAssign(e0: DataFrame, nCells: Int = 8,
-                          dims: Int = 64): DataFrame = {
-    val e = e0.select("vec_id", "embedding")
+  /** The one-Lloyd-step centroid table (c_cluster, c0..c{dims-1}) of
+    * [[lloydAssign]] — factored out so q186's query-side cell ranking
+    * probes the SAME centroids the corpus assignment used. */
+  private[graft] def lloydCents(e: DataFrame, nCells: Int, dims: Int): DataFrame = {
     def x(i: Int): Column =
       element_at(col("embedding"), i + 1).cast("double")
     val nums = e
@@ -202,11 +203,24 @@ object Similarity {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"), (0 until dims).map(i =>
         sum(col(s"sx$i")).as(s"s$i")): _*)
-    val cents = nums.select(col("cluster").as("c_cluster") +:
+    nums.select(col("cluster").as("c_cluster") +:
       (0 until dims).map(i =>
         ((col(s"s$i").cast("double") / 1e6) / col("n")).as(s"c$i")): _*)
-    val dist = (0 until dims).map(i =>
-      (x(i) - col(s"c$i")) * (x(i) - col(s"c$i"))).reduce(_ + _)
+  }
+
+  /** LEFT-ASSOCIATED squared-L2 of `embCol` against a lloydCents row
+    * (the q79 bit-stability discipline). */
+  private[graft] def lloydDist(embCol: String, dims: Int): Column =
+    (0 until dims).map { i =>
+      val xi = element_at(col(embCol), i + 1).cast("double")
+      (xi - col(s"c$i")) * (xi - col(s"c$i"))
+    }.reduce(_ + _)
+
+  private[graft] def lloydAssign(e0: DataFrame, nCells: Int = 8,
+                                 dims: Int = 64): DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    val cents = lloydCents(e, nCells, dims)
+    val dist = lloydDist("embedding", dims)
     // argmin as min(struct(dist, cell)) — struct ordering compares
     // dist first, cell id as the tie-break, identical to the
     // ORDER BY dist, cluster the oracles use; a window partitioned by
@@ -218,6 +232,56 @@ object Similarity {
       .select(col("vec_id"), col("m.c_cluster").as("cell"),
         col("m.dist").as("dist"))
   }
+
+  /** PQ codebooks: per-(seed-cell) scaled-long sums over all dims in
+    * ONE corpus aggregate, projected into nSub subspace rows of
+    * (cluster, ss, c0..c{subDim-1}) — nCodes·nSub rows total
+    * (broadcast-sized). The q79 exact-rational mean discipline. */
+  private def pqCents(e: DataFrame, nSub: Int, subDim: Int, nCodes: Int): DataFrame = {
+    val dims = nSub * subDim
+    def x(i: Int): Column = element_at(col("embedding"), i + 1).cast("double")
+    val nums = e
+      .select((col("vec_id") % nCodes).as("cluster") +:
+        (0 until dims).map(i => floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (0 until dims).map(i => sum(col(s"sx$i")).as(s"s$i")): _*)
+    nums.select(
+      col("cluster") +: col("n") +:
+        Seq(explode(array((0 until nSub).map(ss =>
+          struct(lit(ss).as("ss") +: (0 until subDim).map(j =>
+            ((col(s"s${ss * subDim + j}").cast("double") / 1e6) / col("n"))
+              .as(s"c$j")): _*)): _*)).as("sc")): _*)
+      .select(col("cluster") +: col("sc.ss").as("ss") +:
+        (0 until subDim).map(j => col(s"sc.c$j").as(s"c$j")): _*)
+  }
+
+  /** Subspace distance of `embCol` to a pqCents row, LEFT-ASSOCIATED
+    * (the q79 bit-stability discipline); the element index rides the
+    * row's own ss column. */
+  private def pqSubDist(embCol: String, subDim: Int): Column =
+    (0 until subDim).map { j =>
+      val xi = element_at(col(embCol), col("ss") * subDim + j + 1)
+        .cast("double")
+      (xi - col(s"c$j")) * (xi - col(s"c$j"))
+    }.reduce(_ + _)
+
+  /** Encode: corpus × broadcast codebook rows collapsed by ONE
+    * map-side-combined (vec, subspace) argmin → (vec_id, ss, code). */
+  private def pqCodes(e: DataFrame, cents: DataFrame, subDim: Int): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", pqSubDist("embedding", subDim))
+      .groupBy(col("vec_id"), col("ss"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("ss"), col("m.cluster").as("code"))
+
+  /** ADC distance table (q_id, ss, code, gd): per-query subspace
+    * distances to every codebook entry, floored to 1e-6 BIGINT
+    * granules so downstream sums are order-independent. */
+  private def pqDtable(qv: DataFrame, cents: DataFrame, subDim: Int): DataFrame =
+    qv.crossJoin(broadcast(cents))
+      .withColumn("gd", floor(pqSubDist("q_emb", subDim) * lit(1e6)).cast("long"))
+      .select(col("q_id"), col("ss"), col("cluster").as("code"), col("gd"))
 
   val queries: Map[String, Q] = Map(
     // Exact cosine top-5 neighbors for a fixed 10-vector query set.
@@ -841,49 +905,62 @@ object Similarity {
     // IVF cell pruning (q87) so only probed cells' codes are scanned;
     // recall vs exact top-10 is pinned in SimilaritySpec.
     "q185_pq_adc_topk" -> ((s, dir) => {
-      val nSub = 8; val subDim = 8; val nCodes = 256; val dims = 64
+      val subDim = 8
       val e = Tables.fanOut(Tables.embeddings(s, dir))
         .select("vec_id", "embedding")
-      def x(i: Int): Column =
-        element_at(col("embedding"), i + 1).cast("double")
-      // per-(seed-cell) scaled-long sums over all 64 dims — ONE corpus
-      // aggregate; subspace codebooks are projections of its 16 rows
-      val nums = e
-        .select((col("vec_id") % nCodes).as("cluster") +:
-          (0 until dims).map(i => floor(x(i) * 1e6).cast("long").as(s"sx$i")): _*)
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n"),
-          (0 until dims).map(i => sum(col(s"sx$i")).as(s"s$i")): _*)
-      val cents = nums.select(
-        col("cluster") +: col("n") +:
-          Seq(explode(array((0 until nSub).map(ss =>
-            struct(lit(ss).as("ss") +: (0 until subDim).map(j =>
-              ((col(s"s${ss * subDim + j}").cast("double") / 1e6) / col("n"))
-                .as(s"c$j")): _*)): _*)).as("sc")): _*)
-        .select(col("cluster") +: col("sc.ss").as("ss") +:
-          (0 until subDim).map(j => col(s"sc.c$j").as(s"c$j")): _*)
-      // subspace distance to a codebook row, LEFT-ASSOCIATED (the q79
-      // bit-stability discipline); the element index rides the row's
-      // own ss column
-      def subDist(embCol: String): Column =
-        (0 until subDim).map { j =>
-          val xi = element_at(col(embCol), col("ss") * subDim + j + 1)
-            .cast("double")
-          (xi - col(s"c$j")) * (xi - col(s"c$j"))
-        }.reduce(_ + _)
-      val centsB = broadcast(cents) // 128 rows
-      val codes = e.crossJoin(centsB)
-        .withColumn("dist", subDist("embedding"))
-        .groupBy(col("vec_id"), col("ss"))
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("ss"), col("m.cluster").as("code"))
-      val dtable = broadcast(
-        e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-          .crossJoin(centsB)
-          .withColumn("gd", floor(subDist("q_emb") * lit(1e6)).cast("long"))
-          .select(col("q_id"), col("ss"), col("cluster").as("code"), col("gd")))
+      val cents = pqCents(e, nSub = 8, subDim = subDim, nCodes = 256)
+      val codes = pqCodes(e, cents, subDim)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dtable = broadcast(pqDtable(qv, cents, subDim))
       val scored = codes.join(dtable, Seq("ss", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("gd")).as("adc_micro"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF + PQ COMPOSITION (the FAISS IVFPQ serving shape — Jégou et
+    // al. 2011, §IV): coarse cells prune the corpus BEFORE ADC pays
+    // anything — each query ranks the 8 one-Lloyd-step cell centroids
+    // (q79's assignment spelling, shared via lloydCents/lloydDist) and
+    // probes only its best 2; PQ codes (q185's 8×256 codebooks, shared
+    // helpers) serve ADC top-10 WITHIN the probed cells only. Fully
+    // deterministic (argmin tie-breaks by cluster id, granule-integer
+    // ADC sums) ⇒ DuckDB hash-matched — unlike q87's cosine-IVF the
+    // whole probe+serve chain carries an oracle. Scale shape: the cell
+    // list and both broadcast tables are bounded (8 cents / 2048
+    // codebook rows / 20480 ADC rows); candidates = corpus ×
+    // (nprobe/nCells) via a cell equi-join, codes attach by vec_id,
+    // and the only corpus-sized exchange is the (q, vec) ADC sum; at
+    // 100 TB the probed-cell code scan IS the read bound — the reason
+    // production ANN is IVFPQ, not flat PQ (q185's corpus-wide scan).
+    "q186_ivfpq_topk" -> ((s, dir) => {
+      val subDim = 8
+      val e = Tables.fanOut(Tables.embeddings(s, dir))
+        .select("vec_id", "embedding")
+      val cells = lloydAssign(e).select("vec_id", "cell")
+      val cents8 = lloydCents(e, nCells = 8, dims = 64)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wc = Window.partitionBy("q_id")
+        .orderBy(col("cdist").asc, col("c_cluster").asc)
+      val probed = qv.crossJoin(broadcast(cents8))
+        .withColumn("cdist", lloydDist("q_emb", 64))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= 2)
+        .select(col("q_id"), col("c_cluster").as("cell"))
+      val cents = pqCents(e, nSub = 8, subDim = subDim, nCodes = 256)
+      val codes = pqCodes(e, cents, subDim)
+      val dtable = broadcast(pqDtable(qv, cents, subDim))
+      val cand = cells.join(broadcast(probed), Seq("cell"))
+        .select("q_id", "vec_id")
+      val scored = cand.join(codes, Seq("vec_id"))
+        .join(dtable, Seq("q_id", "ss", "code"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(sum(col("gd")).as("adc_micro"))
       val w = Window.partitionBy("q_id")
@@ -1549,28 +1626,73 @@ object Similarity {
            base.n_vecs - COALESCE(surv.n_survivors, CAST(0 AS BIGINT)) AS n_removed
          FROM base LEFT JOIN surv ON surv.cell = base.cell ORDER BY cell"""
     },
-    "q185_pq_adc_topk" -> {
-      // generated spellings, mirroring the Spark query term for term:
-      // per-cell scaled-long sums over all 64 dims; 8 subspace codebook
-      // projections UNION ALL'd; LEFT-ASSOCIATED subspace distances
-      // (the q79 discipline) with the element index riding the row's
-      // ss; ADC granules floored to BIGINT so the 8-term sum is
-      // order-independent (and CAST(SUM(..) AS BIGINT) defuses the
-      // HUGEINT widening)
-      val nSub = 8; val subDim = 8; val nCodes = 256; val dims = 64
-      val sumCols = (0 until dims).map(i =>
-        s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
-        .mkString(", ")
-      val centSel = (0 until nSub).map { ss =>
-        val cs = (0 until subDim).map(j =>
-          s"(CAST(s${ss * subDim + j} AS DOUBLE) / 1e6) / n AS c$j").mkString(", ")
-        s"SELECT cluster, $ss AS ss, $cs FROM nums"
-      }.mkString("\n           UNION ALL ")
-      def distExpr(tbl: String) = (0 until subDim).map(j =>
-        s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j) * " +
-          s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j)")
-        .mkString(" + ")
-      s"""WITH nums AS (
+    "q185_pq_adc_topk" ->
+      s"""WITH $pqSqlCtes,
+         sc AS (
+           SELECT qd.q_id, codes.vec_id,
+             CAST(SUM(gd) AS BIGINT) AS adc_micro
+           FROM codes JOIN qd USING (ss, code) GROUP BY 1, 2),
+         r AS (
+           SELECT q_id, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_micro ASC, vec_id ASC) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adc_micro
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
+    // q185's PQ CTEs + the q79-spelling coarse cells and a 2-cell
+    // probe rank; ADC runs only over probed-cell candidates
+    "q186_ivfpq_topk" ->
+      s"""WITH $pqSqlCtes,
+         $cellSqlCtes,
+         qcd AS (
+           SELECT q.vec_id AS q_id, c.c_cluster, ${cellDistSql("q")} AS cdist
+           FROM embeddings q CROSS JOIN ccents c WHERE q.vec_id < 10),
+         probed AS (
+           SELECT q_id, c_cluster AS cell FROM (
+             SELECT q_id, c_cluster, cdist,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cdist ASC, c_cluster ASC) AS crk
+             FROM qcd) WHERE crk <= 2),
+         cand AS (
+           SELECT p.q_id, a.vec_id FROM probed p JOIN assigned a USING (cell)),
+         sc AS (
+           SELECT cand.q_id, cand.vec_id,
+             CAST(SUM(gd) AS BIGINT) AS adc_micro
+           FROM cand JOIN codes USING (vec_id)
+             JOIN qd ON qd.q_id = cand.q_id AND qd.ss = codes.ss
+               AND qd.code = codes.code
+           GROUP BY 1, 2),
+         r AS (
+           SELECT q_id, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_micro ASC, vec_id ASC) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adc_micro
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank"""
+  )
+
+  /** Generated PQ SQL CTEs (nums/cents/d/rk/codes/qd) shared by the
+    * q185/q186 oracles — mirrors pqCents/pqSubDist/pqCodes/pqDtable
+    * term for term: per-cell scaled-long sums over all 64 dims, 8
+    * subspace codebook projections UNION ALL'd, LEFT-ASSOCIATED
+    * subspace distances with the element index riding the row's ss,
+    * ADC granules floored to BIGINT so downstream sums are
+    * order-independent. */
+  private lazy val pqSqlCtes: String = {
+    val nSub = 8; val subDim = 8; val nCodes = 256; val dims = 64
+    val sumCols = (0 until dims).map(i =>
+      s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val centSel = (0 until nSub).map { ss =>
+      val cs = (0 until subDim).map(j =>
+        s"(CAST(s${ss * subDim + j} AS DOUBLE) / 1e6) / n AS c$j").mkString(", ")
+      s"SELECT cluster, $ss AS ss, $cs FROM nums"
+    }.mkString("\n           UNION ALL ")
+    def distExpr(tbl: String) = (0 until subDim).map(j =>
+      s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j) * " +
+        s"(CAST($tbl.embedding[c.ss * $subDim + ${j + 1}] AS DOUBLE) - c.c$j)")
+      .mkString(" + ")
+    s"""nums AS (
            SELECT vec_id % $nCodes AS cluster, COUNT(*) AS n, $sumCols
            FROM embeddings GROUP BY 1),
          cents AS (
@@ -1587,18 +1709,37 @@ object Similarity {
          qd AS (
            SELECT q.vec_id AS q_id, c.ss, c.cluster AS code,
              CAST(floor((${distExpr("q")}) * 1e6) AS BIGINT) AS gd
-           FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10),
-         sc AS (
-           SELECT qd.q_id, codes.vec_id,
-             CAST(SUM(gd) AS BIGINT) AS adc_micro
-           FROM codes JOIN qd USING (ss, code) GROUP BY 1, 2),
-         r AS (
-           SELECT q_id, vec_id, adc_micro,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY adc_micro ASC, vec_id ASC) AS rank
-           FROM sc)
-         SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adc_micro
-         FROM r WHERE rank <= 10 ORDER BY q_id, rank"""
-    }
-  )
+           FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)"""
+  }
+
+  /** LEFT-ASSOCIATED 64-term squared-L2 against a ccents row —
+    * mirrors lloydDist. */
+  private def cellDistSql(tbl: String): String = (0 until 64).map(i =>
+    s"(CAST($tbl.embedding[${i + 1}] AS DOUBLE) - c.cc$i) * " +
+      s"(CAST($tbl.embedding[${i + 1}] AS DOUBLE) - c.cc$i)").mkString(" + ")
+
+  /** Generated coarse-cell CTEs (cnums/ccents/cd/crk2/assigned) —
+    * the q79 assignment spelling (vec_id % 8 seeds), column names
+    * cc-prefixed to coexist with the PQ CTEs. */
+  private lazy val cellSqlCtes: String = {
+    val dims = 64
+    val sumCols = (0 until dims).map(i =>
+      s"SUM(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS cs$i")
+      .mkString(", ")
+    val centCols = (0 until dims).map(i =>
+      s"(CAST(cs$i AS DOUBLE) / 1e6) / cn AS cc$i").mkString(", ")
+    s"""cnums AS (
+           SELECT vec_id % 8 AS c_cluster, COUNT(*) AS cn, $sumCols
+           FROM embeddings GROUP BY 1),
+         ccents AS (SELECT c_cluster, cn, $centCols FROM cnums),
+         cd AS (
+           SELECT e.vec_id, c.c_cluster, ${cellDistSql("e")} AS cdist
+           FROM embeddings e CROSS JOIN ccents c),
+         crk2 AS (
+           SELECT vec_id, c_cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cdist ASC, c_cluster ASC) AS crn
+           FROM cd),
+         assigned AS (SELECT vec_id, c_cluster AS cell FROM crk2 WHERE crn = 1)"""
+  }
 }

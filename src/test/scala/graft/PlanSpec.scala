@@ -134,10 +134,13 @@ class PlanSpec extends SparkSpec {
       "q178_doc_keywords", // 1-row doc-count broadcast
       "q179_postings_bytes", // 1-row doc-id-ceiling broadcast
       "q180_rfm_segments", // 1-row reference-date + fence broadcasts
-      "q185_pq_adc_topk") // corpus × 128 broadcast codebook rows (the
-                          // q43/q79 assignment shape) + the 1280-row
+      "q185_pq_adc_topk", // corpus × 2048 broadcast codebook rows (the
+                          // q43/q79 assignment shape) + the 20480-row
                           // broadcast ADC table (that one IS an
                           // equi-join on (ss, code))
+      "q186_ivfpq_topk") // composes q185's codebook scan with
+                         // lloydAssign's corpus × 8 centroid grid; the
+                         // candidate/ADC joins are equi-joins
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

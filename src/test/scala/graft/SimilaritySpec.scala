@@ -592,4 +592,47 @@ class SimilaritySpec extends SparkSpec {
     assert(diversity.size == 8 && diversity.values.forall(_ >= 2),
       s"degenerate codebook: $diversity")
   }
+
+  test("q186 IVFPQ: probed-cell discipline, ADC consistency, pruning engages (q186 laws)") {
+    val ivfpq = SparkEntry.queries("q186_ivfpq_topk")(spark, sf)
+      .select($"q_id", $"vec_id", $"adc_micro").as[(Long, Long, Long)].collect()
+    val flat = SparkEntry.queries("q185_pq_adc_topk")(spark, sf)
+      .select($"q_id", $"vec_id", $"adc_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, v, a) => (q, v) -> a }.toMap
+    assert(ivfpq.groupBy(_._1).forall(_._2.length == 10),
+      "IVFPQ must fill top-10 per query at nprobe=2 on this fixture")
+    // ADC consistency: a (q, vec) pair appearing in both rankings
+    // carries the IDENTICAL integer distance — cells prune candidates,
+    // they must never change a distance
+    ivfpq.foreach { case (q, v, a) =>
+      flat.get((q, v)).foreach(fa =>
+        assert(fa == a, s"ADC drift for ($q, $v): ivfpq $a vs flat $fa"))
+    }
+    // probed-cell discipline: every served vec lies in one of its
+    // query's 2 best cells (recomputed via the shared helpers)
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cellOf = Similarity.lloydAssign(e).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    val cents8 = Similarity.lloydCents(e, 8, 64)
+    val probed = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .crossJoin(broadcast(cents8))
+      .withColumn("cdist", Similarity.lloydDist("q_emb", 64))
+      .select($"q_id", $"c_cluster", $"cdist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(r => (r._3, r._2)).take(2).map(_._2).toSet }
+    ivfpq.foreach { case (q, v, _) =>
+      assert(probed(q).contains(cellOf(v)),
+        s"query $q served vec $v from an unprobed cell ${cellOf(v)}")
+    }
+    // pruning engages: the candidate pool is a strict subset of the
+    // corpus for every query (2 of 8 cells can never cover everything
+    // unless the assignment degenerated)
+    val cellSizes = cellOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    probed.foreach { case (q, cs) =>
+      val pool = cs.toSeq.map(c => cellSizes.getOrElse(c, 0)).sum
+      assert(pool < cellOf.size, s"query $q: probe covers the whole corpus")
+    }
+  }
 }

@@ -135,4 +135,48 @@ class SketchesSpec extends SparkSpec {
       daily.unpersist()
     } finally ev.unpersist()
   }
+
+  test("q187 sliding distinct: window union == direct recompute, 5% of exact") {
+    val rows = SparkEntry.queries("q187_sliding_distinct")(spark, sf)
+      .select($"event_type", $"end_day".cast("string"), $"est_users_7d")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    Caches.releaseAll()
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id").cache()
+    try {
+      // direct recompute: for each served (type, end_day), one sketch
+      // over the RAW events in [end-6, end] — the union of daily
+      // sketches must carry the identical register state (HLL union
+      // losslessness), so estimates are EQUAL, not just close
+      val direct = ev
+        .join(ev.select($"event_type", $"day".as("end_day")).distinct(),
+          Seq("event_type"))
+        .filter($"day" <= $"end_day" && $"day" >= date_sub($"end_day", 6))
+        .groupBy($"event_type", $"end_day")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+        .select($"event_type", $"end_day".cast("string"), $"est")
+        .as[(String, String, Long)].collect()
+        .map { case (t, d, e) => (t, d) -> e }.toMap
+      rows.foreach { case (t, d, est) =>
+        assert(direct((t, d)) == est,
+          s"($t, $d): window union $est != direct recompute ${direct((t, d))}")
+      }
+      // exact-twin tolerance on the same windows
+      val exact = ev
+        .join(ev.select($"event_type", $"day".as("end_day")).distinct(),
+          Seq("event_type"))
+        .filter($"day" <= $"end_day" && $"day" >= date_sub($"end_day", 6))
+        .groupBy($"event_type", $"end_day")
+        .agg(countDistinct($"user_id").as("n"))
+        .select($"event_type", $"end_day".cast("string"), $"n")
+        .as[(String, String, Long)].collect()
+        .map { case (t, d, n) => (t, d) -> n }.toMap
+      rows.foreach { case (t, d, est) =>
+        val n = exact((t, d))
+        assert(math.abs(est - n).toDouble / n.max(1L) <= 0.05,
+          s"($t, $d): estimate $est vs exact $n exceeds 5%")
+      }
+    } finally ev.unpersist()
+  }
 }
