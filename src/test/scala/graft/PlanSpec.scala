@@ -210,6 +210,17 @@ class PlanSpec extends SparkSpec {
       s"q178's per-doc top-3 must push into the window as a group limit:\n${p.take(3000)}")
   }
 
+  test("PQ/IVFPQ top-10 rank filters compile to WindowGroupLimit (q185, q186)") {
+    // serving a bounded prefix must prune per-partition before the
+    // (q_id) window exchange — the q120/q169/q178 contract on the ANN
+    // serving pair
+    Seq("q185_pq_adc_topk", "q186_ivfpq_topk").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit"),
+        s"$n's rank filter must push into the window as a group limit:\n${p.take(3000)}")
+    }
+  }
+
   test("phrase-search posting legs are term-filtered before the positional join (q168)") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
