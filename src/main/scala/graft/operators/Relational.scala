@@ -390,6 +390,206 @@ object Relational {
           col("o_totalprice").cast("double").as("o_totalprice"),
           col("qty").cast("double").as("total_qty"))
         .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q7 shape — bilateral trade volume between two nations, by
+    // direction and ship year. Scale shape: the nation-set filter lands
+    // on the DIMENSIONS (nation → supplier, nation → customer) BEFORE
+    // the fact joins, so the lineitem⋈supplier and orders⋈customer
+    // probes drop ~21/25 of rows at the hash lookup instead of carrying
+    // the whole fact volume to a post-join disjunction; only the
+    // cross-direction test (supp ≠ cust) stays post-join, over the
+    // already-pruned stream.
+    "q189_nation_trade" -> ((s, dir) => {
+      val picked = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val n = Tables.nation(s, dir).filter(col("n_name").isin(picked: _*))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      li.join(Tables.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape — market share of one supplier nation inside one
+    // region's PROMO-part demand, per order year. The share is ONE
+    // double division of two exact decimal sums (numerator via
+    // conditional aggregation), so it hash-matches despite being a
+    // ratio. Scale shape: region scoping prunes customer through a
+    // broadcast dimension chain; part's type filter prunes lineitem at
+    // the join probe; conditional agg avoids a second pass for the
+    // numerator.
+    "q190_market_share" -> ((s, dir) => {
+      val rk = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nIn = Tables.nation(s, dir)
+        .join(broadcast(rk), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(nIn), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      li.join(Tables.maybeBroadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(Tables.maybeBroadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (dsum(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))).cast("double") /
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape — profit by supplier nation and order year over
+    // name-matched parts: amount = revenue minus a modeled supply cost
+    // (retailprice·qty·0.05), every addend cast to DECIMAL before the
+    // sum so the aggregate is order-independent. Scale shape: the part
+    // name filter prunes the fact at the first probe; dimension chain
+    // broadcasts; one shuffle for the final group-by.
+    "q191_profit_by_nation" -> ((s, dir) => {
+      val pm = Tables.part(s, dir).filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount", "l_quantity")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      li.join(Tables.maybeBroadcast(pm), col("l_partkey") === col("p_partkey"))
+        .join(Tables.maybeBroadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.05)).as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
+    // TPC-H Q13 shape — customer order-count DISTRIBUTION: a left outer
+    // join whose predicate lives in the ON clause (filtered orders keep
+    // zero-order customers), a per-customer count, then a count of
+    // counts. The aggregate-of-aggregate is the new shape here: the
+    // first group-by shuffles on custkey; the second input is one row
+    // per customer with a tiny integer key, so its exchange moves a
+    // vanishing fraction of the first's volume at any scale.
+    "q192_custdist" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q16 shape — supplier diversity per part (brand, type, size)
+    // tier: distinct (part, supplier) offer pairs from the fact table,
+    // minus suppliers on a complaint list (anti-join), then a
+    // COUNT(DISTINCT) per part tier. Scale shape: the distinct
+    // pair-projection collapses the fact table to offer grain BEFORE
+    // the part join; the complaint list is a broadcast anti-join; the
+    // distinct count rides Spark's two-phase partial-distinct plan.
+    "q193_supplier_diversity" -> ((s, dir) => {
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val complained = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("l_suppkey"))
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      offers
+        .join(Tables.maybeBroadcast(complained), Seq("l_suppkey"), "left_anti")
+        .join(Tables.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q19 shape — a three-branch OR of conjunctions spanning both
+    // join sides. The point is pushdown: Catalyst CNF-converts the
+    // disjunction and pushes the per-side residuals (the quantity OR
+    // lands on the lineitem SCAN as PushedFilters, the brand/size OR on
+    // the part scan) so each branch prunes its own table before the
+    // join; PlanSpec pins the lineitem scan carries the OR predicate.
+    "q194_disjunctive_scan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      li.join(Tables.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape — suppliers who DOMINATE a part's yearly flow:
+    // per-(part, supplier) quantity vs the per-part total, compared by
+    // exact decimal cross-multiplication (pair·2 > total — no
+    // division), scoped to PROMO parts. Scale shape: the second
+    // aggregate REUSES the first's output (part grain ≪ fact grain) so
+    // the fact table is scanned once; the threshold join is
+    // part-keyed against a part-grain table; part scoping is a
+    // broadcast; supplier naming is a stats-gated broadcast at the end.
+    "q195_dominant_supplier" -> ((s, dir) => {
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val perPair = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(Tables.maybeBroadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(col("l_quantity")).as("pair_qty"))
+      val perPart = perPair.groupBy(col("l_partkey").as("pp_partkey"))
+        .agg(sum(col("pair_qty")).as("part_qty"))
+      perPair
+        .join(perPart, col("l_partkey") === col("pp_partkey"))
+        .filter(col("pair_qty") * lit(2) > col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominated"))
+        .join(Tables.maybeBroadcast(
+          Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -571,6 +771,100 @@ object Relational {
            CAST(qty AS DOUBLE) AS total_qty
          FROM big JOIN orders USING (o_orderkey)
            JOIN customer ON c_custkey = o_custkey
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q189_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+           AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q190_market_share" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN l_extendedprice * (1.0 - l_discount)
+                   ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         GROUP BY 1 ORDER BY 1""",
+    "q191_profit_by_nation" ->
+      """SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               - p_retailprice * l_quantity * 0.05 AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q192_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+         FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q193_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) offers
+           JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (1, 5, 10, 15, 20, 25)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q194_disjunctive_scan" ->
+      """SELECT
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q195_dominant_supplier" ->
+      """WITH per_pair AS (
+           SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS pair_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1, 2),
+         per_part AS (
+           SELECT l_partkey, SUM(pair_qty) AS part_qty
+           FROM per_pair GROUP BY 1)
+         SELECT s_suppkey, s_name, COUNT(*) AS n_dominated
+         FROM per_pair
+           JOIN per_part USING (l_partkey)
+           JOIN supplier ON l_suppkey = s_suppkey
+         WHERE pair_qty * 2 > part_qty
+         GROUP BY 1, 2 ORDER BY s_suppkey"""
   )
 }

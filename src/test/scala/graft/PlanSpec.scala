@@ -221,6 +221,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("disjunctive predicate splits and pushes per side (q194)") {
+    // the three-branch OR spans both join sides; CNF extraction must
+    // leave each side's residual OR on its own SCAN: the quantity
+    // disjunction on lineitem, the brand/size disjunction on part —
+    // pushdown is the entire point of the Q19 shape
+    val p = plan("q194_disjunctive_scan")
+    val li = p.linesIterator.find(l => l.contains("FileScan") && l.contains("lineitem"))
+      .getOrElse(fail(s"no lineitem scan:\n${p.take(3000)}"))
+    val pt = p.linesIterator.find(l => l.contains("FileScan") && l.contains("/part"))
+      .getOrElse(fail(s"no part scan:\n${p.take(3000)}"))
+    assert(li.contains("Or(") && li.contains("l_quantity"),
+      s"quantity OR must reach the lineitem scan:\n$li")
+    assert(pt.contains("Or(") && pt.contains("p_brand"),
+      s"brand/size OR must reach the part scan:\n$pt")
+  }
+
   test("phrase-search posting legs are term-filtered before the positional join (q168)") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
