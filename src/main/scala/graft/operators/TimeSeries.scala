@@ -259,6 +259,34 @@ object TimeSeries {
           col("bwd_id"), col("fwd_id"), col("nearest_id"),
           col("nearest_delta_ms"))
         .orderBy("event_id")
+    }),
+
+    // Exponential moving averages + MACD per series — the LINEAR
+    // RECURRENCE family (ema_t = (1-α)·ema_{t-1} + α·x_t) that window
+    // functions cannot express. Spelled as a LEFT FOLD over the
+    // day-sorted close list (seed = first close), which is the SAME
+    // IEEE operation sequence DuckDB's list_reduce performs — so a
+    // floating-point recurrence hash-matches exactly, with dyadic
+    // α (1/8, 1/32) keeping every coefficient representable. Scale
+    // shape: the recurrence is sequential ONLY within a series, whose
+    // length is bounded by the trading calendar (~250 rows/year —
+    // thousands, not billions, at ANY corpus size); the symbol axis is
+    // the scale axis and it parallelizes perfectly (one groupBy). The
+    // collect_list is bounded by the same calendar — this is the
+    // honest distributed shape for per-symbol recurrences, not a
+    // limitation.
+    "q196_ema_macd" -> ((s, dir) => {
+      val ser = dailyClose(s, dir)
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("close")))).as("xs"))
+      def ema(alpha: Double): Column = aggregate(
+        expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        element_at(col("xs"), 1).getField("close"),
+        (acc, x) => acc * lit(1.0 - alpha) + x.getField("close") * lit(alpha))
+      ser.select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+          ema(0.125).as("ema_fast"), ema(0.03125).as("ema_slow"))
+        .withColumn("macd", col("ema_fast") - col("ema_slow"))
+        .orderBy("event_type")
     })
   )
 
@@ -427,6 +455,18 @@ object TimeSeries {
          SELECT event_id, user_id, bwd_id, fwd_id, nearest_id,
            CASE WHEN nearest_id = bwd_id THEN bwd_delta
                 WHEN nearest_id = fwd_id THEN fwd_delta END AS nearest_delta_ms
-         FROM n ORDER BY event_id"""
+         FROM n ORDER BY event_id""",
+    "q196_ema_macd" -> (barsSql +
+      """, ser AS (
+           SELECT event_type, list(CAST(close AS DOUBLE) ORDER BY day) AS xs
+           FROM bars GROUP BY event_type),
+         ind AS (
+           SELECT event_type, len(xs) AS n_days,
+             list_reduce(xs, (acc, x) -> acc * 0.875 + x * 0.125) AS ema_fast,
+             list_reduce(xs, (acc, x) -> acc * 0.96875 + x * 0.03125) AS ema_slow
+           FROM ser)
+         SELECT event_type, n_days, ema_fast, ema_slow,
+           ema_fast - ema_slow AS macd
+         FROM ind ORDER BY event_type""")
   )
 }

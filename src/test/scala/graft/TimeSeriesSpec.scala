@@ -132,4 +132,29 @@ class TimeSeriesSpec extends SparkSpec {
       assert(got == nearest, s"purchase $pid nearest $got != brute $nearest")
     }
   }
+
+  test("q196 EMA fold is BIT-EQUAL to the sequential recurrence (and MACD = fast - slow)") {
+    // the operator's whole claim is that a distributed-per-series left
+    // fold reproduces the sequential linear recurrence exactly — pin it
+    // against a driver-side fold over the same day-sorted closes
+    val bars = TimeSeries.queriesDailyClose(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"close")
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val got = SparkEntry.queries("q196_ema_macd")(spark, sf).collect()
+    assert(got.nonEmpty && got.length == bars.size)
+    got.foreach { r =>
+      val xs = bars(r.getAs[String]("event_type"))
+      def seqEma(alpha: Double): Double =
+        xs.tail.foldLeft(xs.head)((acc, x) => acc * (1.0 - alpha) + x * alpha)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      // == on Double is bit-comparison for non-NaN; closes are real prices
+      assert(r.getAs[Double]("ema_fast") == seqEma(0.125), s"fast ${r}")
+      assert(r.getAs[Double]("ema_slow") == seqEma(0.03125), s"slow ${r}")
+      assert(r.getAs[Double]("macd") ==
+        r.getAs[Double]("ema_fast") - r.getAs[Double]("ema_slow"))
+    }
+  }
 }
