@@ -730,6 +730,73 @@ object Streaming {
     out
   }
 
+  /** Driver-visible audit of [[dedupStream]] (streaming exact dedup):
+    * a three-chunk time-ordered replay where chunks 2 and 3 each
+    * RE-DELIVER the previous chunk's final day (at-least-once delivery,
+    * the failure mode dedup exists for). The re-deliveries arrive
+    * inside the 2-day watermark, so every duplicate key is still in
+    * state (expiry = first-seen ts + delay) and none is late (its ts
+    * sits a full day above the persisted watermark) — the accumulated
+    * append-mode output is therefore each event EXACTLY ONCE, and its
+    * per-(type, day) fold hash-matches the batch aggregate over the
+    * raw (duplicate-free) events table. State stays watermark-bounded
+    * (keys purge as the watermark passes; StreamingSpec pins the
+    * bound); the landing replay carries ~10% duplicate volume. */
+  def streamDedupAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.functions.Exact.dsumd
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val dayMs = 86400000L
+    val tmp = java.nio.file.Files.createTempDirectory("q197_dedup").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/deduped", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    val dup1 = ev.filter(ms >= t1 - dayMs && ms < t1)
+    val dup2 = ev.filter(ms >= t2 - dayMs && ms < t2)
+    // non-vacuity guard: an empty re-delivery slice would make this
+    // audit pass without the dedup ever seeing a duplicate (1-row
+    // bounded driver actions on pushed-down range scans)
+    require(dup1.limit(1).count() == 1 && dup2.limit(1).count() == 1,
+      "q197 audit requires non-empty duplicate re-delivery slices")
+    val feeds = Seq(
+      ev.filter(ms < t1),
+      // chunk 2 = its own rows + a re-delivery of chunk 1's last day
+      ev.filter(ms >= t1 && ms < t2).unionAll(dup1),
+      ev.filter(ms >= t2).unionAll(dup2))
+    feeds.foreach { chunk =>
+      chunk.write.mode("append").parquet(landing)
+      val q = dedupStream(
+          spark.readStream.schema(schema).parquet(landing), "2 days")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.read.parquet(outDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsumd(col("value")).as("total_value"))
+      .orderBy("event_type", "day")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -737,7 +804,8 @@ object Streaming {
     "q134_stream_scd2" -> ((s, dir) => streamScd2Audit(s, dir)),
     "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)),
     "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)),
-    "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)))
+    "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)),
+    "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -971,7 +1039,15 @@ object Streaming {
 
     // the streaming OHLC twin's oracle IS q19's — shared by reference
     "q143_stream_ohlc" ->
-      graft.operators.TimeSeries.oracles("q19_ohlc_daily"))
+      graft.operators.TimeSeries.oracles("q19_ohlc_daily"),
+
+    // events is duplicate-free by construction (unique event_id), so
+    // the batch twin of "dedup the at-least-once replay" is the plain
+    // aggregate over the raw table
+    "q197_stream_dedup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
