@@ -135,4 +135,109 @@ object Prefix {
       combined.drop(blk, local, carry)
     }
   }
+
+  /** Max rows any single affine-scan block may collect (one array of
+    * three doubles per row ≈ 1.5 MB per block at this span). */
+  val DefaultAffineSpan: Long = 1L << 16
+
+  /** Distributed EXCLUSIVE scan of an AFFINE LINEAR RECURRENCE
+    * y_i = a_i·y_{i-1} + b_i over a keyed order — the operator class
+    * (EMA / Wilder smoothing / decayed counters / amortization) that
+    * window functions fundamentally cannot express: a running SUM is
+    * the special case a ≡ 1, and no Spark window/HOF provides the
+    * general scan.
+    *
+    * Affine maps compose associatively — (a₂,b₂)∘(a₁,b₁) =
+    * (a₂a₁, a₂b₁ + b₂) — which is exactly what makes the recurrence
+    * distributable by the [[prefix]] two-phase recursion: rows block by
+    * `orderCol DIV span`, each block computes its internal exclusive
+    * compositions in ONE codegen pass ([[graft.plans.AffineScan]]), the
+    * per-block TOTAL compositions recurse as a (span×smaller) scan of
+    * their own, and each row finally composes `local_exc ∘ carry`:
+    *
+    *   A_out = A_local·A_carry,   B_out = A_local·B_carry + B_local
+    *
+    * so `B_out` is the recurrence value folded from seed 0 over every
+    * earlier row, and an inclusive value is one local step:
+    * y_i = a_i·B_out + b_i. Callers encode a seeded series by giving
+    * the first row (a=0, b=seed).
+    *
+    * Same contract as [[exclusiveSum]]: `orderCol` integral,
+    * non-negative, unique per group; EAGER 2-value driver aggregate per
+    * recursion level at construction; `__afs*` names reserved. Output
+    * = partition cols + orderCol (as BIGINT) + a/b (as DOUBLE) +
+    * `outACol`/`outBCol`; other payload columns are dropped (re-join on
+    * (partitions, orderCol) if needed).
+    *
+    * FLOATING POINT: within a block the fold is bit-identical to the
+    * sequential recurrence; across blocks the carry composition
+    * REGROUPS the arithmetic, so results differ from sequential in the
+    * last ulps (PrefixSpec pins a relative bound and bit-exactness on
+    * rounding-free dyadic inputs). Exact sequential spellings exist
+    * only single-threaded — this is the price of distributing a
+    * recurrence, not an implementation artifact. */
+  def affineScanExc(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                    aCol: String, bCol: String, outACol: String, outBCol: String,
+                    span: Long = DefaultAffineSpan): DataFrame =
+    affineRec(df, partitionCols, orderCol, aCol, bCol, outACol, outBCol, span, 0)
+
+  private def affineRec(df: DataFrame, parts: Seq[String], k: String,
+                        aCol: String, bCol: String, outA: String, outB: String,
+                        span: Long, level: Int): DataFrame = {
+    require(span >= 2, s"span must be >= 2, got $span")
+    graft.plans.AffineScan.register(df.sparkSession)
+    val base = df.select((parts.map(col) :+ col(k) :+ col(aCol) :+ col(bCol)): _*)
+    // 2-value driver action per level (≤ 4 levels), as in [[prefix]]
+    val Array(row) = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"))
+      .collect()
+    if (row.isNullAt(1))
+      return base.withColumn(outA, lit(1.0)).withColumn(outB, lit(0.0))
+    require(row.getLong(0) >= 0,
+      s"affineScanExc: order column $k must be non-negative (min=${row.getLong(0)})")
+    val oneBlock = row.getLong(1) < span
+    val blk = s"__afsBlk$level"
+    val blocked =
+      if (oneBlock) base.withColumn(blk, lit(0L))
+      else base.withColumn(blk, expr(s"CAST($k AS BIGINT) DIV $span"))
+    // per-(group, block) sorted collect — ≤ span rows BY CONSTRUCTION
+    // (keys unique per group, block = key DIV span), then both
+    // exclusive compositions in one codegen pass each
+    val g = blocked.groupBy((parts :+ blk).map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(k).cast("long").as("k"), col(aCol).cast("double").as("a"),
+        col(bCol).cast("double").as("b")))).as("__afsXs"))
+      .withColumn("__afsKs", expr("transform(__afsXs, x -> x.k)"))
+      .withColumn("__afsAs", expr("transform(__afsXs, x -> x.a)"))
+      .withColumn("__afsBs", expr("transform(__afsXs, x -> x.b)"))
+      .withColumn("__afsAExc",
+        call_function(graft.plans.AffineScan.PROD_NAME, col("__afsAs")))
+      .withColumn("__afsBExc",
+        call_function(graft.plans.AffineScan.SCAN_NAME, col("__afsAs"), col("__afsBs")))
+      .drop("__afsXs")
+    val withCarry =
+      if (oneBlock)
+        g.withColumn("__afsCA", lit(1.0)).withColumn("__afsCB", lit(0.0))
+      else {
+        // full-block composition = (last element) ∘ (its exclusive)
+        val totals = g.select((parts.map(col) :+ col(blk) :+
+          (element_at(col("__afsAs"), -1) * element_at(col("__afsAExc"), -1))
+            .as("__afsTA") :+
+          (element_at(col("__afsAs"), -1) * element_at(col("__afsBExc"), -1) +
+            element_at(col("__afsBs"), -1)).as("__afsTB")): _*)
+        val carries = affineRec(totals, parts, blk, "__afsTA", "__afsTB",
+          "__afsCA", "__afsCB", span, level + 1)
+          .select((parts :+ blk :+ "__afsCA" :+ "__afsCB").map(col): _*)
+        g.join(carries, parts :+ blk) // carry side ≤ maxK/span rows/group
+      }
+    withCarry
+      .withColumn("__afsZ", explode(arrays_zip(col("__afsKs"), col("__afsAs"),
+        col("__afsBs"), col("__afsAExc"), col("__afsBExc"))))
+      .select((parts.map(col) :+
+        col("__afsZ.__afsKs").as(k) :+
+        col("__afsZ.__afsAs").as(aCol) :+
+        col("__afsZ.__afsBs").as(bCol) :+
+        (col("__afsZ.__afsAExc") * col("__afsCA")).as(outA) :+
+        (col("__afsZ.__afsAExc") * col("__afsCB") + col("__afsZ.__afsBExc"))
+          .as(outB)): _*)
+  }
 }

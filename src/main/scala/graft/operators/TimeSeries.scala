@@ -287,6 +287,35 @@ object TimeSeries {
           ema(0.125).as("ema_fast"), ema(0.03125).as("ema_slow"))
         .withColumn("macd", col("ema_fast") - col("ema_slow"))
         .orderBy("event_type")
+    }),
+
+    // The PER-DAY EMA series at unbounded series length — q196's fold
+    // caps out when a series no longer fits one task (tick-level or
+    // century-deep series); this is the same recurrence routed through
+    // [[Prefix.affineScanExc]], the distributed affine scan (every
+    // task ≤ span rows at ANY series length, recursion depth
+    // log_span(days)). The first row seeds with (a=0, b=close);
+    // every later day contributes (a=0.875, b=0.125·close); the
+    // inclusive value is one local step a·B_exc + b. span=8 is
+    // deliberately ≪ the production default so the tested corpus
+    // (30-day series) actually exercises the multi-block carry path —
+    // the default would degenerate to the single-task fold here.
+    "q198_ema_scan" -> ((s, dir) => {
+      val bars = dailyClose(s, dir).select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("close"))
+      val firsts = bars.groupBy("event_type").agg(min(col("d")).as("d0"))
+      val maps = bars.join(broadcast(firsts), "event_type")
+        .select(col("event_type"), col("d"),
+          when(col("d") === col("d0"), lit(0.0)).otherwise(lit(0.875)).as("a"),
+          when(col("d") === col("d0"), col("close"))
+            .otherwise(col("close") * lit(0.125)).as("b"))
+      Prefix.affineScanExc(maps, Seq("event_type"), "d", "a", "b",
+          "a_exc", "b_exc", span = 8)
+        .select(col("event_type"),
+          date_add(lit("1970-01-01").cast("date"), col("d").cast("int")).as("day"),
+          (col("a") * col("b_exc") + col("b")).as("ema"))
+        .orderBy("event_type", "day")
     })
   )
 

@@ -237,6 +237,18 @@ class PlanSpec extends SparkSpec {
       s"brand/size OR must reach the part scan:\n$pt")
   }
 
+  test("q198 rides the blocked affine scan: no Window, carry path engaged") {
+    // the whole point of affineScanExc is that NO window task ever
+    // holds a full series: the plan must contain the block column
+    // (multi-block route engaged at span=8) and no Window operator at
+    // all (the recurrence runs in the codegen kernels, not a window)
+    val p = plan("q198_ema_scan")
+    assert(p.contains("__afsBlk0"),
+      s"q198 must engage the blocked carry path:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"the affine scan must not fall back to a window:\n${p.take(3000)}")
+  }
+
   test("phrase-search posting legs are term-filtered before the positional join (q168)") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}

@@ -157,4 +157,23 @@ class TimeSeriesSpec extends SparkSpec {
         r.getAs[Double]("ema_fast") - r.getAs[Double]("ema_slow"))
     }
   }
+
+  test("q198 distributed per-day EMA converges to q196's folded EMA (cross-operator law)") {
+    // same recurrence, two routes: q196 folds each series in one task
+    // (bit-exact sequential), q198 distributes via the affine scan
+    // (recomposed arithmetic) — the final day's value must agree to
+    // 1e-12 relative, per series
+    val folded = SparkEntry.queries("q196_ema_macd")(spark, sf)
+      .select($"event_type", $"ema_fast").as[(String, Double)].collect().toMap
+    val series = SparkEntry.queries("q198_ema_scan")(spark, sf)
+      .orderBy($"event_type", $"day")
+      .select($"event_type", $"ema").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(series.keySet == folded.keySet && series.nonEmpty)
+    series.foreach { case (k, got) =>
+      val want = folded(k)
+      assert(math.abs(got - want) <= 1e-12 * math.max(math.abs(want), 1.0),
+        s"$k: scan EMA $got != folded EMA $want")
+    }
+  }
 }
