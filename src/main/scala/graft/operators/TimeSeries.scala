@@ -316,6 +316,59 @@ object TimeSeries {
           date_add(lit("1970-01-01").cast("date"), col("d").cast("int")).as("day"),
           (col("a") * col("b_exc") + col("b")).as("ema"))
         .orderBy("event_type", "day")
+    }),
+
+    // Wilder RSI per series — the two-recurrence indicator: day-over-day
+    // gains and losses each ride their own smoothed average (Wilder
+    // smoothing IS the q196 recurrence with dyadic α = 1/16, seeded
+    // with the first sample), then one deterministic ratio. The lag
+    // runs in a per-series window (calendar-bounded partitions); the
+    // folds are the q196 left-fold spelling, so both averages — and
+    // therefore the RSI ratio — hash-match DuckDB exactly. The
+    // avg_loss = 0 degenerate (monotone series) pins RSI to 100 on
+    // both engines rather than dividing by zero.
+    "q199_rsi" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val moves = dailyClose(s, dir)
+        .withColumn("prev", lag(col("close"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("day"),
+          greatest(col("close") - col("prev"), lit(0.0)).as("gain"),
+          greatest(col("prev") - col("close"), lit(0.0)).as("loss"))
+      val ser = moves.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("gain"), col("loss"))))
+          .as("xs"))
+      def wilder(field: String): Column = aggregate(
+        expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        element_at(col("xs"), 1).getField(field),
+        (acc, x) => acc * lit(0.9375) + x.getField(field) * lit(0.0625))
+      ser.select(col("event_type"), size(col("xs")).cast("long").as("n_moves"),
+          wilder("gain").as("avg_gain"), wilder("loss").as("avg_loss"))
+        .withColumn("rsi",
+          when(col("avg_loss") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("avg_gain") / col("avg_loss"))))
+        .orderBy("event_type")
+    }),
+
+    // Calendar-aware trailing mean: a RANGE frame over EPOCH DAYS
+    // (7 calendar days inclusive), not a ROWS frame — on a series with
+    // holes the two differ, and the weekday filter guarantees holes.
+    // Spark needs the numeric order key (rangeBetween is value-based);
+    // the sum is exact-decimal so the mean hash-matches. Per-series
+    // window partitions — calendar-bounded, horizontally scalable.
+    "q201_range_frame_mean" -> ((s, dir) => {
+      val bars = dailyClose(s, dir)
+        .filter(dayofweek(col("day")).between(2, 6)) // weekdays: real gaps
+        .withColumn("d", datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(-6, 0)
+      bars.select(col("event_type"), col("day"), col("close"),
+          (sum(dec(col("close"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mean7d"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -496,6 +549,39 @@ object TimeSeries {
            FROM ser)
          SELECT event_type, n_days, ema_fast, ema_slow,
            ema_fast - ema_slow AS macd
-         FROM ind ORDER BY event_type""")
+         FROM ind ORDER BY event_type"""),
+    "q199_rsi" -> (barsSql +
+      """, moves AS (
+           SELECT event_type, day,
+             GREATEST(close - prev, 0.0) AS gain,
+             GREATEST(prev - close, 0.0) AS loss
+           FROM (SELECT event_type, day, close,
+                   lag(close, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+                 FROM bars)
+           WHERE prev IS NOT NULL),
+         ser AS (
+           SELECT event_type,
+             list(CAST(gain AS DOUBLE) ORDER BY day) AS gs,
+             list(CAST(loss AS DOUBLE) ORDER BY day) AS ls
+           FROM moves GROUP BY event_type),
+         ind AS (
+           SELECT event_type, len(gs) AS n_moves,
+             list_reduce(gs, (acc, x) -> acc * 0.9375 + x * 0.0625) AS avg_gain,
+             list_reduce(ls, (acc, x) -> acc * 0.9375 + x * 0.0625) AS avg_loss
+           FROM ser)
+         SELECT event_type, n_moves, avg_gain, avg_loss,
+           CASE WHEN avg_loss = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi
+         FROM ind ORDER BY event_type"""),
+    "q201_range_frame_mean" -> (barsSql +
+      """SELECT event_type, day, close,
+           CAST(SUM(CAST(close AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mean7d,
+           COUNT(*) OVER w AS n_in_window
+         FROM bars
+         WHERE isodow(day) BETWEEN 1 AND 5
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""")
   )
 }
