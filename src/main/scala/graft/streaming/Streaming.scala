@@ -797,6 +797,110 @@ object Streaming {
     out
   }
 
+  /** Fixed-width per-series indicator state: the day count and the two
+    * smoothed averages — O(series), never the history. */
+  case class EmaState(n: Long, fast: Double, slow: Double)
+
+  /** Incremental EMA/MACD maintenance — the streaming member of the
+    * incremental-maintenance family (q93 exact aggregates, q150
+    * postings, q103 IVF, q181 sketches) for the q196 recurrence. A
+    * left fold is NATIVELY incremental: carrying (n, ema_fast,
+    * ema_slow) per series and folding each batch's day-sorted closes
+    * into it performs the EXACT same IEEE operation sequence as the
+    * batch fold over the whole series — so the final state is
+    * bit-equal to q196 and hash-matches q196's DuckDB oracle, with no
+    * tolerance. Contract (the q133 ordering discipline): each
+    * micro-batch delivers COMPLETE days, in day order across batches —
+    * the audit cuts its replay on day boundaries for exactly this
+    * reason. Closes use the same (ts, event_id) micro-precision
+    * tie-break as [[dailyBars]]/ohlcDaily. */
+  def emaMaintain(events: DataFrame): Dataset[(String, Long, Double, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[EmaState, (String, Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val rows = it.toIndexedSeq
+        // per-day close inside the batch (days are complete by
+        // contract): max_by (ts, id) at MICROsecond precision
+        val closes = rows
+          .groupBy(r => Math.floorDiv(tsMicros(r._2), 86400000000L))
+          .toSeq
+          .map { case (day, rs) =>
+            (day, rs.maxBy(r => (tsMicros(r._2), r._3))._4)
+          }
+          .sortBy(_._1)
+        var st = state.getOption.getOrElse(EmaState(0L, 0.0, 0.0))
+        closes.foreach { case (_, c) =>
+          st =
+            if (st.n == 0L) EmaState(1L, c, c) // seed = first close
+            else EmaState(st.n + 1L,
+              st.fast * 0.875 + c * 0.125,
+              st.slow * 0.96875 + c * 0.03125)
+        }
+        state.update(st)
+        (key, st.n, st.fast, st.slow)
+      }
+  }
+
+  /** Driver-visible audit of [[emaMaintain]]: three DAY-ALIGNED chunks
+    * (a mid-day cut would hand a batch half a day and break the
+    * complete-days contract), checkpointed restarts between chunks,
+    * Update-mode state emissions accumulated per batch; the final
+    * state per series = the row with the max day count (monotone), and
+    * it hash-matches q196's batch oracle EXACTLY — fold maintenance is
+    * bit-preserving, unlike sketch maintenance (q181). */
+  def streamEmaAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dayMs = 86400000L
+    // day-aligned thirds (complete-days contract)
+    val t1 = Math.floorDiv(lo + (hi - lo) / 3, dayMs) * dayMs
+    val t2 = Math.floorDiv(lo + 2 * (hi - lo) / 3, dayMs) * dayMs
+    val tmp = java.nio.file.Files.createTempDirectory("q200_ema").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/state", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing)
+      val q = emaMaintain(spark.readStream.schema(schema).parquet(landing))
+        .toDF("event_type", "n_days", "ema_fast", "ema_slow")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val all = spark.read.parquet(outDir)
+    // final state per series = max day count (monotone across batches)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n_days").desc)
+    val out = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("macd", col("ema_fast") - col("ema_slow"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -805,7 +909,8 @@ object Streaming {
     "q137_stream_sessions" -> ((s, dir) => streamSessionAudit(s, dir)),
     "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)),
     "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)),
-    "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)))
+    "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)),
+    "q200_stream_ema" -> ((s, dir) => streamEmaAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -1047,7 +1152,12 @@ object Streaming {
     "q197_stream_dedup" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // fold maintenance is bit-preserving: the streamed final state IS
+    // the q196 batch fold — shared oracle
+    "q200_stream_ema" ->
+      graft.operators.TimeSeries.oracles("q196_ema_macd"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
