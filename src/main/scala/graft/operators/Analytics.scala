@@ -491,6 +491,34 @@ object Analytics {
           max(col("rec_days")).as("max_rec"),
           sum(col("mon")).cast("double").as("sum_monetary"))
         .orderBy("r_code", "f_code")
+    }),
+
+    // Exponentially-decayed engagement score per user (the CTR-feature
+    // "decayed counter"): each day's activity value decays by ×0.5 per
+    // day of age at the user's LAST active day. The naive spelling is
+    // a per-user recurrence (q198's scan); with a CONSTANT per-day
+    // decay the weights TELESCOPE to 0.5^(last−day) — a closed form
+    // that needs no recurrence at all, and because 0.5^k is dyadic the
+    // product v·0.5^k is an exact exponent shift, so summing the
+    // decimal-cast terms is order-independent and the whole feature
+    // hash-matches. Scale shape: one (user, day) reduce, one exchange
+    // on user for the bounded per-user window (rows/user ≤ calendar),
+    // then the final per-user fold reuses that partitioning — no
+    // joins, no corpus-sized window.
+    "q202_decayed_engagement" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(dsumd(col("value")).as("v"))
+      val wU = Window.partitionBy(col("user_id"))
+      daily
+        .withColumn("maxd", max(col("day")).over(wU))
+        .groupBy("user_id")
+        .agg(
+          dsumd(col("v") * pow(lit(0.5), datediff(col("maxd"), col("day"))))
+            .as("score"),
+          count(lit(1)).as("n_days"),
+          max(col("day")).as("last_day"))
+        .orderBy("user_id")
     })
   )
 
@@ -777,6 +805,19 @@ object Analytics {
            CAST(MIN(rec_days) AS BIGINT) AS min_rec,
            CAST(MAX(rec_days) AS BIGINT) AS max_rec,
            CAST(SUM(mon) AS DOUBLE) AS sum_monetary
-         FROM seg GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM seg GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q202_decayed_engagement" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         md AS (
+           SELECT user_id, day, v, MAX(day) OVER (PARTITION BY user_id) AS maxd
+           FROM daily)
+         SELECT user_id,
+           CAST(SUM(CAST(v * pow(0.5, datediff('day', day, maxd))
+             AS DECIMAL(18,4))) AS DOUBLE) AS score,
+           COUNT(*) AS n_days, MAX(day) AS last_day
+         FROM md GROUP BY user_id ORDER BY user_id"""
   )
 }
