@@ -571,13 +571,16 @@ object Relational {
     "q195_dominant_supplier" -> ((s, dir) => {
       val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
         .select("p_partkey")
-      val perPair = Tables.lineitem(s, dir)
+      // cached: perPair feeds BOTH the threshold join and the per-part
+      // rollup — without the cache the fact scan + aggregate runs twice
+      // (the q183 shared-view discipline)
+      val perPair = graft.Caches.cached(Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
                 col("l_shipdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
         .select("l_partkey", "l_suppkey", "l_quantity")
         .join(Tables.maybeBroadcast(promo), col("l_partkey") === col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(dsum(col("l_quantity")).as("pair_qty"))
+        .agg(dsum(col("l_quantity")).as("pair_qty")))
       val perPart = perPair.groupBy(col("l_partkey").as("pp_partkey"))
         .agg(sum(col("pair_qty")).as("part_qty"))
       perPair

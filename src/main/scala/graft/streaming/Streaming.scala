@@ -901,6 +901,77 @@ object Streaming {
     out
   }
 
+  /** Driver-visible audit of the stream-stream LEFT OUTER interval
+    * join — the capability q141's inner audit does not touch: an
+    * unmatched left row must be emitted WITH NULL right columns, and
+    * only once the right watermark proves no in-window match can still
+    * arrive (state eviction, not batch completion, triggers the null
+    * emission). Same three-chunk checkpointed replay as q141, plus the
+    * q143 close-out shape: a far-future sentinel in BOTH streams
+    * pushes the final watermark past every real join window and a
+    * trailing no-data start flushes the evictions; sentinel rows carry
+    * user_id −1 and are filtered before the fold. Hash-matches the
+    * batch LEFT JOIN over the same events. */
+  def streamOuterJoinAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q203_outer").toString
+    val (landP, landV, outDir, ckpt) =
+      (s"$tmp/purchases", s"$tmp/views", s"$tmp/joined", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val ms = unix_millis(col("ts"))
+    val sentinel = Seq((-1L, new java.sql.Timestamp(hi + 3L * 86400000L),
+      -1L, 0.0)).toDF("event_id", "ts", "user_id", "value")
+    def sides(c: org.apache.spark.sql.DataFrame) = (
+      c.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value"),
+      c.filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id", "value"))
+    val feeds: Seq[Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]] =
+      Seq(Some(sides(ev.filter(ms < t1))),
+        Some(sides(ev.filter(ms >= t1 && ms < t2))),
+        Some(sides(ev.filter(ms >= t2))),
+        Some((sentinel, sentinel)),
+        None) // no-data flush start (q143 close-out)
+    feeds.foreach { f =>
+      f.foreach { case (pc, vc) =>
+        pc.write.mode("append").parquet(landP)
+        vc.write.mode("append").parquet(landV)
+      }
+      val q = purchaseViewJoin(
+          spark.readStream.schema(schema).parquet(landP),
+          spark.readStream.schema(schema).parquet(landV),
+          "1 hour", "left_outer")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop the sentinel's own emission
+      .select("p_id", "user_id", "p_ts", "p_value", "v_id", "v_ts", "v_value")
+      .orderBy("p_id", "v_id")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -910,7 +981,8 @@ object Streaming {
     "q141_stream_interval_join" -> ((s, dir) => streamIntervalJoinAudit(s, dir)),
     "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)),
     "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)),
-    "q200_stream_ema" -> ((s, dir) => streamEmaAudit(s, dir)))
+    "q200_stream_ema" -> ((s, dir) => streamEmaAudit(s, dir)),
+    "q203_stream_outer_join" -> ((s, dir) => streamOuterJoinAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
@@ -1157,7 +1229,18 @@ object Streaming {
     // fold maintenance is bit-preserving: the streamed final state IS
     // the q196 batch fold — shared oracle
     "q200_stream_ema" ->
-      graft.operators.TimeSeries.oracles("q196_ema_macd"))
+      graft.operators.TimeSeries.oracles("q196_ema_macd"),
+
+    // the watermark-flushed outer join must equal the batch LEFT JOIN
+    "q203_stream_outer_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+           p.value AS p_value, v.event_id AS v_id, v.ts AS v_ts,
+           v.value AS v_value
+         FROM events p LEFT JOIN events v
+           ON v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY p_id, v_id""")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -1282,7 +1365,8 @@ object Streaming {
     * Unbounded stream-stream joins (no range, no watermark) are the
     * streaming OOM analogue of a cross join — never shipped here. */
   def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
-                       interval: String = "1 hour"): DataFrame = {
+                       interval: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
         col("user_id"), col("value").as("p_value"))
@@ -1292,7 +1376,8 @@ object Streaming {
     p.join(v,
       col("user_id") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $interval") &&
-        col("v_ts") <= col("p_ts"))
+        col("v_ts") <= col("p_ts"),
+      joinType)
       .select(col("p_id"), col("user_id"), col("p_ts"), col("p_value"),
         col("v_id"), col("v_ts"), col("v_value"))
   }
