@@ -267,4 +267,79 @@ class ScaleSpec extends SparkSpec {
       Caches.releaseAll()
     }
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (the unsalted skew path)") {
+    // salting (q44/q45/q86) is the MANUAL skew tool; AQE's skew-join
+    // split is the runtime one — the engine must actually engage it,
+    // since at 100 TB most skew is discovered, not predicted. One key
+    // carries 150k rows vs ~15 for the rest; with a tiny advisory
+    // size, AQE must mark the sort-merge join skewed and split the hot
+    // partition, while the join result stays exactly correct.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = ((1L to 150000L).map(_ => 7L) ++ (1L to 1500L).map(_ % 100))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "payload").repartition(8)
+      val dim = (0L to 100L).map(k => (k, s"dim$k")).toDF("dk", "name")
+      // payload stays in the output: the hot partition's shuffle BYTES
+      // must exceed the threshold, and 150k copies of one constant key
+      // lz4-compress to almost nothing on their own
+      val j = fact.join(dim, $"k" === $"dk").select($"k", $"payload")
+      // collect THIS frame (count() would plan separately) so the
+      // adaptive plan finalizes before inspection
+      val n = j.collect().length
+      assert(n == 151500, s"skewed join lost rows: $n")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition skew=true:\n${p.take(3000)}")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the third skew/volume tool: Spark's InjectRuntimeFilter builds a
+    // bloom filter from the SELECTIVE build side and applies it below
+    // the probe side's shuffle — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~1% that
+    // can possibly join. Thresholds are tuned down so the optimizer
+    // proves the mechanism at test scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      val o = Tables.orders(spark, sf)
+        .filter($"o_totalprice" > 400000.0) // selective creation side
+        .select("o_orderkey")
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter must inject below the probe side:\n${p.take(3000)}")
+      // and it must not change the answer
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter($"o_totalprice" > 400000.0),
+          $"l_orderkey" === $"o_orderkey").count()
+      assert(j.count() == expected)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
