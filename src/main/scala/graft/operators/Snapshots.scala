@@ -337,6 +337,42 @@ object Snapshots {
           col("valid_from"), col("valid_to"), col("n_events"),
           col("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    // JOIN-backed materialized-view maintenance — the S17 update-stats
+    // pattern generalized to a view over a JOIN (revenue/order count
+    // per customer nation): the STORED partial aggregate covers orders
+    // before the cut, tonight's DELTA re-keys its orders through the
+    // SAME dimension join and aggregates, and the merge is pure state
+    // algebra (decimal sums add, counts add) — never a fact rescan.
+    // The stored state is keyed by the dimension SURROGATE
+    // (c_nationkey), with the display name joined at SERVE time, so a
+    // dimension attribute rename relabels the view without
+    // invalidating state (a dim KEY re-assignment would invalidate —
+    // documented out of scope, as in every incremental-view system).
+    // The oracle recomputes the view directly over the full join: the
+    // hash match proves merge == recompute THROUGH the join. Scale
+    // shape: state is nation-keyed (bounded); each night touches only
+    // the delta; the customer hop is a stats-gated broadcast.
+    "q204_mv_join_maintenance" -> ((s, dir) => {
+      val cut = lit("1999-01-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      def partial(orders: DataFrame) = orders
+        .join(Tables.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(col("o_totalprice").cast(graft.functions.Exact.D18_4)).as("rev"),
+          count(lit(1)).as("n"))
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_totalprice")
+      val stored = partial(o.filter(col("o_orderdate") < cut))
+      val delta = partial(o.filter(col("o_orderdate") >= cut))
+      stored.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n_orders"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("rev").cast("double").as("total_revenue"),
+          col("n_orders"))
+        .orderBy("n_name")
     })
   )
 
@@ -455,6 +491,14 @@ object Snapshots {
            lead(valid_from) OVER w2 IS NULL AS is_current
          FROM runs
          WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
-         ORDER BY user_id, version"""
+         ORDER BY user_id, version""",
+    "q204_mv_join_maintenance" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_orders
+         FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name"""
   )
 }
