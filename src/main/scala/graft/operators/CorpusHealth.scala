@@ -315,6 +315,43 @@ object CorpusHealth {
             .as("n_hi"))
         .withColumn("wins_mean_milli", expr("(wins_sum * 1000) DIV n_docs"))
         .orderBy("source")
+    }),
+
+    // ORDER-STATISTICS maintenance — the missing member between q93
+    // (sums maintain exactly) and q181 (distincts maintain as
+    // sketches): exact percentiles maintain through a MERGEABLE
+    // COUNTING HISTOGRAM. The stored per-(source, n_chars) counts
+    // merge with tonight's delta histogram by addition — the state is
+    // bounded by the VALUE DOMAIN (distinct document lengths), not the
+    // corpus — and p50/p90/p99 serve from the merged histogram via
+    // q166's cumulative-count selection, never re-scanning documents.
+    // The oracle computes the same exact percentiles directly over the
+    // full table: the hash match proves merge == recompute for order
+    // statistics, which NO sum-style state can maintain.
+    "q205_histogram_maintenance" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      // doc_id % 10 == 0 plays tonight's delta (the q93 convention)
+      val stored = hist(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = hist(docs.filter(col("doc_id") % 10 === 0))
+      val h = graft.Caches.cached(stored.unionByName(delta)
+        .groupBy("source", "n_chars").agg(sum(col("c")).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n_docs"), col("n_chars"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_chars")))
+            .as("p90"),
+          min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_chars")))
+            .as("p99"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
     })
   )
 
@@ -639,6 +676,28 @@ object CorpusHealth {
              // th.n_docs AS BIGINT) AS wins_mean_milli
          FROM h JOIN th ON th.source = h.source
          GROUP BY h.source, th.n_docs, th.p05, th.p95
-         ORDER BY h.source"""
+         ORDER BY h.source""",
+
+    "q205_histogram_maintenance" ->
+      """WITH h AS (
+           SELECT source, n_chars, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_chars, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+           FROM h),
+         tot AS (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1)
+         SELECT source, n_docs,
+           CAST(MIN(CASE WHEN cum * 2 >= n_docs THEN n_chars END) AS BIGINT)
+             AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= n_docs * 9 THEN n_chars END)
+             AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= n_docs * 99 THEN n_chars END)
+             AS BIGINT) AS p99,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM cum JOIN tot USING (source)
+         GROUP BY source, n_docs ORDER BY source"""
   )
 }
