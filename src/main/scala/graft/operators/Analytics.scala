@@ -519,6 +519,33 @@ object Analytics {
           count(lit(1)).as("n_days"),
           max(col("day")).as("last_day"))
         .orderBy("user_id")
+    }),
+
+    // Sequence-pattern classification over ordered event journeys — a
+    // MATCH_RECOGNIZE substitute: each user's events reduce to ONE
+    // journey string (first letter per event type, in (ts, event_id)
+    // order — the five types have distinct initials), and a regex over
+    // the string expresses the path pattern ("3+ consecutive views
+    // converting directly to a purchase" = vvvp) that window functions
+    // would need self-joins per step to express (q70's funnel checks
+    // ORDER of firsts; this checks CONTIGUITY). Scale shape: one
+    // per-user reduce; journey length is bounded by per-user activity
+    // (the q94 sessionize argument), users parallelize; the regex runs
+    // rowwise over the reduced table, never the event grain.
+    "q206_sequence_pattern" -> ((s, dir) => {
+      val j = Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("l")).as("x"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("x"))).as("xs"))
+        .select(col("user_id"),
+          concat_ws("", expr("transform(xs, x -> x.l)")).as("journey"))
+      j.groupBy(substring(col("journey"), 1, 1).as("first_ev"),
+          col("journey").rlike("vvvp").as("converts"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(length(col("journey"))).cast("long").as("total_events"))
+        .orderBy("first_ev", "converts")
     })
   )
 
@@ -818,6 +845,17 @@ object Analytics {
            CAST(SUM(CAST(v * pow(0.5, datediff('day', day, maxd))
              AS DECIMAL(18,4))) AS DOUBLE) AS score,
            COUNT(*) AS n_days, MAX(day) AS last_day
-         FROM md GROUP BY user_id ORDER BY user_id"""
+         FROM md GROUP BY user_id ORDER BY user_id""",
+    "q206_sequence_pattern" ->
+      """WITH j AS (
+           SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+           FROM events GROUP BY 1)
+         SELECT substr(journey, 1, 1) AS first_ev,
+           regexp_matches(journey, 'vvvp') AS converts,
+           COUNT(*) AS n_users,
+           CAST(SUM(length(journey)) AS BIGINT) AS total_events
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
