@@ -720,6 +720,38 @@ object Dedup {
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Merge tonight's NEW edges into a STORED component labeling
+    * without re-running the closure over the old edge set (see
+    * q207). `stored` = (doc_id, canonical_id) from a previous
+    * [[components]] run; `newEdges` = (a_id, b_id). Returns the full
+    * labeling of stored nodes ∪ new-edge endpoints, equal to
+    * components(oldEdges ∪ newEdges) — min-id canonicals compose
+    * through the quotient, so the equality is exact. Cost: two hash
+    * joins of the new edges against the label table plus a closure
+    * over the QUOTIENT graph (≤ one node per touched label — tonight's
+    * churn, not the corpus). */
+  def incrementalComponents(stored: DataFrame, newEdges: DataFrame): DataFrame = {
+    val sA = stored.select(col("doc_id").as("na"), col("canonical_id").as("la"))
+    val sB = stored.select(col("doc_id").as("nb"), col("canonical_id").as("lb"))
+    val quotient = newEdges
+      .join(sA, col("a_id") === col("na"), "left")
+      .join(sB, col("b_id") === col("nb"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val relabel = components(quotient)
+      .select(col("doc_id").as("old_label"), col("canonical_id").as("new_label"))
+    // endpoints the stored labeling has never seen start as singletons
+    val fresh = newEdges.select(col("a_id").as("doc_id"))
+      .unionByName(newEdges.select(col("b_id").as("doc_id"))).distinct()
+      .join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("canonical_id", col("doc_id"))
+    val all = stored.unionByName(fresh)
+    all.join(relabel, all("canonical_id") === relabel("old_label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
+  }
+
   /** Single-task exact closure for pair graphs under the budget: plain
     * union-find with path compression, min member id per root as the
     * canonical label (identical semantics to the converged loop — the
@@ -928,6 +960,34 @@ object Dedup {
       components(pairs).orderBy("doc_id")
     }),
 
+    // INCREMENTAL connected-components maintenance — the graph member
+    // of the maintenance family (q93 sums, q205 order statistics, q181
+    // sketches): tonight's NEW near-dup edges must merge into the
+    // STORED component labeling without re-running the closure over
+    // the whole edge history. The algebra: collapse each new edge
+    // through the stored labels (absent endpoints keep their own id),
+    // run components over that QUOTIENT graph — bounded by the labels
+    // touched tonight, not the stored graph — and compose labels:
+    // final(node) = quotient(stored(node)). Min-id canonicals compose
+    // exactly (min over a quotient component of old minima ∪ new ids =
+    // the global min), so the result hash-matches the oracle's FULL
+    // recursive closure over every edge — incremental == recompute,
+    // proven through the join of two label generations. The old/new
+    // split keys on (a+b) mod 3 so old-old, bridging, and brand-new
+    // edges all occur (DedupSpec pins a hand-built fixture with each
+    // case).
+    "q207_incremental_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val pairs = graft.Caches.cached(
+        jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7)
+          .select("a_id", "b_id"))
+      val newE = pairs.filter((col("a_id") + col("b_id")) % 3 === 0)
+      val oldE = pairs.filter((col("a_id") + col("b_id")) % 3 =!= 0)
+      incrementalComponents(graft.Caches.cached(components(oldE)), newE)
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-cluster-size histogram — the shape report a dedup run
     // prints (how much of the duplication is pairs vs mega-clusters
     // decides whether "keep one per cluster" loses data): q49's exact
@@ -1013,6 +1073,36 @@ object Dedup {
         when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
       .select("doc_id", "source", "n_tok", "cluster_id", "split")
   }
+
+  /** Full min-label closure over the exact-Jaccard pair graph
+    * (doc_id < 200, 3-gram shingles, τ = 0.7) — shared by q49 (direct
+    * components) and q207 (incremental maintenance of the same
+    * labeling; incremental == recompute is the point). */
+  private val fullClosureSql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM docs)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         r(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+         SELECT id AS doc_id, MIN(label) AS canonical_id
+         FROM r GROUP BY id ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "q36_ngram_jaccard" ->
@@ -1161,31 +1251,10 @@ object Dedup {
            COUNT(DISTINCT cluster_id) AS n_clusters,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM sp GROUP BY source, split ORDER BY source, split""",
-    "q49_neardup_components" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-         sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-                FROM (SELECT doc_id, text,
-                        unnest(generate_series(1, length(text) - 2)) AS i
-                      FROM docs)),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
-           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT a_id, b_id FROM inter
-           JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-           WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.7),
-         edges AS (
-           SELECT a_id AS src, b_id AS dst FROM pairs
-           UNION SELECT b_id, a_id FROM pairs),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         r(id, label) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
-         SELECT id AS doc_id, MIN(label) AS canonical_id
-         FROM r GROUP BY id ORDER BY doc_id""",
+    "q49_neardup_components" -> fullClosureSql,
+    // incremental == recompute: the oracle IS the full closure over
+    // every edge (old ∪ new = the same exact pair set)
+    "q207_incremental_components" -> fullClosureSql,
     // q49's closure + a two-level rollup: canonical → size → histogram
     "q95_cluster_histogram" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

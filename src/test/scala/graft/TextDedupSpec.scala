@@ -1097,4 +1097,30 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.filter(_._1 == "bitmap").map(_._5).sum == hotExp,
       "bitmap bytes must equal tokens x (maxdoc/8 + 1)")
   }
+
+  test("incrementalComponents == full recompute on a fixture with every merge case") {
+    import graft.dedup.Dedup
+    // old graph: {1,2,3} (chain), {10,11}, {20,21} (untouched tonight),
+    // {30} never appears in any edge until tonight
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    // new edges: old-old BRIDGE (3-10 merges two stored components),
+    // brand-new pair (40-41), new node attaching to a stored component
+    // (30-11), duplicate re-delivery of a stored edge (1-2)
+    val newE = Seq((3L, 10L), (40L, 41L), (30L, 11L), (1L, 2L))
+      .toDF("a_id", "b_id")
+    val stored = Dedup.components(oldE)
+    val got = Dedup.incrementalComponents(stored, newE)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val full = Dedup.components(oldE.unionByName(newE))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == full, s"incremental $got != recompute $full")
+    // and the merge cases really happened: 1,2,3,10,11,30 share ONE
+    // canonical (the bridge + attach), 40/41 form a fresh pair,
+    // 20/21 kept their stored label untouched
+    val m = got.toMap
+    assert(Set(1L, 2L, 3L, 10L, 11L, 30L).map(m) == Set(1L))
+    assert(m(40L) == 40L && m(41L) == 40L)
+    assert(m(20L) == 20L && m(21L) == 20L)
+  }
 }
