@@ -352,6 +352,34 @@ object CorpusHealth {
             .as("p99"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("source")
+    }),
+
+    // TOP-K maintenance — the rank member of the maintenance family:
+    // a per-source top-10 longest-document leaderboard maintains by
+    // the UNION-THEN-RERANK algebra (stored top-10 ∪ delta top-10 is
+    // a superset of the true top-10, since any global top-10 doc is
+    // top-10 of whichever side contains it). State is k rows per
+    // source; the nightly merge re-ranks 2k rows per source, never
+    // the corpus. Both ranking passes compile to WindowGroupLimit
+    // (the q120/q178 plan contract — per-partition pruning before the
+    // source-keyed exchange); ties break on doc_id so the leaderboard
+    // is deterministic. Oracle = the direct top-10 over the full
+    // table: merge == recompute for ORDER-BASED state.
+    "q208_topk_maintenance" -> ((s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 10).drop("rk")
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      // doc_id % 10 == 0 plays tonight's delta (the q93 convention)
+      val stored = top10(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = top10(docs.filter(col("doc_id") % 10 === 0))
+      top10(stored.unionByName(delta))
+        .withColumn("rank", row_number().over(wS))
+        .orderBy("source", "rank")
     })
   )
 
@@ -698,6 +726,14 @@ object CorpusHealth {
              AS BIGINT) AS p99,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM cum JOIN tot USING (source)
-         GROUP BY source, n_docs ORDER BY source"""
+         GROUP BY source, n_docs ORDER BY source""",
+
+    "q208_topk_maintenance" ->
+      """SELECT source, doc_id, n_chars,
+           CAST(row_number() OVER w AS INT) AS rank
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+         QUALIFY row_number() OVER w <= 10
+         ORDER BY source, rank"""
   )
 }

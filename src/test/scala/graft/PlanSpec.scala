@@ -237,6 +237,14 @@ class PlanSpec extends SparkSpec {
       s"brand/size OR must reach the part scan:\n$pt")
   }
 
+  test("q208's maintenance ranks all compile to WindowGroupLimit") {
+    // three ranking passes (stored top-k, delta top-k, merged re-rank):
+    // every one must prune per-partition before its exchange
+    val p = plan("q208_topk_maintenance")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 3, s"expected >=3 WindowGroupLimit, found $n:\n${p.take(3000)}")
+  }
+
   test("q198 rides the blocked affine scan: no Window, carry path engaged") {
     // the whole point of affineScanExc is that NO window task ever
     // holds a full series: the plan must contain the block column
