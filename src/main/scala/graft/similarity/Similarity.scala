@@ -291,6 +291,46 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // Matryoshka TWO-STAGE serving — the production pattern q148's
+    // recall sweep motivates: stage 1 ranks every candidate by the
+    // 16-dim PREFIX dot (the Matryoshka head — ¼ of the arithmetic)
+    // and keeps top-32 per query, stage 2 pays full-dimension exact
+    // cosine only for the 32 survivors. Both ranks compile to
+    // WindowGroupLimit (per-partition pruning before the q_id
+    // exchange, PlanSpec-pinned). Fully deterministic: the prefix dot
+    // is the same integer-scaled sum as the exact route, so the whole
+    // two-stage serve — including which candidates survive —
+    // hash-matches the oracle spelling it verbatim. Scale: stage 1 is
+    // the only corpus-sized pass and it runs at prefix-width cost;
+    // stage 2 touches 32 rows/query.
+    "q209_matryoshka_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_norm"))
+      val c = fanOut(e).select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      val wP = Window.partitionBy(col("q_id"))
+        .orderBy(col("pdot").desc, col("c_id"))
+      val survivors = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("pdot",
+          dotScaled(slice(col("q_emb"), 1, 16), slice(col("c_emb"), 1, 16)))
+        .withColumn("prank", row_number().over(wP))
+        .filter(col("prank") <= 32)
+      val wF = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      survivors
+        .select(col("q_id"), col("c_id"),
+          cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup pairs above a cosine threshold, bounded slice.
     "q39_embedding_neardup" -> ((s, dir) => {
       val e = fanOut(Tables.embeddings(s, dir).filter(col("vec_id") < 300))
@@ -1355,6 +1395,42 @@ object Similarity {
            SELECT a_id, b_id, cos,
              CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rank
            FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank"""),
+    "q209_matryoshka_serve" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         b AS (SELECT vec_id, embedding FROM embeddings),
+         pdots AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1e14) AS BIGINT)) AS pdot
+           FROM a, b, (SELECT unnest(generate_series(1, 16)) AS i) idx
+           WHERE a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         surv AS (
+           SELECT a_id, b_id FROM pdots
+           QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY pdot DESC, b_id) <= 32),
+         norms AS (
+           SELECT vec_id,
+             sqrt(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14) AS nrm
+           FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+           GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1e14) AS BIGINT)) AS dot
+           FROM surv JOIN a ON a.vec_id = surv.a_id
+                     JOIN b ON b.vec_id = surv.b_id,
+                (SELECT unnest(generate_series(1, 64)) AS i) idx
+           GROUP BY 1, 2),
+         cosines AS (
+           SELECT a_id, b_id,
+             CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                  ELSE (CAST(dot AS DOUBLE) / 1e14) / (na.nrm * nb.nrm) END AS cos
+           FROM dots JOIN norms na ON na.vec_id = a_id
+                     JOIN norms nb ON nb.vec_id = b_id)
+         SELECT a_id AS q_id, b_id AS c_id, cos, rank FROM (
+           SELECT a_id, b_id, cos,
+             CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rank
+           FROM cosines) WHERE rank <= 5 ORDER BY q_id, rank""",
     "q39_embedding_neardup" -> (cosSql("WHERE vec_id < 300", "WHERE vec_id < 300", "a.vec_id < b.vec_id") +
       """SELECT a_id, b_id, cos FROM cosines WHERE cos >= 0.4 ORDER BY a_id, b_id"""),
     "q69_quantize" ->

@@ -221,6 +221,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q209's two ranking stages both compile to WindowGroupLimit") {
+    // stage-1 prefix-dot prefilter (top-32) and stage-2 exact rerank
+    // (top-5) must each prune per-partition before their exchange
+    val p = plan("q209_matryoshka_serve")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected >=2 WindowGroupLimit, found $n:\n${p.take(3000)}")
+  }
+
   test("disjunctive predicate splits and pushes per side (q194)") {
     // the three-branch OR spans both join sides; CNF extraction must
     // leave each side's residual OR on its own SCAN: the quantity
