@@ -307,6 +307,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact PARTITIONS at runtime") {
+    // the canonical 100 TB fact/dim pattern: the fact table is
+    // hive-partitioned on the join key's FK; filtering the dimension
+    // must prune fact partitions AT RUNTIME (the filter value is only
+    // known after the dim scan) — Spark's DynamicPruningExpression.
+    // Without DPP the fact scan reads all partitions every time. The
+    // benefit heuristic compares pruned bytes against broadcast
+    // overhead — meaningless at fixture scale, so the stats estimate
+    // is disabled and the fallback ratio raised (the mechanism, not
+    // the cost model, is what this law pins).
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    try {
+      Tables.orders(spark, sf)
+        .withColumn("status", $"o_orderstatus")
+        .write.partitionBy("status").mode("overwrite").parquet(s"$dir/fact")
+      // the dim must be a REAL relation: a local Seq constant-folds the
+      // selective filter into a LocalRelation before PartitionPruning
+      // runs, and the rule then sees no predicate to derive from
+      Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+        .toDF("d_status", "d_name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val j = fact.join(dim, $"status" === $"d_status")
+        .filter($"d_name" === "open")
+        .select($"o_orderkey", $"d_name")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"dim-filtered fact join must plan a dynamic pruning subquery:\n${p.take(3000)}")
+      // and the pruned plan still answers correctly
+      assert(j.count() ==
+        Tables.orders(spark, sf).filter($"o_orderstatus" === "O").count())
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the third skew/volume tool: Spark's InjectRuntimeFilter builds a
     // bloom filter from the SELECTIVE build side and applies it below
