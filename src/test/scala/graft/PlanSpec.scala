@@ -138,9 +138,12 @@ class PlanSpec extends SparkSpec {
                           // q43/q79 assignment shape) + the 20480-row
                           // broadcast ADC table (that one IS an
                           // equi-join on (ss, code))
-      "q186_ivfpq_topk") // composes q185's codebook scan with
+      "q186_ivfpq_topk", // composes q185's codebook scan with
                          // lloydAssign's corpus × 8 centroid grid; the
                          // candidate/ADC joins are equi-joins
+      "q209_matryoshka_serve") // one q38-shaped broadcast-query scan
+                               // (corpus × the 10-vector query set);
+                               // stage 2 runs on 32 rows/query
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
