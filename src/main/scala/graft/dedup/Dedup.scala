@@ -730,7 +730,14 @@ object Dedup {
     * joins of the new edges against the label table plus a closure
     * over the QUOTIENT graph (≤ one node per touched label — tonight's
     * churn, not the corpus). */
-  def incrementalComponents(stored: DataFrame, newEdges: DataFrame): DataFrame = {
+  def incrementalComponents(storedIn: DataFrame, newEdgesIn: DataFrame): DataFrame = {
+    // both inputs are consumed by several branches below (labels: the
+    // two quotient joins + the anti-join + the union; edges: the two
+    // joins + the endpoint union) — cache them so an expensive caller
+    // lineage is never re-evaluated 4x; both are churn/label-sized,
+    // never the corpus
+    val stored = graft.Caches.cached(storedIn)
+    val newEdges = graft.Caches.cached(newEdgesIn)
     val sA = stored.select(col("doc_id").as("na"), col("canonical_id").as("la"))
     val sB = stored.select(col("doc_id").as("nb"), col("canonical_id").as("lb"))
     val quotient = newEdges

@@ -18,6 +18,28 @@ import TextAnalysis._
   * spelling. */
 object CorpusHealth {
 
+  /** THE histogram-cumulation percentile selection (one spelling,
+    * shared by q166/q167/q205): given a per-(source, valCol) COUNT
+    * histogram `h` with count column `c`, returns one row per source
+    * with `n_docs` and, for each (name, num, den) cut, the smallest
+    * value whose cumulative count reaches num/den of the total —
+    * percentile_disc at histogram level, all-integer comparisons
+    * (cum·den ≥ N·num), no global sort. The per-source window is
+    * bounded by the source's DISTINCT values, not its doc count. */
+  private def histogramPercentiles(h: org.apache.spark.sql.DataFrame,
+      valCol: String, cuts: Seq[(String, Int, Int)],
+      maxName: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val wS = Window.partitionBy(col("source")).orderBy(col(valCol))
+    val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+    val aggs = cuts.map { case (n, num, den) =>
+      min(when(col("cum") * den >= col("n_docs") * num, col(valCol))).as(n)
+    } ++ maxName.map(mn => max(col(valCol)).as(mn))
+    h.withColumn("cum", sum(col("c")).over(wS))
+      .join(tot, "source")
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), aggs: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // N-GRAM NOVELTY PROFILE — the marginal-value-of-data curve a
     // curation team reads before buying more of a source: in doc_id
@@ -260,23 +282,13 @@ object CorpusHealth {
     // doubles, no ceil). The corpus is never sorted; the only
     // corpus-sized exchange is the histogram reduce.
     "q166_token_percentiles" -> ((s, dir) => {
-      val wS = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_tok"))
       val h = graft.Caches.cached(
         Tables.fanOut(Tables.documents(s, dir))
           .select(col("source"), size(wsToks).cast("long").as("n_tok"))
           .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
-      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
-      h.withColumn("cum", sum(col("c")).over(wS))
-        .join(tot, "source")
-        .groupBy("source")
-        .agg(max(col("n_docs")).as("n_docs"),
-          min(when(col("cum") * 2 >= col("n_docs"), col("n_tok"))).as("p50"),
-          min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_tok")))
-            .as("p90"),
-          min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_tok")))
-            .as("p99"),
-          max(col("n_tok")).as("max_tok"))
+      histogramPercentiles(h, "n_tok",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+        maxName = Some("max_tok"))
         .orderBy("source")
     }),
 
@@ -289,20 +301,12 @@ object CorpusHealth {
     // reduce. The threshold table is sources-sized and broadcast;
     // wins_mean_milli is fixed-point all-integer.
     "q167_winsorized_stats" -> ((s, dir) => {
-      val wS = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_tok"))
       val h = graft.Caches.cached(
         Tables.fanOut(Tables.documents(s, dir))
           .select(col("source"), size(wsToks).cast("long").as("n_tok"))
           .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
-      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
-      val th = h.withColumn("cum", sum(col("c")).over(wS))
-        .join(tot, "source")
-        .groupBy("source")
-        .agg(max(col("n_docs")).as("n_docs"),
-          min(when(col("cum") * 20 >= col("n_docs"), col("n_tok"))).as("p05"),
-          min(when(col("cum") * 20 >= col("n_docs") * 19, col("n_tok")))
-            .as("p95"))
+      val th = histogramPercentiles(h, "n_tok",
+        Seq(("p05", 1, 20), ("p95", 19, 20)))
       h.join(broadcast(th), "source")
         .groupBy("source")
         .agg(max(col("n_docs")).as("n_docs"),
@@ -329,8 +333,6 @@ object CorpusHealth {
     // full table: the hash match proves merge == recompute for order
     // statistics, which NO sum-style state can maintain.
     "q205_histogram_maintenance" -> ((s, dir) => {
-      val wS = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_chars"))
       val docs = Tables.documents(s, dir)
         .select(col("source"), col("n_chars"), col("doc_id"))
       def hist(df: org.apache.spark.sql.DataFrame) =
@@ -338,19 +340,11 @@ object CorpusHealth {
       // doc_id % 10 == 0 plays tonight's delta (the q93 convention)
       val stored = hist(docs.filter(col("doc_id") % 10 =!= 0))
       val delta = hist(docs.filter(col("doc_id") % 10 === 0))
-      val h = graft.Caches.cached(stored.unionByName(delta)
-        .groupBy("source", "n_chars").agg(sum(col("c")).as("c")))
-      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
-      h.withColumn("cum", sum(col("c")).over(wS))
-        .join(tot, "source")
-        .groupBy("source")
-        .agg(max(col("n_docs")).as("n_docs"),
-          min(when(col("cum") * 2 >= col("n_docs"), col("n_chars"))).as("p50"),
-          min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_chars")))
-            .as("p90"),
-          min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_chars")))
-            .as("p99"),
-          max(col("n_chars")).as("max_chars"))
+      val h = stored.unionByName(delta)
+        .groupBy("source", "n_chars").agg(sum(col("c")).as("c"))
+      histogramPercentiles(h, "n_chars",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+        maxName = Some("max_chars"))
         .orderBy("source")
     }),
 
@@ -377,8 +371,11 @@ object CorpusHealth {
       // doc_id % 10 == 0 plays tonight's delta (the q93 convention)
       val stored = top10(docs.filter(col("doc_id") % 10 =!= 0))
       val delta = top10(docs.filter(col("doc_id") % 10 === 0))
-      top10(stored.unionByName(delta))
+      // the merge re-rank IS the final rank — one window pass, not
+      // top10-then-rank-again
+      stored.unionByName(delta)
         .withColumn("rank", row_number().over(wS))
+        .filter(col("rank") <= 10)
         .orderBy("source", "rank")
     })
   )

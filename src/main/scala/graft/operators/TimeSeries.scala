@@ -312,7 +312,11 @@ object TimeSeries {
       // 4 wasted carry levels for a 30-day corpus; after rebasing the
       // domain is the actual calendar span (1-value bounded driver
       // action on the per-series aggregate, the q183 discipline)
-      val d0g = firsts.agg(min(col("d0"))).head.getLong(0)
+      // empty-corpus guard: min over an empty aggregate is NULL, and
+      // getLong would NPE — 0 keeps the rebase a no-op so the operator's
+      // own empty-input contract (schema-preserving empty frame) holds
+      val d0gRow = firsts.agg(min(col("d0"))).head
+      val d0g = if (d0gRow.isNullAt(0)) 0L else d0gRow.getLong(0)
       val maps = bars.join(broadcast(firsts), "event_type")
         .select(col("event_type"), (col("d") - d0g).as("d"),
           when(col("d") === col("d0"), lit(0.0)).otherwise(lit(0.875)).as("a"),
@@ -374,8 +378,7 @@ object TimeSeries {
       val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
         .rangeBetween(-6, 0)
       bars.select(col("event_type"), col("day"), col("close"),
-          (sum(dec(col("close"))).over(w).cast("double") /
-            count(lit(1)).over(w)).as("mean7d"),
+          (dsumOverD(col("close"), w) / count(lit(1)).over(w)).as("mean7d"),
           count(lit(1)).over(w).as("n_in_window"))
         .orderBy("event_type", "day")
     })
