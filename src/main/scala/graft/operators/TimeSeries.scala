@@ -381,6 +381,30 @@ object TimeSeries {
           (dsumOverD(col("close"), w) / count(lit(1)).over(w)).as("mean7d"),
           count(lit(1)).over(w).as("n_in_window"))
         .orderBy("event_type", "day")
+    }),
+
+    // ROLLING MEDIAN — an ORDER STATISTIC in a moving frame, which no
+    // built-in window aggregate computes exactly (percentile_approx is
+    // a sketch; there is no exact windowed median). Spelled as
+    // collect-the-frame → sort → index: legal ONLY because the frame
+    // is a small constant (7 rows) — the per-row array is bounded by
+    // the frame, not the series, so the plan is one partitioned window
+    // pass with O(frame·log frame) per row. Lower-median indexing
+    // ((n+1) DIV 2) keeps the value an ACTUAL series element — picking
+    // an element is exact, so the query hash-matches despite being a
+    // double-valued order statistic. The robust twin of q20's moving
+    // mean (one outlier day moves the mean, not the median).
+    "q210_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      dailyClose(s, dir)
+        .select(col("event_type"), col("day"), col("close"))
+        .withColumn("xs", sort_array(collect_list(col("close")).over(w)))
+        .select(col("event_type"), col("day"), col("close"),
+          element_at(col("xs"), expr("(size(xs) + 1) DIV 2").cast("int"))
+            .as("med7"),
+          size(col("xs")).cast("long").as("n_in_window"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -594,6 +618,16 @@ object TimeSeries {
          WHERE isodow(day) BETWEEN 1 AND 5
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day"""),
+    "q210_rolling_median" -> (barsSql +
+      """SELECT event_type, day, close,
+           list_sort(xs)[(len(xs) + 1) // 2] AS med7,
+           CAST(len(xs) AS BIGINT) AS n_in_window
+         FROM (SELECT event_type, day, close,
+                 list(CAST(close AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS xs
+               FROM bars)
          ORDER BY event_type, day""")
   )
 }
