@@ -24,6 +24,27 @@ object Relational {
   def normalizeSymbol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     upper(trim(element_at(split(c, "\\."), 1)))
 
+  /** SKYLINE over (minimize `costCol`, maximize `gainCol`), both
+    * integral non-negative: returns the input rows on the Pareto
+    * front (see q211 for semantics incl. ties). Scan spelling: one
+    * (cost, best gain) reduce, an exclusive running max over the cost
+    * axis via [[Prefix.exclusiveMax]] (bounded window tasks at any
+    * distinct-cost count), one join back. RelationalSpec pins it
+    * against the O(n²) NOT-EXISTS-dominator definition. */
+  def skyline(df: org.apache.spark.sql.DataFrame, costCol: String,
+              gainCol: String): org.apache.spark.sql.DataFrame = {
+    val best = df.groupBy(costCol)
+      .agg(max(col(gainCol).cast("long")).as("__skyBest"))
+    val frontier = Prefix
+      .exclusiveMax(best, Nil, costCol, "__skyBest", "__skyM")
+      .filter(col("__skyM").isNull || col("__skyM") < col("__skyBest"))
+      .select(col(costCol).as("__skyCost"), col("__skyBest"))
+    df.join(Tables.maybeBroadcast(frontier),
+        col(costCol) === col("__skyCost") &&
+          col(gainCol).cast("long") === col("__skyBest"))
+      .drop("__skyCost", "__skyBest")
+  }
+
   val queries: Map[String, Q] = Map(
     // S17-style grouped aggregation (TPC-H Q1 shape): pricing summary.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -593,6 +614,30 @@ object Relational {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
         .orderBy("s_suppkey")
+    }),
+
+    // SKYLINE (Pareto front) over (minimize price, maximize size) —
+    // the preference-query operator class. The naive spelling is the
+    // O(n²) NOT-EXISTS-dominator self-join; the scale spelling is a
+    // SCAN: reduce to one (price, best size) row per distinct price
+    // (same-price smaller-size rows are dominated unless they tie the
+    // max), then a part survives iff its size beats the best size of
+    // EVERY strictly cheaper price — an exclusive running MAX over the
+    // price axis, which rides the shared distributed prefix operator
+    // (every window task ≤ span rows however many distinct prices
+    // exist; no global sort, no self-join). Ties: equal (price, size)
+    // rows neither dominate each other, so all of them surface; a
+    // cheaper part with EQUAL size dominates (strict in price), which
+    // the strict < comparison encodes. Prices key as exact cents
+    // (floor·100 — spelled identically in the oracle because Spark's
+    // double→long CAST truncates while DuckDB's rounds).
+    "q211_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        col("p_size"), col("p_retailprice"),
+        floor(col("p_retailprice") * 100).cast("long").as("cents"))
+      skyline(p, "cents", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -868,6 +913,23 @@ object Relational {
            JOIN per_part USING (l_partkey)
            JOIN supplier ON l_suppkey = s_suppkey
          WHERE pair_qty * 2 > part_qty
-         GROUP BY 1, 2 ORDER BY s_suppkey"""
+         GROUP BY 1, 2 ORDER BY s_suppkey""",
+    "q211_skyline" ->
+      """WITH b AS (
+           SELECT CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             MAX(CAST(p_size AS BIGINT)) AS best_sz
+           FROM part GROUP BY 1),
+         sc AS (
+           SELECT cents, best_sz,
+             MAX(best_sz) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict
+           FROM b),
+         f AS (SELECT cents, best_sz FROM sc
+               WHERE m_strict IS NULL OR m_strict < best_sz)
+         SELECT p_partkey, p_retailprice, p_size
+         FROM part JOIN f
+           ON CAST(floor(p_retailprice * 100) AS BIGINT) = f.cents
+          AND CAST(p_size AS BIGINT) = f.best_sz
+         ORDER BY p_partkey"""
   )
 }

@@ -88,4 +88,25 @@ class RelationalSpec extends SparkSpec {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("skyline == brute-force NOT-EXISTS dominator on a tie-heavy fixture") {
+    import graft.operators.Relational
+    // (id, cost, gain): 2 dominated by 1 (same cost, less gain);
+    // 1 dominated by 3 (cheaper, equal gain); 3 and 5 are exact
+    // duplicates (both survive — no strict edge); 4 survives on the
+    // gain axis; 6 dominated by 4 (equal gain, costlier); 7 dominated
+    // transitively
+    val rows = Seq((1L, 10L, 5L), (2L, 10L, 3L), (3L, 9L, 5L),
+      (4L, 12L, 7L), (5L, 9L, 5L), (6L, 13L, 7L), (7L, 14L, 2L))
+    val df = rows.toDF("id", "cost", "gain")
+    val got = Relational.skyline(df, "cost", "gain")
+      .select("id").as[Long].collect().toSet
+    val brute = rows.filter { case (_, c, g) =>
+      !rows.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(3L, 4L, 5L),
+      s"skyline $got != brute-force $brute")
+  }
 }
