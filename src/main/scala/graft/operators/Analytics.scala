@@ -546,6 +546,39 @@ object Analytics {
         .agg(count(lit(1)).as("n_users"),
           sum(length(col("journey"))).cast("long").as("total_events"))
         .orderBy("first_ev", "converts")
+    }),
+
+    // INTERVAL CONCURRENCY (sweep line) — how many 10-minute activity
+    // windows overlap at once, the load-curve question behind capacity
+    // planning: each event opens an interval [ts, ts+10min); the
+    // classic answer is ±1 DELTA events, a running sum over the time
+    // axis, and a per-day max. The running sum is GLOBAL (one axis,
+    // no partitions) — exactly what the shared distributed prefix
+    // operator exists for: deltas reduce per SECOND (unique integral
+    // keys), Prefix.exclusiveSum recurses over the epoch-second
+    // domain (≤ span rows per window task at ANY time range — a
+    // century is ~3G seconds, 2 levels), and concurrency =
+    // exclusive + own delta. Concurrency is piecewise-constant
+    // between change points, so the per-day max over change points is
+    // exact as long as both engines aggregate the same points (they
+    // do — same delta construction). All-integer → hash-matched.
+    "q212_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // integer DIV throughout — Column./ is DOUBLE division, and a
+      // truncating cast after it can land one second off when the
+      // nearest double sits just above the true quotient
+      val deltas = ev.select(expr("unix_millis(ts) DIV 1000").as("sec"),
+          lit(1L).as("dl"))
+        .unionAll(ev.select(expr("(unix_millis(ts) + 600000) DIV 1000")
+          .as("sec"), lit(-1L).as("dl")))
+        .groupBy("sec").agg(sum(col("dl")).as("delta"))
+      Prefix.exclusiveSum(deltas, Nil, "sec", "delta", "excl")
+        .withColumn("conc", col("excl") + col("delta"))
+        .groupBy(date_add(lit("1970-01-01").cast("date"),
+          expr("sec DIV 86400").cast("int")).as("day"))
+        .agg(max(col("conc")).as("max_concurrency"),
+          count(lit(1)).as("n_change_points"))
+        .orderBy("day")
     })
   )
 
@@ -856,6 +889,20 @@ object Analytics {
            regexp_matches(journey, 'vvvp') AS converts,
            COUNT(*) AS n_users,
            CAST(SUM(length(journey)) AS BIGINT) AS total_events
-         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q212_concurrency" ->
+      """WITH d AS (
+           SELECT epoch_ms(ts) // 1000 AS sec, 1 AS dl FROM events
+           UNION ALL
+           SELECT (epoch_ms(ts) + 600000) // 1000, -1 FROM events),
+         g AS (SELECT sec, CAST(SUM(dl) AS BIGINT) AS delta
+               FROM d GROUP BY 1),
+         r AS (SELECT sec, delta,
+                 CAST(SUM(delta) OVER (ORDER BY sec) AS BIGINT) AS conc
+               FROM g)
+         SELECT DATE '1970-01-01' + CAST(sec // 86400 AS INT) AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           COUNT(*) AS n_change_points
+         FROM r GROUP BY 1 ORDER BY 1"""
   )
 }
