@@ -579,6 +579,54 @@ object Analytics {
         .agg(max(col("conc")).as("max_concurrency"),
           count(lit(1)).as("n_change_points"))
         .orderBy("day")
+    }),
+
+    // TRIANGLE COUNTING (graph motif) over the co-purchase graph —
+    // the clustering-structure signal behind "bought together"
+    // bundles: parts are linked when they share ≥ 2 orders, and a
+    // triangle is three mutually-linked parts. The scale spelling is
+    // DEGREE-ORDERED orientation (Schank/Wagner): each undirected
+    // edge points from its lower-(degree, id) endpoint, wedges fan
+    // out only from a vertex's ORIENTED out-edges (bounded by ~√m
+    // after orientation, not by the hub's raw degree), and each
+    // triangle is counted EXACTLY ONCE from its order-minimal corner.
+    // The oracle counts the same triangles with the simple id-ordered
+    // spelling — the triangle SET is orientation-invariant, so the
+    // per-part participation rollup hash-matches while the engine
+    // keeps the skew-proof plan. Baskets bound the first pair join
+    // (C(items,2) per order, q172's argument).
+    "q213_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = graft.Caches.cached(li.as("x")
+        .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("u", "v"))
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val o = graft.Caches.cached(e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t")))
+      val wedges = o.select(col("s"), col("t").as("t1"))
+        .join(o.select(col("s"), col("t").as("t2")), "s")
+        .filter(col("t1") < col("t2"))
+      val tri = wedges.join(e,
+        least(col("t1"), col("t2")) === col("u") &&
+          greatest(col("t1"), col("t2")) === col("v"))
+      tri.select(explode(array(col("s"), col("t1"), col("t2")))
+          .as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("l_partkey"))
     })
   )
 
@@ -903,6 +951,23 @@ object Analytics {
          SELECT DATE '1970-01-01' + CAST(sec // 86400 AS INT) AS day,
            CAST(MAX(conc) AS BIGINT) AS max_concurrency,
            COUNT(*) AS n_change_points
-         FROM r GROUP BY 1 ORDER BY 1"""
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q213_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         c AS (SELECT x AS p FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+         SELECT p AS l_partkey, COUNT(*) AS n_triangles
+         FROM c GROUP BY 1
+         ORDER BY n_triangles DESC, l_partkey"""
   )
 }
