@@ -498,10 +498,14 @@ object Analytics {
     // day of age at the user's LAST active day. The naive spelling is
     // a per-user recurrence (q198's scan); with a CONSTANT per-day
     // decay the weights TELESCOPE to 0.5^(last−day) — a closed form
-    // that needs no recurrence at all, and because 0.5^k is dyadic the
-    // product v·0.5^k is an exact exponent shift, so summing the
-    // decimal-cast terms is order-independent and the whole feature
-    // hash-matches. Scale shape: one (user, day) reduce, one exchange
+    // that needs no recurrence at all. Cross-engine stability (r9
+    // ADVICE corrected the old "exact exponent shift" claim): v·0.5^k
+    // is NOT generally representable in 4 decimal digits — each term
+    // IS rounded by the DECIMAL(18,4) cast. Correctness holds because
+    // 0.5^k is dyadic, so both engines compute the IDENTICAL double
+    // per term and round it identically BEFORE the sum; the rounded
+    // decimal terms then sum order-independently. A non-dyadic alpha
+    // would break the identical-double premise, not the telescoping. Scale shape: one (user, day) reduce, one exchange
     // on user for the bounded per-user window (rows/user ≤ calendar),
     // then the final per-user fold reuses that partitioning — no
     // joins, no corpus-sized window.

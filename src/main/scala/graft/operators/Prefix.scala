@@ -191,7 +191,15 @@ object Prefix {
     val Array(row) = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"))
       .collect()
     if (row.isNullAt(1))
-      return base.withColumn(outA, lit(1.0)).withColumn(outB, lit(0.0))
+      // empty input: apply the SAME long/double casts the blocked path
+      // applies, so the output schema honors the documented contract
+      // (orderCol BIGINT, a/b DOUBLE) even when callers pass int/float
+      // columns (r9 ADVICE — mirrors the exclusiveSum empty-path fix)
+      return base
+        .withColumn(k, col(k).cast("long"))
+        .withColumn(aCol, col(aCol).cast("double"))
+        .withColumn(bCol, col(bCol).cast("double"))
+        .withColumn(outA, lit(1.0)).withColumn(outB, lit(0.0))
     require(row.getLong(0) >= 0,
       s"affineScanExc: order column $k must be non-negative (min=${row.getLong(0)})")
     val oneBlock = row.getLong(1) < span

@@ -371,6 +371,8 @@ object Relational {
         case t: java.sql.Timestamp =>
           (lit(t), lit(new java.sql.Timestamp(t.getTime + 90L * 24 * 3600 * 1000)))
         case t: java.time.LocalDateTime => (lit(t), lit(t.plusDays(90)))
+        case null => throw new IllegalStateException(
+          "q183: lineitem is empty — min(l_shipdate) is NULL, no revenue window to anchor")
         case other => throw new IllegalStateException(
           s"unexpected min(l_shipdate) type: ${other.getClass}")
       }

@@ -227,7 +227,11 @@ object Sketches {
         .select(col("event_type"), parse_json(col("props")).as("v"))
         .select(col("event_type"),
           variant_get(col("v"), "$.k", "long").as("k"))
-      v.groupBy(col("event_type"), expr("k DIV 16").as("band"))
+      // shiftright(k, 4) is FLOOR division by 16 for every long (an
+      // arithmetic shift), matching DuckDB's `// 16` exactly; Spark's
+      // `DIV` truncates toward zero, which would diverge on negative k
+      // (r9 ADVICE — the old spelling silently relied on k >= 0)
+      v.groupBy(col("event_type"), shiftright(col("k"), 4).as("band"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type", "band")
     })

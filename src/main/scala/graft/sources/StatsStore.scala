@@ -51,6 +51,28 @@ object StatsStore {
     if (!fs.rename(new Path(s"$dir/manifest_tmp"), live))
       throw new java.io.IOException(s"manifest swap: could not publish $live")
     fs.delete(old, true)
+    invalidateCoverage(dir)
+  }
+
+  /** Stores whose coverage has been verified since their last mutation
+    * in THIS process. readRange/readBox/readNeedle are called per
+    * bench rep; without memoization every serve paid a directory
+    * listing plus a manifest read+collect (r9 ADVICE — it inflated the
+    * timed serving cost of q106/q111/q127). Writers and appenders
+    * invalidate the entry, so the check re-runs exactly once after
+    * each mutation; external-process mutations are out of scope (the
+    * Scratch roots are per-pid by construction). */
+  private val coverageVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def invalidateCoverage(dir: String): Unit = {
+    coverageVerified.remove(dir); ()
+  }
+
+  private def requireManifestCoversData(spark: SparkSession, dir: String): Unit = {
+    if (coverageVerified.contains(dir)) return
+    requireManifestCoversDataNow(spark, dir)
+    coverageVerified.add(dir)
     ()
   }
 
@@ -62,7 +84,7 @@ object StatsStore {
     * metadata cost class as a transaction-log replay. Paths compare
     * scheme-stripped (`_metadata.file_path` is a URI, listings are
     * fs-relative). */
-  private def requireManifestCoversData(spark: SparkSession, dir: String): Unit = {
+  private def requireManifestCoversDataNow(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dataPath = new Path(s"$dir/data")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,6 +114,7 @@ object StatsStore {
     rangeManifestRows(spark.read.parquet(s"$dir/data"), keyCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    invalidateCoverage(dir)
   }
 
   /** Nightly-ingest maintenance for a range store (r7 verdict #5 — the
@@ -187,6 +210,7 @@ object StatsStore {
         count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    invalidateCoverage(dir)
   }
 
   /** Files whose 2-D [min,max]×[min,max] box intersects the query box.
@@ -244,6 +268,7 @@ object StatsStore {
     val spark = docs.sparkSession
     bloomManifestRows(spark.read.parquet(s"$dir/data"), mBits, k)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    invalidateCoverage(dir)
   }
 
   /** Nightly-ingest maintenance for a bloom store (r7 verdict #5):
