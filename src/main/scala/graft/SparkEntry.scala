@@ -65,7 +65,10 @@ object SparkEntry {
     "q106_stats_pruned_scan",    // range store + manifest
     "q111_zorder_scan",          // Z-order store + manifest
     "q127_bloom_pruned_scan",    // bloom store + manifest
-    "q88_incremental_minhash")   // MinHash signature store
+    "q88_incremental_minhash",   // MinHash signature store
+    "q185_pq_adc_topk",          // persisted PQ index (codebooks+codes)
+    "q186_ivfpq_topk",           // same store as q185 (shared build)
+    "q215_pq_append_serve")      // PQ index append layout
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -635,4 +635,75 @@ class SimilaritySpec extends SparkSpec {
       assert(pool < cellOf.size, s"query $q: probe covers the whole corpus")
     }
   }
+
+  test("persisted PQ index: store-served q185/q186 equal the state-free spellings bit-for-bit") {
+    // r9 verdict #1: the production queries serve from the Scratch
+    // store; the in-query training spellings survive as twins. Both
+    // sides are integer-granule deterministic, so equality is exact
+    // set equality on every output column, not a tolerance.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"rank".cast("int"), $"vec_id", $"adc_micro")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val flatStore = rows(SparkEntry.queries("q185_pq_adc_topk")(spark, sf))
+    val flatFree = rows(Similarity.pqAdcStateFree(spark, sf))
+    assert(flatStore == flatFree,
+      "store-served PQ-ADC diverged from the state-free spelling")
+    val ivfStore = rows(SparkEntry.queries("q186_ivfpq_topk")(spark, sf))
+    val ivfFree = rows(Similarity.ivfpqStateFree(spark, sf))
+    assert(ivfStore == ivfFree,
+      "store-served IVFPQ diverged from the state-free spelling")
+  }
+
+  test("PQ incremental append == one-shot encode under the stored tables (content + serving)") {
+    val t1 = java.nio.file.Files.createTempDirectory("pq_app").toString
+    val t2 = java.nio.file.Files.createTempDirectory("pq_one").toString
+    try {
+      val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      val e1 = e.filter(col("vec_id") < 400)
+      val e2 = e.filter(col("vec_id") >= 400)
+      Similarity.writePqIndex(e1, t1)
+      Similarity.appendToPqIndex(spark, t1, e2)
+      // one-shot reference: the SAME stored codebooks + coarse
+      // centroids encode/assign the union corpus
+      val books = spark.read.parquet(s"$t1/codebooks")
+      val coarse = spark.read.parquet(s"$t1/coarse")
+      books.write.parquet(s"$t2/codebooks")
+      coarse.write.parquet(s"$t2/coarse")
+      val cells = Similarity.lloydAssignWith(e, coarse, 64)
+        .select(col("vec_id"), col("cell"))
+      Similarity.pqCodes(e, books, subDim = 8).join(cells, Seq("vec_id"))
+        .write.partitionBy("cell").parquet(s"$t2/codes")
+      def content(d: String) = spark.read.parquet(s"$d/codes")
+        .select($"vec_id", $"ss", $"code", $"cell".cast("long"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val appended = content(t1)
+      assert(appended.map(_._1) == e.select("vec_id").as[Long].collect().toSet,
+        "append must cover exactly the union corpus")
+      assert(appended == content(t2),
+        "append-built PQ codes diverged from the one-shot encode")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def serve(d: String) = Similarity.ivfpqTopKIndexed(spark, d, qs, k = 10, nprobe = 2)
+        .select($"q_id", $"rank".cast("int"), $"vec_id", $"adc_micro")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val got = serve(t1)
+      assert(got == serve(t2), "append-built PQ index serves differently")
+      assert(got.count(_._3 >= 400) > 0,
+        "fixture must surface appended vectors in served top-k — otherwise the law is vacuous")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t2))
+    }
+  }
+
+  test("q186/q215 serve the PQ code store partition-pruned by probed cell") {
+    for (q <- Seq("q186_ivfpq_topk", "q215_pq_append_serve")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l => l.contains("FileScan") &&
+          l.contains("/codes") && l.contains("PartitionFilters: [cell")),
+        s"$q must prune code partitions by probed cell:\n$p")
+      assert(df.count() > 0)
+    }
+  }
 }
