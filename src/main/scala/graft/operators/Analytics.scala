@@ -18,6 +18,65 @@ import graft.functions.Exact._
   */
 object Analytics {
 
+  /** Per-user journey summary (first event letter, vvvp-contiguity
+    * flag, event count) via a streamed DFA over the SORTED per-user
+    * iterator — flatMapSortedGroups gives (ts, event_id)-ordered rows
+    * without materializing the journey array, so state per user is
+    * O(1) (a letter, a counter, a run length, a flag) regardless of
+    * how many events one user owns. This is the r9 verdict #2 fix:
+    * the collect_list spelling ([[sequencePatternCollect]]) bounds
+    * its aggregation row only by per-user activity — a hot key at
+    * 100× data is a single-task OOM; the sorted-iterator DFA rides
+    * the same exchange but streams it. Timestamps compare as
+    * unix_millis (monotone, tie-free with the event_id tie-break). */
+  private[graft] def journeySummaries(
+      s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("l"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"tsm", $"event_id") { (uid, it) =>
+        var first: String = null
+        var n = 0L
+        var run = 0L        // consecutive 'v' run ending at the previous event
+        var converts = false
+        it.foreach { case (_, _, _, l) =>
+          if (first == null) first = l
+          if (l == "v") run += 1
+          else {
+            if (l == "p" && run >= 3) converts = true
+            run = 0
+          }
+          n += 1
+        }
+        Iterator.single((uid, first, converts, n))
+      }
+      .toDF("user_id", "first_ev", "converts", "n_events")
+  }
+
+  /** The collect_list spelling of q206 — kept ONLY as the spec twin
+    * for the DFA == collect law; never a production path (unbounded
+    * per-key array, see [[journeySummaries]]). */
+  private[graft] def sequencePatternCollect(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val j = Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("l")).as("x"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("x"))).as("xs"))
+      .select(col("user_id"),
+        concat_ws("", expr("transform(xs, x -> x.l)")).as("journey"))
+    j.groupBy(substring(col("journey"), 1, 1).as("first_ev"),
+        col("journey").rlike("vvvp").as("converts"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(length(col("journey"))).cast("long").as("total_events"))
+      .orderBy("first_ev", "converts")
+  }
+
   val queries: Map[String, Q] = Map(
     // Sequential funnel: first view → first purchase strictly after it,
     // per user, rolled up to cohorts. Everything shuffles on user_id —
@@ -526,31 +585,26 @@ object Analytics {
     }),
 
     // Sequence-pattern classification over ordered event journeys — a
-    // MATCH_RECOGNIZE substitute: each user's events reduce to ONE
-    // journey string (first letter per event type, in (ts, event_id)
-    // order — the five types have distinct initials), and a regex over
-    // the string expresses the path pattern ("3+ consecutive views
-    // converting directly to a purchase" = vvvp) that window functions
-    // would need self-joins per step to express (q70's funnel checks
-    // ORDER of firsts; this checks CONTIGUITY). Scale shape: one
-    // per-user reduce; journey length is bounded by per-user activity
-    // (the q94 sessionize argument), users parallelize; the regex runs
-    // rowwise over the reduced table, never the event grain.
-    "q206_sequence_pattern" -> ((s, dir) => {
-      val j = Tables.events(s, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("l")).as("x"))
-        .groupBy("user_id")
-        .agg(array_sort(collect_list(col("x"))).as("xs"))
-        .select(col("user_id"),
-          concat_ws("", expr("transform(xs, x -> x.l)")).as("journey"))
-      j.groupBy(substring(col("journey"), 1, 1).as("first_ev"),
-          col("journey").rlike("vvvp").as("converts"))
+    // MATCH_RECOGNIZE substitute: "3+ consecutive views converting
+    // directly to a purchase" (the regex vvvp over the first-letter
+    // journey) — contiguity that window functions would need
+    // self-joins per step to express (q70's funnel checks ORDER of
+    // firsts). Scale shape (r9 verdict #2): the pattern runs as a
+    // STREAMED DFA over each user's sorted event iterator
+    // ([[journeySummaries]] — flatMapSortedGroups, O(1) state per
+    // user), so the journey is NEVER materialized; the old
+    // collect_list spelling ([[sequencePatternCollect]], the spec
+    // twin) buffered a user's whole history in one aggregation row —
+    // one hot user (a bot, a load-test account) at 100× data is a
+    // single-task OOM. The sort machinery spills; per-user memory is
+    // a 4-field summary. ScaleSpec drives the DFA through a hot-key
+    // fixture (one user owning 10% of events).
+    "q206_sequence_pattern" -> ((s, dir) =>
+      journeySummaries(s, Tables.events(s, dir))
+        .groupBy(col("first_ev"), col("converts"))
         .agg(count(lit(1)).as("n_users"),
-          sum(length(col("journey"))).cast("long").as("total_events"))
-        .orderBy("first_ev", "converts")
-    }),
+          sum(col("n_events")).cast("long").as("total_events"))
+        .orderBy("first_ev", "converts")),
 
     // INTERVAL CONCURRENCY (sweep line) — how many 10-minute activity
     // windows overlap at once, the load-curve question behind capacity

@@ -235,4 +235,20 @@ class AnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q206 streamed DFA == collect_list spelling (r9 verdict #2 law)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"first_ev", $"converts", $"n_users", $"total_events")
+        .as[(String, Boolean, Long, Long)].collect().toSeq
+    val dfa = rows(SparkEntry.queries("q206_sequence_pattern")(spark, sf))
+    val collected = rows(graft.operators.Analytics.sequencePatternCollect(spark, sf))
+    assert(dfa == collected,
+      s"DFA diverged from the collect spelling:\n  dfa=$dfa\n  collect=$collected")
+    // the DFA plan must not buffer journeys: no collect_list anywhere
+    val plan = SparkEntry.queries("q206_sequence_pattern")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"q206 plan still materializes per-user arrays:\n$plan")
+  }
 }

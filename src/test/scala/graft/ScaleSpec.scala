@@ -391,4 +391,37 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("hot-key stress: one user owning 10% of events streams through the q206 DFA (r9 verdict #7)") {
+    import spark.implicits._
+    // adversarial fixture: 200k events, user 0 owns 10% (a bot / load
+    // tester); the hot user's journey is vvv...vp so the DFA must see
+    // the conversion only by streaming the WHOLE sorted run — an
+    // early-exit or truncating implementation would miss it, and a
+    // buffering implementation holds 20k rows in one aggregation row.
+    val n = 200000
+    val hot = n / 10
+    val ev = spark.range(n.toLong).select(
+      col("id").as("event_id"),
+      when(col("id") < hot, 0L).otherwise(col("id") % 997 + 1).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000).as("ts"),
+      // hot user: all views except a final purchase at the last event
+      when(col("id") < hot - 1, "view")
+        .when(col("id") === hot - 1, "purchase")
+        .otherwise(element_at(typedlit(Seq("view", "click", "purchase", "signup", "refund")),
+          (col("id") % 5 + 1).cast("int"))).as("event_type"))
+    val out = graft.operators.Analytics.journeySummaries(spark, ev)
+      .as[(Long, String, Boolean, Long)].collect()
+    val hotRow = out.find(_._1 == 0L).get
+    assert(hotRow._4 == hot.toLong, s"hot user must keep all $hot events, got ${hotRow._4}")
+    assert(hotRow._2 == "v" && hotRow._3,
+      "hot user's vvv...vp journey must convert — the DFA saw the full sorted run")
+    assert(out.map(_._4).sum == n.toLong, "summaries must cover every event exactly once")
+    // per-key state is O(1): the plan streams sorted groups, never
+    // collects arrays (the same pin as AnalyticsSpec's law, re-checked
+    // here on the adversarial fixture's own plan)
+    val plan = graft.operators.Analytics.journeySummaries(spark, ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"DFA plan buffers arrays:\n$plan")
+  }
 }
