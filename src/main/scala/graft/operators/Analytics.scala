@@ -57,6 +57,123 @@ object Analytics {
       .toDF("user_id", "first_ev", "converts", "n_events")
   }
 
+  /** Damped PageRank to a CHECKED fixpoint over a directed edge list
+    * (symmetrize upstream for undirected graphs). Every iterative
+    * Spark algorithm's three disciplines, inherited from
+    * [[graft.dedup.Dedup.components]]:
+    *  - localCheckpoint per round truncates the growing lineage (a
+    *    cluster deployment would checkpoint(dir));
+    *  - the loop-termination aggregate (L1 delta) is a 1-value driver
+    *    action, never a data collect;
+    *  - the iterative shuffle is sized to the GRAPH, not the session
+    *    default — rank frames are node-sized, and per-round task
+    *    scheduling on empty partitions would dominate small graphs
+    *    (localCheckpoint pins static plans, so AQE can't coalesce).
+    * Exhausting maxIter THROWS — a half-converged rank must never
+    * silently flow downstream. Dangling nodes (no out-edges) are
+    * impossible on symmetrized input and are rejected up front
+    * otherwise, so rank mass is conserved each round (AnalyticsSpec
+    * pins sum == 1). Teleport keeps the bipartite walk aperiodic, so
+    * the delta contracts by ~damping per round: maxIter must cover
+    * ln(tol)/ln(damping) (~85 rounds at 0.85/1e-6). */
+  private[graft] def pageRank(edges0: org.apache.spark.sql.DataFrame,
+                              damping: Double, tol: Double, maxIter: Int,
+                              localBudget: Long = 8L * 1000 * 1000): org.apache.spark.sql.DataFrame = {
+    val sess = edges0.sparkSession
+    val edges = graft.Caches.cached(edges0.select(col("src"), col("dst")).distinct())
+    // the components() small-graph route: below the budget the whole
+    // power iteration runs as ONE executor task over index-compressed
+    // arrays — ~85 driver-scheduled shuffle rounds on a graph that
+    // fits one task's heap is pure scheduling overhead. NOT a driver
+    // collect (edges never leave the executors); a graph that
+    // outgrows the budget routes to the loop automatically.
+    if (edges.count() <= localBudget)
+      return pageRankSingleTask(edges, damping, tol, maxIter)
+    val deg = graft.Caches.cached(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = graft.Caches.cached(
+      edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct())
+    val n = nodes.count() // bounded driver aggregate (node count)
+    val dangling = nodes.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti").count()
+    require(dangling == 0,
+      s"pageRank: $dangling dangling node(s) — symmetrize or drop sinks upstream")
+    // size the per-round shuffle to the graph (the components() rule)
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      math.max(2L, math.min(prevParts.toLong, n / 100000L + 1)).toString)
+    try {
+      var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      var iter = 0
+      var delta = Double.MaxValue
+      while (delta > tol && iter < maxIter) {
+        val inflow = edges.join(deg, Seq("src"))
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy("id").agg(sum(col("c")).as("inflow"))
+        val updated = nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("new_rank"))
+          .localCheckpoint()
+        // 1-value driver action: total-variation distance to last round
+        delta = updated.join(ranks, Seq("id"))
+          .agg(sum(abs(col("new_rank") - col("rank")))).head.getDouble(0)
+        ranks = updated.select(col("id"), col("new_rank").as("rank"))
+        iter += 1
+      }
+      if (delta > tol) throw new IllegalStateException(
+        s"pageRank: no fixpoint after $maxIter rounds (L1 delta=$delta > tol=$tol)")
+      ranks
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** The single-task degenerate case of [[pageRank]] — same algebra,
+    * same fixpoint/maxIter contract, edges sorted before folding so
+    * the fp sums are deterministic across runs. */
+  private def pageRankSingleTask(edges: org.apache.spark.sql.DataFrame,
+                                 damping: Double, tol: Double,
+                                 maxIter: Int): org.apache.spark.sql.DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val arr = it.toArray.sorted // deterministic fold order
+        if (arr.isEmpty) Iterator.empty
+        else {
+          val ids = arr.iterator.flatMap(t => Iterator(t._1, t._2))
+            .toArray.distinct.sorted
+          val idx = ids.zipWithIndex.toMap
+          val n = ids.length
+          val src = arr.map(t => idx(t._1))
+          val dst = arr.map(t => idx(t._2))
+          val deg = new Array[Long](n)
+          src.foreach(i => deg(i) += 1)
+          require(deg.forall(_ > 0),
+            "pageRank: dangling node(s) — symmetrize or drop sinks upstream")
+          var rank = Array.fill(n)(1.0 / n)
+          var iter = 0
+          var delta = Double.MaxValue
+          while (delta > tol && iter < maxIter) {
+            val next = Array.fill(n)((1.0 - damping) / n)
+            var k = 0
+            while (k < src.length) {
+              next(dst(k)) += damping * rank(src(k)) / deg(src(k)); k += 1
+            }
+            delta = 0.0
+            var j = 0
+            while (j < n) { delta += math.abs(next(j) - rank(j)); j += 1 }
+            rank = next; iter += 1
+          }
+          if (delta > tol) throw new IllegalStateException(
+            s"pageRank: no fixpoint after $maxIter rounds (L1 delta=$delta > tol=$tol)")
+          ids.iterator.zipWithIndex.map { case (id, j) => (id, rank(j)) }
+        }
+      }
+      .toDF("id", "rank")
+  }
+
   /** The collect_list spelling of q206 — kept ONLY as the spec twin
     * for the DFA == collect law; never a production path (unbounded
     * per-key array, see [[journeySummaries]]). */
@@ -394,6 +511,35 @@ object Analytics {
         .select(col("c").as("custkey"), col("cdeg").as("n_suppliers"),
           col("mass"))
         .orderBy(col("mass").desc, col("custkey").asc)
+        .limit(20)
+    }),
+
+    // PAGERANK TO CONVERGENCE (r9 verdict #6 — q114 is the unrolled
+    // 2-round demo; this is the operator): damped degree-normalized
+    // rank over the same bipartite customer⇄supplier trade graph,
+    // iterated until the L1 delta crosses tol, with a maxIter guard
+    // that THROWS rather than silently returning a half-converged
+    // rank (the components() discipline). Customers/suppliers share
+    // one node id space via even/odd keys. Rows-only: the fixpoint
+    // loop has no single-query DuckDB spelling; AnalyticsSpec pins
+    // the closed-form rank on a star graph, rank-sum conservation,
+    // and convergence on the corpus fixture. Scale shape: see
+    // [[pageRank]] — per-round cost is two node-sized hash joins and
+    // one edge-sized contribution aggregate; the edge list is built
+    // once and cached, never rescanned from the fact tables.
+    "q214_pagerank" -> ((s, dir) => {
+      val co = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      val edges = co.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .unionByName(co.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val pr = pageRank(edges, damping = 0.85, tol = 1e-6, maxIter = 120)
+      pr.filter(col("id") % 2 === 0)
+        .select(expr("id DIV 2").as("custkey"),
+          floor(col("rank") * 1e9).cast("long").as("rank_nano"))
+        .orderBy(col("rank_nano").desc, col("custkey").asc)
         .limit(20)
     }),
 

@@ -251,4 +251,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("collect_list"),
       s"q206 plan still materializes per-user arrays:\n$plan")
   }
+
+  test("pageRank: closed-form star-graph ranks, mass conservation, loop == single-task (q214 laws)") {
+    import spark.implicits._
+    // undirected star: center 0, leaves 1..3, symmetrized edges
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val d = 0.85; val n = 4; val k = 3
+    // closed form: r_c = (1-d)(1+dk) / (n(1-d^2)); r_l = (1-r_c)/k
+    val rc = (1 - d) * (1 + d * k) / (n * (1 - d * d))
+    val tol = 1e-10
+    def ranks(lb: Long) = graft.operators.Analytics
+      .pageRank(star, d, tol, maxIter = 500, localBudget = lb)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val local = ranks(100L) // 6 edges < 100 -> single-task route
+    val looped = ranks(0L)  // force the distributed fixpoint loop
+    assert(math.abs(local(0)._2 - rc) < 1e-8,
+      s"star center rank ${local(0)._2} != closed form $rc")
+    (1 to 3).foreach(i => assert(math.abs(local(i)._2 - (1 - rc) / 3) < 1e-8))
+    assert(math.abs(local.map(_._2).sum - 1.0) < 1e-9, "rank mass must sum to 1")
+    // both routes converge to the same fixpoint (fp round-off only)
+    local.zip(looped).foreach { case ((i1, r1), (i2, r2)) =>
+      assert(i1 == i2 && math.abs(r1 - r2) < 1e-8, s"route divergence at node $i1")
+    }
+    // the corpus query converges within its maxIter (throws otherwise)
+    assert(SparkEntry.queries("q214_pagerank")(spark, sf).count() == 20)
+    // exhausted maxIter must THROW, never return a partial rank
+    val ex = intercept[Exception] {
+      graft.operators.Analytics.pageRank(star, d, tol = 1e-15, maxIter = 2,
+        localBudget = 100L).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
 }
