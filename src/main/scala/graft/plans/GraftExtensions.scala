@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-optimization safety net: oversized BROADCAST hints are
     // demoted before JoinSelection can turn them into driver OOMs
     e.injectOptimizerRule(session => DemoteOversizedBroadcasts(session))
+    // whole-operator similarity join: expands SimilarityJoinPlan into
+    // the exact inverted-index route, or (opt-in, stats-gated) the
+    // MinHash+LSH candidate route — see SimilarityJoinRewrite.scala
+    e.injectOptimizerRule(session => ExpandSimilarityJoin(session))
   }
 }

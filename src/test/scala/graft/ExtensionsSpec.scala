@@ -116,4 +116,72 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("deflate_bytes") > 0)
     }
   }
+
+  test("similarity-join placeholder: stats-gated LSH rewrite, off by default, pair-set pinned (r9 verdict #4)") {
+    // runs on the extensions session the first test left as process
+    // default (ExpandSimilarityJoin is injected there)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val ref = pairs(graft.dedup.Dedup.jaccardPairs(docs, 3)
+      .filter($"jaccard" >= 0.7))
+    try {
+      // every input "oversized" under a 1-byte brute-force budget
+      spark.conf.set("spark.graft.simJoinRewrite.maxBruteForceBytes", "1")
+
+      // 1. OFF BY DEFAULT: flag unset -> exact route even when oversized
+      val off = graft.plans.SimilarityJoin.of(docs, n = 3, threshold = 0.7)
+      assert(!planOf(off).contains("minhash"),
+        "rewrite must be off by default (flag unset)")
+      assert(pairs(off) == ref, "default expansion must be the exact route")
+
+      // 2. ENABLED + OVERSIZED: rewrites to the LSH candidate route.
+      //    Pin: the rewrite emits EXACTLY the q37 pipeline's pair set
+      //    (the route it claims to be — the q86 == q37 equality
+      //    pattern), its pairs are a SUBSET of the exact route (the
+      //    verify stage makes precision 1), and recall on this fixture
+      //    clears the q37-class floor. Full equality with the exact
+      //    route is NOT the contract: banding recall is probabilistic,
+      //    which is exactly why the rewrite is opt-in.
+      spark.conf.set("spark.graft.simJoinRewrite.enabled", "true")
+      val on = graft.plans.SimilarityJoin.of(docs, n = 3, threshold = 0.7)
+      assert(planOf(on).contains("minhash"),
+        s"oversized corpus must rewrite to the LSH route:\n${planOf(on)}")
+      val got = pairs(on)
+      val lshRef = pairs(graft.dedup.Dedup.minhashNearDups(
+        docs, n = 3, k = 32, bands = 8, threshold = 0.7))
+      assert(got == lshRef,
+        "rewrite must emit exactly the q37 route's pair set")
+      assert(got.subsetOf(ref),
+        "exact verify must make the rewritten route precision-1")
+      assert(got.size >= (ref.size * 0.8).toInt,
+        s"fixture recall floor: ${got.size}/${ref.size}")
+
+      // 3. SMALL INPUTS UNTOUCHED: generous budget -> exact route
+      spark.conf.set("spark.graft.simJoinRewrite.maxBruteForceBytes",
+        (1L << 40).toString)
+      val small = graft.plans.SimilarityJoin.of(docs, n = 3, threshold = 0.7)
+      assert(!planOf(small).contains("minhash"),
+        "in-budget corpus must keep the exact route even with the flag on")
+
+      // 4. parent operators compose over the placeholder (resolution
+      //    survives the exprId re-aliasing)
+      val agg = graft.plans.SimilarityJoin.of(docs, n = 3, threshold = 0.7)
+        .groupBy($"a_id").agg(count(lit(1)).as("n"))
+      assert(agg.collect().map(_.getLong(1)).sum == ref.size.toLong)
+    } finally {
+      spark.conf.unset("spark.graft.simJoinRewrite.enabled")
+      spark.conf.unset("spark.graft.simJoinRewrite.maxBruteForceBytes")
+      graft.Caches.releaseAll()
+    }
+  }
 }
