@@ -69,7 +69,8 @@ object SparkEntry {
     "q185_pq_adc_topk",          // persisted PQ index (codebooks+codes)
     "q186_ivfpq_topk",           // same store as q185 (shared build)
     "q215_pq_append_serve",      // PQ index append layout
-    "q118_bpe_encode")           // persisted BPE merge table
+    "q118_bpe_encode",           // persisted BPE merge table
+    "q217_trend_maintenance")    // persisted daily-revenue MV state
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -405,6 +405,96 @@ object TimeSeries {
             .as("med7"),
           size(col("xs")).cast("long").as("n_in_window"))
         .orderBy("event_type", "day")
+    }),
+
+    // PER-SERIES OLS TREND FIT (least-squares slope/intercept per
+    // (event_type, cohort) daily-revenue series) — the model-fit
+    // operator a feature pipeline runs per key: is this series rising
+    // or falling, and how fast? Everything that crosses an aggregation
+    // is an EXACT INTEGER: x is the day index from the series' own
+    // first day (window min — bounded by calendar), y is the daily
+    // DECIMAL revenue scaled to 1e4 granules (exact), and the five
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) are long sums — so
+    // the closed-form numerators/denominators (n·Σxy − Σx·Σy,
+    // n·Σx² − (Σx)²) are exact BIGINTs on both engines, and the one
+    // double division per output row is bit-identical IEEE. Scale
+    // shape: one (key, day) reduce, one exchange on key for the
+    // first-day window (rows/key ≤ calendar), one key-grain aggregate
+    // — the same shape as q202; no joins, no corpus-grain window. The
+    // sufficient-statistic form is WHY this scales: the model is a
+    // mergeable aggregate, not a per-row optimizer loop (and q217
+    // maintains the same statistics incrementally).
+    "q216_trend_fit" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"),
+          to_date(col("ts")).as("day"))
+        .agg((dsum(col("value")) * 10000).cast("long").as("y"))
+      val wK = Window.partitionBy(col("event_type"), col("cohort"))
+      val pts = daily
+        .withColumn("x", datediff(col("day"), min(col("day")).over(wK)).cast("long"))
+      pts.groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("cohort"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+            .as("slope_per_day"))
+        .orderBy("event_type", "cohort")
+    }),
+
+    // INCREMENTAL TREND MAINTENANCE — the model-fit member of the
+    // incremental family (q93 stats / q150 postings / q103 IVF /
+    // q205 histograms): the persisted state is the DAY-GRAIN revenue
+    // MV (key, day, y); tonight's batch reduces to day grain and
+    // MERGES by (key, day) — y is additive, so same-day late rows
+    // fold in exactly — and the model refit is a key-grain aggregate
+    // over ≤ calendar rows per key. x anchors at the 1970 epoch:
+    // the OLS numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²)
+    // are SHIFT-INVARIANT algebraic identities, exact in integers, so
+    // slope_num/slope_den equal q216's per-series-anchored values —
+    // a free cross-query consistency pin the gate hashes. The batch
+    // split is event_id % 5 (day ranges OVERLAP, so the merge path is
+    // actually exercised, not just appended). Incremental == full
+    // recompute is proven by the correctness gate itself: the oracle
+    // computes from ALL events while the engine serves from
+    // base-then-merged state. Scale: nightly cost is batch reduce +
+    // MV-sized merge; no corpus re-read.
+    "q217_trend_maintenance" -> ((s, dir) => {
+      def dailyOf(ev: DataFrame): DataFrame = ev
+        .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"),
+          to_date(col("ts")).as("day"))
+        .agg((dsum(col("value")) * 10000).cast("long").as("y"))
+      val d = graft.Scratch.dirFor("trend", dir)
+      graft.Scratch.ensure(d) {
+        val ev = Tables.events(s, dir)
+        // base state from 4/5 of events, then tonight's 1/5 merged in
+        dailyOf(ev.filter(col("event_id") % 5 =!= 0))
+          .write.mode("overwrite").parquet(s"$d/state_base")
+        s.read.parquet(s"$d/state_base")
+          .unionByName(dailyOf(ev.filter(col("event_id") % 5 === 0)))
+          .groupBy("event_type", "cohort", "day")
+          .agg(sum(col("y")).as("y"))
+          .write.mode("overwrite").parquet(s"$d/state")
+      }
+      val pts = s.read.parquet(s"$d/state")
+        .withColumn("x",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      pts.groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("cohort"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+            .as("slope_per_day"))
+        .orderBy("event_type", "cohort")
     })
   )
 
@@ -619,6 +709,47 @@ object TimeSeries {
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day"""),
+    "q217_trend_maintenance" ->
+      """WITH daily AS (
+           SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+           FROM events GROUP BY 1, 2, 3),
+         pts AS (
+           SELECT event_type, cohort, y,
+             CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+           FROM daily),
+         sums AS (
+           SELECT event_type, cohort, COUNT(*) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM pts GROUP BY 1, 2)
+         SELECT event_type, cohort, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n_days * sxy - sx * sy AS DOUBLE) /
+             CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e4 AS slope_per_day
+         FROM sums ORDER BY event_type, cohort""",
+    "q216_trend_fit" ->
+      """WITH daily AS (
+           SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+           FROM events GROUP BY 1, 2, 3),
+         pts AS (
+           SELECT event_type, cohort, y,
+             CAST(datediff('day',
+               MIN(day) OVER (PARTITION BY event_type, cohort), day) AS BIGINT) AS x
+           FROM daily),
+         sums AS (
+           SELECT event_type, cohort, COUNT(*) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM pts GROUP BY 1, 2)
+         SELECT event_type, cohort, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n_days * sxy - sx * sy AS DOUBLE) /
+             CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e4 AS slope_per_day
+         FROM sums ORDER BY event_type, cohort""",
     "q210_rolling_median" -> (barsSql +
       """SELECT event_type, day, close,
            list_sort(xs)[(len(xs) + 1) // 2] AS med7,

@@ -176,4 +176,17 @@ class TimeSeriesSpec extends SparkSpec {
         s"$k: scan EMA $got != folded EMA $want")
     }
   }
+
+  test("q217 maintained state serves the SAME exact model as q216's one-shot fit (shift invariance)") {
+    import spark.implicits._
+    // n·Σxy−Σx·Σy and n·Σx²−(Σx)² are shift-invariant integer
+    // identities: q216 anchors x at each series' own first day, q217
+    // at the 1970 epoch over base-then-merged state — the exact
+    // BIGINT numerators/denominators must agree anyway
+    def m(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select($"event_type", $"cohort", $"n_days", $"slope_num", $"slope_den")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(m("q216_trend_fit") == m("q217_trend_maintenance"),
+      "maintained-state model diverged from the one-shot fit")
+  }
 }
