@@ -1012,6 +1012,81 @@ object Similarity {
     // oracle that trains every table on the build slice and encodes
     // the FULL corpus against it — build-then-append == one-shot-
     // under-stored-tables is checked by the correctness gate itself.
+    // EMBEDDING HEALTH AUDIT — per-dimension corpus statistics (mean,
+    // variance, range for each of the 64 dims): the drift/collapse
+    // gauge an embedding pipeline watches (a dim whose variance
+    // collapses to 0 is dead; a shifted mean signals an encoder
+    // regression — the q121 drift report's per-dimension sibling).
+    // Exactness: moments accumulate as GRANULE-INTEGER sums
+    // (floor(x·1e6), floor(x²·1e12) — the cosSql discipline), so the
+    // corpus-wide reduction is order-independent and hash-matches;
+    // mean/variance are derived by identical IEEE expression trees on
+    // both engines. Granule-vs-cardinality: 1e12 square-granules hold
+    // to ~9M rows/dim in a signed long — beyond that a deployment
+    // drops to 1e10 or splits the sum (documented trade, ANSI mode
+    // throws loudly rather than wrapping). Scale shape: one
+    // posexplode pass, map-side-combined into 64 groups — no joins,
+    // no windows.
+    "q219_embedding_dim_stats" -> ((s, dir) => {
+      val e = Tables.fanOut(Tables.embeddings(s, dir))
+      e.select(posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select((col("i") + 1).cast("long").as("dim"),
+          col("xf").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x") * lit(1e6)).cast("long")).as("sx_micro"),
+          sum(floor(col("x") * col("x") * lit(1e12)).cast("long")).as("sxx_pico"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .select(col("dim"), col("n"), col("sx_micro"), col("sxx_pico"),
+          (col("sx_micro").cast("double") / lit(1e6) / col("n")).as("mean_x"),
+          ((col("sxx_pico").cast("double") / lit(1e12) / col("n")) -
+            (col("sx_micro").cast("double") / lit(1e6) / col("n")) *
+            (col("sx_micro").cast("double") / lit(1e6) / col("n"))).as("var_x"),
+          col("min_x"), col("max_x"))
+        .orderBy("dim")
+    }),
+
+    // CLUSTERING-QUALITY EVALUATION — simplified silhouette over the
+    // q79 Lloyd cells (Rousseeuw 1987's score with the centroid
+    // approximation that makes it O(n·cells) instead of O(n²)): per
+    // vector, d1 = distance to its own (nearest) centroid, d2 = to the
+    // second-nearest; s = (d2−d1)/d2 ∈ [0,1], floored to 1e-6 integer
+    // granules so the per-cell rollup is order-independent — the whole
+    // chain rides the SAME left-associated bit-stable distances as
+    // q79/q186, so it hash-matches DuckDB end to end. The per-vector
+    // collect is BOUNDED at nCells=8 structs. Scale shape: one corpus
+    // × 8-centroid broadcast pass, one vec-grain reduce, one
+    // cell-grain rollup — no pairwise anything. This is the "is the
+    // clustering any good" gauge the IVF/SemDeDup/coreset family
+    // (q87/q90/q96) assumes but never measured.
+    "q218_silhouette" -> ((s, dir) => {
+      val e = Tables.fanOut(Tables.embeddings(s, dir))
+        .select("vec_id", "embedding")
+      val cents = lloydCents(e, nCells = 8, dims = 64)
+      val two = e.crossJoin(broadcast(cents))
+        .withColumn("cdist", lloydDist("embedding", 64))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("cdist"), col("c_cluster"))))
+          .as("ds")) // bounded: exactly nCells=8 entries per vector
+        .select(col("vec_id"),
+          col("ds").getItem(0).getField("c_cluster").as("cell"),
+          col("ds").getItem(0).getField("cdist").as("d1"),
+          col("ds").getItem(1).getField("cdist").as("d2"))
+        .filter(col("d2") > 0) // degenerate duplicate centroids only
+      two
+        .select(col("cell"),
+          floor(lit(1e6) * (col("d2") - col("d1")) / col("d2"))
+            .cast("long").as("s_micro"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("s_micro")).as("sum_s_micro"),
+          (sum(col("s_micro")).cast("double") / count(lit(1)) / lit(1e6))
+            .as("mean_sil"),
+          min(col("s_micro")).as("min_s_micro"),
+          max(col("s_micro")).as("max_s_micro"))
+        .orderBy("cell")
+    }),
+
     "q215_pq_append_serve" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val idxDir = graft.Scratch.ensure(graft.Scratch.dirFor("pqa", dir)) {
@@ -1910,7 +1985,44 @@ object Similarity {
     // centroids) derived from the BUILD slice only, while codes and
     // cell assignment cover the FULL corpus — exactly what
     // build-then-append leaves in the store
-    "q215_pq_append_serve" -> ivfpqSql("WHERE vec_id < 400")
+    "q215_pq_append_serve" -> ivfpqSql("WHERE vec_id < 400"),
+    "q219_embedding_dim_stats" ->
+      """WITH pts AS (
+           SELECT CAST(i AS BIGINT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i))
+         SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sx_micro,
+           CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS BIGINT) AS sxx_pico,
+           CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS mean_x,
+           CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*)
+             - (CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*))
+             * (CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*)) AS var_x,
+           MIN(x) AS min_x, MAX(x) AS max_x
+         FROM pts GROUP BY dim ORDER BY dim""",
+    // the q186 coarse-cell CTEs + second-nearest ranking; the floor
+    // and the single division mirror the Spark spelling token for token
+    "q218_silhouette" ->
+      s"""WITH ${cellSqlCtes()},
+         rk AS (
+           SELECT vec_id, c_cluster, cdist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cdist ASC, c_cluster ASC) AS crn
+           FROM cd),
+         two AS (
+           SELECT a.vec_id, a.c_cluster AS cell, a.cdist AS d1, b.cdist AS d2
+           FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+           WHERE a.crn = 1 AND b.crn = 2 AND b.cdist > 0),
+         sil AS (
+           SELECT cell,
+             CAST(floor(1e6 * (d2 - d1) / d2) AS BIGINT) AS s_micro
+           FROM two)
+         SELECT cell, COUNT(*) AS n_vecs,
+           CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro,
+           CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 1e6 AS mean_sil,
+           CAST(MIN(s_micro) AS BIGINT) AS min_s_micro,
+           CAST(MAX(s_micro) AS BIGINT) AS max_s_micro
+         FROM sil GROUP BY cell ORDER BY cell"""
   )
 
   /** The IVFPQ oracle statement, parameterized on the build-slice
