@@ -495,6 +495,72 @@ object TimeSeries {
             (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
             .as("slope_per_day"))
         .orderBy("event_type", "cohort")
+    }),
+
+    // CUSUM CHANGEPOINT — where did this series' level shift? The
+    // classic cumulative-sum statistic S_k = Σ_{i≤k}(y_i − ȳ) peaks at
+    // the changepoint; multiplying through by n clears the mean's
+    // division so EVERYTHING is an exact long: n·S_k = Σ_{i≤k}(n·y_i −
+    // T) with T = Σy. The running sum is a per-series window (rows per
+    // series ≤ calendar — bounded), the argmax is a WindowGroupLimit
+    // rank with an earliest-day tie-break. Hash-matched tri-SF; the
+    // windowed SUM(BIGINT) is CAST in the oracle (DuckDB widens window
+    // sums to HUGEINT). Scale shape: one (type, day) reduce, one
+    // exchange on type shared by all three windows.
+    "q220_cusum_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((dsum(col("value")) * 10000).cast("long").as("y"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = wT.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = daily
+        .withColumn("n", count(lit(1)).over(wT))
+        .withColumn("t", sum(col("y")).over(wT))
+        .withColumn("cusum", sum(col("n") * col("y") - col("t")).over(wOrd))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day").asc)
+      c.withColumn("rk", row_number().over(wR)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("n").as("n_days"), col("cusum").as("cusum_scaled"),
+          (col("cusum").cast("double") / col("n") / lit(1e4)).as("max_dev"))
+        .orderBy("event_type")
+    }),
+
+    // CROSS-SERIES CORRELATION MATRIX — Pearson correlation between
+    // every pair of event types' daily-revenue series (the feature-
+    // covariance pass behind factor models and redundancy pruning).
+    // The q216 sufficient-statistic discipline applied to PAIRS: the
+    // day equi-join aligns series, six long sums per pair, the
+    // covariance numerator n·Σab − Σa·Σb is an exact BIGINT, and the
+    // one sqrt+division runs on identical longs → identical doubles.
+    // y uses 1e2 granules (products of two series must fit a long —
+    // granule²·days·n; 1e4 would overflow past ~SF1). Scale shape:
+    // the join key is day (bounded by calendar), pairs are |types|²
+    // tiny; one reduce, one bounded join, one pair-grain aggregate.
+    "q221_series_correlation" -> ((s, dir) => {
+      val daily = graft.Caches.cached(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((dsum(col("value")) * 100).cast("long").as("y")))
+      daily.as("a").join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.y").as("ya"), col("b.y").as("yb"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+          sum(col("ya") * col("yb")).as("sab"),
+          sum(col("ya") * col("ya")).as("saa"),
+          sum(col("yb") * col("yb")).as("sbb"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          (col("n") * col("sab") - col("sa") * col("sb")).as("cov_num"),
+          ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+              (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
+            .as("pearson_r"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -709,6 +775,53 @@ object TimeSeries {
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day"""),
+    "q220_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, day, y,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS t
+           FROM daily),
+         cc AS (
+           SELECT event_type, day, n,
+             CAST(SUM(n * y - t) OVER (PARTITION BY event_type
+               ORDER BY day) AS BIGINT) AS cusum
+           FROM c),
+         r AS (
+           SELECT event_type, day, n, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day ASC) AS rk
+           FROM cc)
+         SELECT event_type, day AS change_day, n AS n_days,
+           cusum AS cusum_scaled,
+           CAST(cusum AS DOUBLE) / n / 1e4 AS max_dev
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+    "q221_series_correlation" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.y AS ya, b.y AS yb
+           FROM daily a JOIN daily b
+             ON a.day = b.day AND a.event_type < b.event_type),
+         sums AS (
+           SELECT type_a, type_b, COUNT(*) AS n,
+             CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+             CAST(SUM(ya * yb) AS BIGINT) AS sab,
+             CAST(SUM(ya * ya) AS BIGINT) AS saa,
+             CAST(SUM(yb * yb) AS BIGINT) AS sbb
+           FROM j GROUP BY 1, 2)
+         SELECT type_a, type_b, n,
+           CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
+           CAST(n * sab - sa * sb AS DOUBLE) /
+             sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
+                  CAST(n * sbb - sb * sb AS DOUBLE)) AS pearson_r
+         FROM sums ORDER BY type_a, type_b""",
     "q217_trend_maintenance" ->
       """WITH daily AS (
            SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
