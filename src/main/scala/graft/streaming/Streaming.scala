@@ -972,6 +972,84 @@ object Streaming {
     out
   }
 
+  /** Driver-visible audit of the q217 trend-MV maintenance as a
+    * STREAMING loop: events land in three time-ordered chunks with
+    * checkpointed AvailableNow restarts; each micro-batch reduces to
+    * day grain and MERGES into the persisted daily-revenue MV (the
+    * additive q217 merge — a day whose events straddle a restart is
+    * folded across runs, which is exactly what the chunk cuts force).
+    * The old state is localCheckpoint-pinned before the overwrite so
+    * the merge never reads its own output. After the replay the model
+    * is refit from the state exactly as q217 serves it, so the output
+    * hash-matches the SAME full-recompute DuckDB oracle — streamed
+    * maintenance == batch maintenance == one-shot, the family's
+    * strongest pin. (Clean-run audit: at-least-once REPLAY of a
+    * non-idempotent additive merge is q197's topic, not this one.) */
+  def streamTrendAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.functions.Exact._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q222_trend").toString
+    val (landing, state, ckpt) = (s"$tmp/landing", s"$tmp/state", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("event_type", StringType, nullable = true)))
+    val ms = unix_millis(col("ts"))
+    val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing)
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val delta = b.groupBy(col("event_type"),
+              (col("user_id") % 10).as("cohort"), to_date(col("ts")).as("day"))
+            .agg((dsum(col("value")) * 10000).cast("long").as("y"))
+          val merged =
+            if (new java.io.File(state).exists()) {
+              // pin the old MV before overwriting its directory
+              val old = spark.read.parquet(state).localCheckpoint()
+              old.unionByName(delta)
+                .groupBy("event_type", "cohort", "day")
+                .agg(sum(col("y")).as("y"))
+            } else delta
+          merged.write.mode("overwrite").parquet(state)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val pts = spark.read.parquet(state)
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val out = pts.groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("cohort"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+          .as("slope_per_day"))
+      .orderBy("event_type", "cohort")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -982,12 +1060,17 @@ object Streaming {
     "q143_stream_ohlc" -> ((s, dir) => streamOhlcAudit(s, dir)),
     "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)),
     "q200_stream_ema" -> ((s, dir) => streamEmaAudit(s, dir)),
-    "q203_stream_outer_join" -> ((s, dir) => streamOuterJoinAudit(s, dir)))
+    "q203_stream_outer_join" -> ((s, dir) => streamOuterJoinAudit(s, dir)),
+    "q222_stream_trend" -> ((s, dir) => streamTrendAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
     * (recursive CTEs), store-hit infection, canonical-only admission. */
   val oracles: Map[String, String] = Map(
+    // streamed maintenance == batch maintenance == one-shot recompute:
+    // q222 shares q217's full-recompute oracle verbatim
+    "q222_stream_trend" ->
+      graft.operators.TimeSeries.oracles("q217_trend_maintenance"),
     "q101_admission_loop" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS t
