@@ -23,7 +23,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++ operators.Analytics.queries ++
       operators.Scale.queries ++ streaming.Streaming.queries ++
       operators.Sketches.queries ++ operators.Sketches.queries2 ++
-      operators.Bpe.queries ++ sources.StatsStore.queries
+      operators.Bpe.queries ++ sources.StatsStore.queries ++
+      operators.Quality.queries
 
   /** Fixed-size SEMANTICS AUDITS, excluded from Bench's timing set (but
     * always in Verify/CORRECTNESS — the correctness gate still runs every
@@ -82,5 +83,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++ similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ operators.Analytics.oracles ++
       operators.Scale.oracles ++ streaming.Streaming.oracles ++
-      operators.Sketches.oracles ++ sources.StatsStore.oracles
+      operators.Sketches.oracles ++ sources.StatsStore.oracles ++
+      operators.Quality.oracles
 }
