@@ -71,7 +71,8 @@ object SparkEntry {
     "q186_ivfpq_topk",           // same store as q185 (shared build)
     "q215_pq_append_serve",      // PQ index append layout
     "q118_bpe_encode",           // persisted BPE merge table
-    "q217_trend_maintenance")    // persisted daily-revenue MV state
+    "q217_trend_maintenance",    // persisted daily-revenue MV state
+    "q226_pq_delete_serve")      // PQ index delete layout
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1099,6 +1099,31 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         k = 10, nprobe = 2)
         .orderBy("q_id", "rank")
+    }),
+
+    // DECREMENTAL PQ SERVING — the RTBF path ([[deleteFromPqIndex]]):
+    // the index builds on the full corpus, a deterministic deletion
+    // set (vec_id % 7 == 3, spread across every cell) is removed by
+    // partition-scoped rewrite WITHOUT retraining, and the IVFPQ probe
+    // serves the survivors. Hash-matched against an oracle that trains
+    // on the FULL corpus but restricts candidates to survivors —
+    // exactly the decremental contract (stored geometry unchanged,
+    // deleted vectors unreachable). Deleted ids still QUERY (RTBF
+    // forbids returning them, not serving their owner); the gate's
+    // hash proves none of them ever appears as a candidate.
+    "q226_pq_delete_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val idxDir = graft.Scratch.ensure(graft.Scratch.dirFor("pqd", dir)) {
+        val d = graft.Scratch.dirFor("pqd", dir)
+        writePqIndex(e, d)
+        deleteFromPqIndex(s, d,
+          e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      ivfpqTopKIndexed(s, idxDir,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        k = 10, nprobe = 2)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1380,6 +1405,57 @@ object Similarity {
     val cells = lloydAssignWith(e, coarse, dims).select("vec_id", "cell")
     pqCodes(e, books, subDim).join(cells, Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN deletes for the PQ index — the decremental
+    * member of the store lifecycle (build [[writePqIndex]] / append
+    * [[appendToPqIndex]] / DELETE / serve), the q149/q176 discipline
+    * on the vector side: codebooks and coarse centroids are NOT
+    * retrained (a delete must not silently reshape the geometry every
+    * surviving code was encoded under — retraining is the rotation
+    * rebuild's job), and the rewrite touches ONLY the cell partitions
+    * that contain deleted vectors (bounded cell-list collect, dynamic
+    * partition overwrite; survivors are localCheckpoint-pinned before
+    * their own partitions are overwritten). A cell whose rows are all
+    * deleted is removed explicitly — dynamic overwrite only replaces
+    * partitions present in the new data, so an emptied cell would
+    * otherwise silently keep its old files. At 100 TB a nightly RTBF
+    * batch costs (affected cells / nCells) of the code table, never a
+    * corpus re-encode. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    // the partition column round-trips as INT (directory-name
+    // inference), so pin it to long before the bounded collects
+    val cells = codes.join(del, Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= nCells values
+    if (cells.isEmpty) return
+    val survivors = codes
+      .filter(col("cell").isin(cells: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("ss"), col("code"), col("cell"))
+      .localCheckpoint() // pin BEFORE overwriting the partitions being read
+    val keptCells = survivors.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet // bounded: <= nCells values
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // fully-emptied cells: no survivor rows → dynamic overwrite never
+    // touched their directories; remove them or deleted vectors would
+    // come back from the dead on the next scan
+    val emptied = cells.filterNot(keptCells)
+    if (emptied.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { c => fs.delete(new Path(s"$dir/codes/cell=$c"), true); () }
+    }
   }
 
   /** Flat PQ-ADC top-k served from a persisted index: the per-query
@@ -1986,6 +2062,9 @@ object Similarity {
     // cell assignment cover the FULL corpus — exactly what
     // build-then-append leaves in the store
     "q215_pq_append_serve" -> ivfpqSql("WHERE vec_id < 400"),
+    // full-corpus trained tables, candidates restricted to survivors —
+    // the decremental contract (no retrain, deleted ids unreachable)
+    "q226_pq_delete_serve" -> ivfpqSql("", "WHERE a.vec_id % 7 <> 3"),
     "q219_embedding_dim_stats" ->
       """WITH pts AS (
            SELECT CAST(i AS BIGINT) AS dim,
@@ -2029,7 +2108,7 @@ object Similarity {
     * filter applied to TRAINED state (codebooks + coarse centroids);
     * "" = trained on the whole corpus (q186), a filter = the
     * incremental-append contract (q215). */
-  private def ivfpqSql(buildWhere: String): String =
+  private def ivfpqSql(buildWhere: String, candWhere: String = ""): String =
     s"""WITH ${pqSqlCtes(buildWhere)},
          ${cellSqlCtes(buildWhere)},
          qcd AS (
@@ -2042,7 +2121,8 @@ object Similarity {
                  ORDER BY cdist ASC, c_cluster ASC) AS crk
              FROM qcd) WHERE crk <= 2),
          cand AS (
-           SELECT p.q_id, a.vec_id FROM probed p JOIN assigned a USING (cell)),
+           SELECT p.q_id, a.vec_id
+           FROM probed p JOIN assigned a USING (cell) $candWhere),
          sc AS (
            SELECT cand.q_id, cand.vec_id,
              CAST(SUM(gd) AS BIGINT) AS adc_micro

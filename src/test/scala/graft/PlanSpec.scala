@@ -141,9 +141,18 @@ class PlanSpec extends SparkSpec {
       "q186_ivfpq_topk", // composes q185's codebook scan with
                          // lloydAssign's corpus × 8 centroid grid; the
                          // candidate/ADC joins are equi-joins
-      "q209_matryoshka_serve") // one q38-shaped broadcast-query scan
+      "q209_matryoshka_serve", // one q38-shaped broadcast-query scan
                                // (corpus × the 10-vector query set);
                                // stage 2 runs on 32 rows/query
+      "q215_pq_append_serve", // q186's serve shape over the appended
+                              // store: query set × 8 stored coarse
+                              // centroids (broadcast); code/ADC joins
+                              // are equi-joins
+      "q218_silhouette",      // corpus × 8 broadcast centroids (the
+                              // q79/q90/q96 lloydAssign shape) — the
+                              // whole point is O(n·cells), no pairs
+      "q226_pq_delete_serve") // q215's serve shape over the
+                              // delete-maintained store
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -696,8 +696,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ delete: exact row removal without retrain, emptied cells vanish (q226 laws)") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("pq_del").toString
+    try {
+      val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      Similarity.writePqIndex(e, t)
+      def content() = spark.read.parquet(s"$t/codes")
+        .select($"vec_id", $"ss", $"code", $"cell".cast("long"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val before = content()
+      val booksBefore = spark.read.parquet(s"$t/codebooks").collect().map(_.toString).toSet
+      val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val delIds = del.as[Long].collect().toSet
+      assert(delIds.nonEmpty)
+      Similarity.deleteFromPqIndex(spark, t, del)
+      // exactly the deleted rows are gone; every surviving code is
+      // BYTE-identical (no retrain — the decremental contract)
+      assert(content() == before.filterNot(r => delIds(r._1)))
+      assert(spark.read.parquet(s"$t/codebooks").collect().map(_.toString).toSet
+        == booksBefore, "delete must never retrain the codebooks")
+      // emptied-cell handling: wipe ALL remaining rows of one cell and
+      // the partition directory itself must vanish (dynamic overwrite
+      // alone would leave the old files resurrecting deleted vectors)
+      val after = content()
+      val victim = after.head._4
+      val idsInVictim = after.filter(_._4 == victim).map(_._1).toSeq
+      Similarity.deleteFromPqIndex(spark, t,
+        idsInVictim.toDF("vec_id"))
+      val rest = content()
+      assert(!rest.exists(_._4 == victim), "emptied cell must be removed")
+      assert(rest == after.filterNot(r => r._4 == victim),
+        "other cells must be untouched")
+      assert(!new java.io.File(s"$t/codes/cell=$victim").exists(),
+        "emptied cell directory must be deleted on disk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+    }
+  }
+
   test("q186/q215 serve the PQ code store partition-pruned by probed cell") {
-    for (q <- Seq("q186_ivfpq_topk", "q215_pq_append_serve")) {
+    for (q <- Seq("q186_ivfpq_topk", "q215_pq_append_serve",
+                  "q226_pq_delete_serve")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       assert(p.linesIterator.exists(l => l.contains("FileScan") &&
