@@ -543,6 +543,100 @@ object Analytics {
         .limit(20)
     }),
 
+    // DEGREE ASSORTATIVITY of the co-purchase graph — do high-degree
+    // customers trade with high-degree suppliers, or is the graph
+    // disassortative (hubs serving leaves — the usual commerce shape)?
+    // Pearson correlation between endpoint degrees across edges, and
+    // degrees are EXACT INTEGERS, so the q221 sufficient-statistic
+    // discipline needs no granules at all: six long sums over the
+    // edge list, exact BIGINT covariance numerator, one sqrt+division.
+    // Scale shape: the edge list is built once (the q114 derivation),
+    // both degree tables are edge aggregates re-joined on their own
+    // keys, and the final reduce is a 1-row global aggregate.
+    "q227_assortativity" -> ((s, dir) => {
+      val edges = graft.Caches.cached(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct())
+      val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+      val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pd"))
+      edges.join(cdeg, Seq("c")).join(pdeg, Seq("p"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("cd")).as("sc"), sum(col("pd")).as("sp"),
+          sum(col("cd") * col("pd")).as("scp"),
+          sum(col("cd") * col("cd")).as("scc"),
+          sum(col("pd") * col("pd")).as("spp"))
+        .select(col("n_edges"),
+          (col("n_edges") * col("scp") - col("sc") * col("sp")).as("cov_num"),
+          ((col("n_edges") * col("scp") - col("sc") * col("sp")).cast("double") /
+            sqrt((col("n_edges") * col("scc") - col("sc") * col("sc")).cast("double") *
+              (col("n_edges") * col("spp") - col("sp") * col("sp")).cast("double")))
+            .as("assortativity"))
+    }),
+
+    // GINI CONCENTRATION of customer spend per nation — the
+    // inequality gauge a data-mixture audit runs on source
+    // concentration (is one customer/source most of the mass?). The
+    // rank formulation G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+    // ascending-sorted spend is EXACT in integer cents with a
+    // deterministic (spend, custkey) rank; numerator/denominator are
+    // BIGINTs, the division is one IEEE op. Scale shape: spend
+    // collapses to customer grain first (aggregate-before-join), the
+    // rank is a per-nation window (rows/nation = its customers), the
+    // rollup is nation-grain.
+    "q228_gini_spend" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        // DECIMAL sum: a double SUM is order-dependent across
+        // partitions; the decimal cents are exact on both engines
+        .agg((dsum(col("o_totalprice")) * 100).cast("long").as("x"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(spend, Seq("c_custkey"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      cust.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).as("total_cents"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("c_nationkey"), col("n_customers"), col("total_cents"),
+          (lit(2) * col("six") - (col("n_customers") + 1) * col("total_cents"))
+            .as("gini_num"),
+          (col("n_customers") * col("total_cents")).as("gini_den"),
+          ((lit(2) * col("six") - (col("n_customers") + 1) * col("total_cents"))
+            .cast("double") /
+            (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+        .orderBy("c_nationkey")
+    }),
+
+    // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy gate a dataset
+    // passes before release: group by quasi-identifiers (nation,
+    // market segment, account-balance band), measure each equivalence
+    // class's size k and its diversity l over the sensitive attribute
+    // (in-debt flag), and report per nation how many classes are
+    // re-identifiable (k < 5) or sensitive-homogeneous (l < 2). The
+    // RTBF family's (q176/q226) preventive sibling. All counts —
+    // trivially exact. Scale shape: one class-grain reduce (the only
+    // corpus-sized exchange), one nation-grain rollup.
+    "q229_k_anonymity" -> ((s, dir) => {
+      val classes = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"),
+          (col("c_acctbal") < 0).as("in_debt"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("in_debt")).as("l"))
+      classes.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          min(col("k")).as("min_k"),
+          sum((col("k") < 5).cast("long")).as("n_reidentifiable"),
+          sum((col("l") < 2).cast("long")).as("n_homogeneous"))
+        .orderBy("c_nationkey")
+    }),
+
     // First-order Markov transition matrix over sessionized behavior:
     // q61's session derivation (30-min gap, (ts, event_id) total
     // order), then within-session (prev → next) bigram counts and
@@ -1131,6 +1225,67 @@ object Analytics {
              AS DECIMAL(18,4))) AS DOUBLE) AS score,
            COUNT(*) AS n_days, MAX(day) AS last_day
          FROM md GROUP BY user_id ORDER BY user_id""",
+    "q227_assortativity" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         cd AS (SELECT c, COUNT(*) AS cd FROM e GROUP BY 1),
+         pd AS (SELECT p, COUNT(*) AS pd FROM e GROUP BY 1),
+         j AS (
+           SELECT cd.cd, pd.pd FROM e
+           JOIN cd ON e.c = cd.c JOIN pd ON e.p = pd.p),
+         sums AS (
+           SELECT COUNT(*) AS n_edges,
+             CAST(SUM(cd) AS BIGINT) AS sc, CAST(SUM(pd) AS BIGINT) AS sp,
+             CAST(SUM(cd * pd) AS BIGINT) AS scp,
+             CAST(SUM(cd * cd) AS BIGINT) AS scc,
+             CAST(SUM(pd * pd) AS BIGINT) AS spp
+           FROM j)
+         SELECT n_edges,
+           CAST(n_edges * scp - sc * sp AS BIGINT) AS cov_num,
+           CAST(n_edges * scp - sc * sp AS DOUBLE) /
+             sqrt(CAST(n_edges * scc - sc * sc AS DOUBLE) *
+                  CAST(n_edges * spp - sp * sp AS DOUBLE)) AS assortativity
+         FROM sums""",
+    "q228_gini_spend" ->
+      """WITH spend AS (
+           SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         cust AS (
+           SELECT c.c_nationkey, c.c_custkey, s.x
+           FROM customer c JOIN spend s ON c.c_custkey = s.c_custkey),
+         ranked AS (
+           SELECT c_nationkey, x,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY x ASC, c_custkey ASC) AS BIGINT) AS i
+           FROM cust),
+         sums AS (
+           SELECT c_nationkey, COUNT(*) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS total_cents,
+             CAST(SUM(i * x) AS BIGINT) AS six
+           FROM ranked GROUP BY 1)
+         SELECT c_nationkey, n_customers, total_cents,
+           CAST(2 * six - (n_customers + 1) * total_cents AS BIGINT) AS gini_num,
+           CAST(n_customers * total_cents AS BIGINT) AS gini_den,
+           CAST(2 * six - (n_customers + 1) * total_cents AS DOUBLE) /
+             CAST(n_customers * total_cents AS DOUBLE) AS gini
+         FROM sums ORDER BY c_nationkey""",
+    "q229_k_anonymity" ->
+      """WITH classes AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS k,
+             CAST(COUNT(DISTINCT c_acctbal < 0) AS BIGINT) AS l
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, COUNT(*) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reidentifiable,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous
+         FROM classes GROUP BY 1 ORDER BY 1""",
     "q206_sequence_pattern" ->
       """WITH j AS (
            SELECT user_id,
