@@ -925,6 +925,48 @@ object Analytics {
           .as("l_partkey"))
         .groupBy("l_partkey").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("l_partkey"))
+    }),
+
+    // MULTI-SOURCE BFS — hop distance from a seed set (one brand's
+    // parts) over the q213 co-purchase graph, capped at 4 hops. The
+    // frontier pattern that scales: each round joins ONLY the newest
+    // frontier to the adjacency list, anti-joins the visited set, and
+    // localCheckpoints to truncate lineage (the q214/components loop
+    // discipline) — never an all-pairs closure, never a driver-side
+    // collect. Deterministic: min-distance semantics by construction
+    // (a node enters `dist` the first round it is reachable). The
+    // oracle is the textbook recursive-CTE spelling with MIN(d) —
+    // DuckDB's UNION-dedup bounds it at the same 4-hop cap. Output at
+    // hop grain: reached-node count + key envelope per distance.
+    "q241_bfs_hops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = li.as("x")
+        .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("u", "v")
+      val adj = graft.Caches.cached(
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+      val seeds = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("n")).distinct()
+      var dist = seeds.withColumn("d", lit(0)).localCheckpoint()
+      var frontier = seeds.localCheckpoint()
+      for (h <- 1 to 4) {
+        val next = frontier.join(adj, col("n") === col("src"))
+          .select(col("dst").as("n")).distinct()
+          .join(dist.select("n"), Seq("n"), "left_anti")
+          .localCheckpoint()
+        dist = dist.unionAll(next.withColumn("d", lit(h))).localCheckpoint()
+        frontier = next
+      }
+      dist.groupBy("d")
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("n")).as("min_part"), max(col("n")).as("max_part"))
+        .orderBy("d")
     })
   )
 
@@ -1327,6 +1369,24 @@ object Analytics {
                UNION ALL SELECT z FROM t)
          SELECT p AS l_partkey, COUNT(*) AS n_triangles
          FROM c GROUP BY 1
-         ORDER BY n_triangles DESC, l_partkey"""
+         ORDER BY n_triangles DESC, l_partkey""",
+    "q241_bfs_hops" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS src, v AS dst FROM e
+                 UNION ALL SELECT v, u FROM e),
+         bfs(n, d) AS (
+           SELECT DISTINCT p_partkey, 0 FROM part WHERE p_brand = 'Brand#1'
+           UNION
+           SELECT a.dst, b.d + 1 FROM bfs b JOIN adj a ON a.src = b.n
+           WHERE b.d < 4),
+         md AS (SELECT n, MIN(d) AS d FROM bfs GROUP BY 1)
+         SELECT CAST(d AS INTEGER) AS d, COUNT(*) AS n_parts,
+           MIN(n) AS min_part, MAX(n) AS max_part
+         FROM md GROUP BY 1 ORDER BY d"""
   )
 }

@@ -130,6 +130,48 @@ object Quality {
             abs(col("hdr_cents") - col("line_cents"))).otherwise(lit(0L)))
             .as("sum_abs_diff_cents"))
         .orderBy("o_orderpriority")
+    }),
+
+    // COLUMN PROFILER — the one-pass table summary (null rate, exact
+    // distinct count, numeric/lexicographic envelopes per column)
+    // every catalog/data-discovery layer computes on ingest. One scan:
+    // all per-column aggregates ride a single agg row (exact multi-
+    // column COUNT(DISTINCT) — Catalyst plans one Expand; at true
+    // 100 TB the profiler would swap in approx_count_distinct, noted
+    // here, but the profile CONTRACT is exact), then one explode
+    // unpivots the row to column grain. Cross-engine discipline:
+    // numeric envelopes surface as DOUBLE (every source type here is
+    // exactly representable), string envelopes as binary-collation
+    // min/max (ASCII data — identical order both engines); no
+    // double→string rendering anywhere (engines format differently).
+    "q242_column_profile" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def numProf(cname: String) = struct(
+        lit(cname).as("column_name"),
+        sum(col(cname).isNull.cast("long")).as("n_null"),
+        count_distinct(col(cname)).as("n_distinct"),
+        min(col(cname)).cast("double").as("min_num"),
+        max(col(cname)).cast("double").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+      def strProf(cname: String) = struct(
+        lit(cname).as("column_name"),
+        sum(col(cname).isNull.cast("long")).as("n_null"),
+        count_distinct(col(cname)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(col(cname)).as("min_str"),
+        max(col(cname)).as("max_str"))
+      c.agg(count(lit(1)).as("n_rows"),
+          numProf("c_custkey").as("p1"), strProf("c_name").as("p2"),
+          numProf("c_nationkey").as("p3"), numProf("c_acctbal").as("p4"),
+          strProf("c_mktsegment").as("p5"))
+        .select(col("n_rows"), explode(array(
+          col("p1"), col("p2"), col("p3"), col("p4"), col("p5"))).as("p"))
+        .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+          col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+          col("p.min_str"), col("p.max_str"))
+        .orderBy("column_name")
     })
   )
 
@@ -204,6 +246,40 @@ object Quality {
            CAST(SUM(CASE WHEN line_cents IS NOT NULL
              THEN abs(hdr_cents - line_cents) ELSE 0 END) AS BIGINT)
              AS sum_abs_diff_cents
-         FROM j GROUP BY 1 ORDER BY 1"""
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q242_column_profile" ->
+      """SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM customer
+         UNION ALL
+         SELECT 'c_name', COUNT(*),
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT c_name), NULL, NULL, MIN(c_name), MAX(c_name)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', COUNT(*),
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+           NULL, NULL
+         FROM customer
+         UNION ALL
+         SELECT 'c_acctbal', COUNT(*),
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT c_acctbal),
+           CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+           NULL, NULL
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', COUNT(*),
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT c_mktsegment), NULL, NULL,
+           MIN(c_mktsegment), MAX(c_mktsegment)
+         FROM customer
+         ORDER BY column_name"""
   )
 }

@@ -640,6 +640,207 @@ object Relational {
       skyline(p, "cents", "p_size")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q3 shape (shipping priority): segment-scoped customer dim
+    // broadcast into the orders⋈lineitem fact join, order-grain revenue
+    // rollup, top-10 by revenue. Scale: customer is stats-gated
+    // broadcast; both fact filters (orderdate on orders, shipdate on
+    // lineitem) push to their scans BEFORE the join; the final top-10
+    // is a TakeOrdered, never a global sort. Ties on the double
+    // revenue break on l_orderkey so the LIMIT cut is deterministic.
+    "q230_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS with a
+    // CORRELATED non-equi predicate — a left-semi join on the order
+    // key PLUS the cross-side comparison l_shipdate > o_orderdate +
+    // 90 days (this schema has no commitdate/receiptdate, so "late"
+    // is ship-lag > 90 d; the decorrelated semi-join shape is Q4's).
+    // Scale: the quarter filter prunes orders first, the semi join
+    // hashes on the equi key and evaluates the lag predicate as a
+    // join residual — no fact-side aggregation, no distinct needed
+    // (semi join emits each order at most once by construction).
+    "q231_order_priority_check" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-04-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): the pure scan-aggregate —
+    // every predicate (shipdate year, discount band, quantity cap)
+    // lands on the parquet scan as PushedFilters, then one exact
+    // decimal sum. The simplest query in the family and the purest
+    // pushdown test: at 100 TB this is a scan whose row-group min/max
+    // stats skip everything outside 1997.
+    "q232_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsumd(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter-scoped orders
+    // ⋈ returned lineitems, customer-grain revenue rollup carrying the
+    // wide customer attributes THROUGH the aggregate (group on the
+    // full customer tuple — key + functionally-dependent columns), a
+    // nation broadcast for naming, top-20 by lost revenue. Scale: the
+    // returnflag filter pushes to the lineitem scan; customer is
+    // stats-gated broadcast; TakeOrdered for the limit.
+    "q233_returned_items" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-10-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    // TPC-H Q11 shape (important stock): group-HAVING against a GLOBAL
+    // scalar aggregate. This schema has no partsupp, so the "value"
+    // is per-part revenue, but the shape is Q11's: the same fact
+    // aggregate feeds both the per-key values and (re-aggregated at
+    // key grain, far smaller than the fact) the global threshold,
+    // which joins back as a 1-row broadcast. All-integer discipline:
+    // money lives as exact 1e-4-granule BIGINTs, the threshold is
+    // 1.05× the MEAN part value (TPC-H scales Q11's fraction by 1/SF;
+    // anchoring on the mean keeps selectivity scale-free — ~40% of
+    // parts at every SF here), and the compare part·100 > mean·105 is
+    // exact in both engines (mean = global DIV n_parts, floor division
+    // on non-negatives — Spark DIV truncation == DuckDB // flooring;
+    // headroom: part_cents ≈ 2e14 at sf0.1, ×100 ≪ 2^63).
+    "q234_important_parts" -> ((s, dir) => {
+      val granule = (dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * lit(10000)).cast("long")
+      // cached: feeds both the output rows and the global threshold —
+      // without it the fact scan + aggregate runs twice
+      val perPart = graft.Caches.cached(Tables.lineitem(s, dir)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .groupBy("l_partkey")
+        .agg(sum(granule).as("part_cents")))
+      val global = perPart.agg(
+        sum(col("part_cents")).cast("long").as("g_cents"),
+        count(lit(1)).as("n_parts"))
+        .select(expr("g_cents DIV n_parts").as("mean_cents"))
+      perPart.crossJoin(broadcast(global))
+        .filter(col("part_cents") * lit(100) > col("mean_cents") * lit(105))
+        .select(col("l_partkey"),
+          (col("part_cents").cast("double") / lit(10000.0)).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (shipmode priority classes): fact⋈fact join with
+    // a DERIVED band column (this schema has no l_shipmode; the band
+    // is late-vs-ontime on ship lag > 90 d, same CASE-band grouping)
+    // and the signature two-way conditional counts — high-priority vs
+    // low-priority orders per band. Scale: the shipdate-year filter
+    // pushes to the lineitem scan; the join hashes on the order key;
+    // both CASE sums combine map-side.
+    "q235_late_shipment_bands" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late_band",
+          when(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            lit("LATE")).otherwise(lit("ONTIME")))
+        .groupBy("late_band")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("late_band")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): ratio of a CONDITIONAL
+    // revenue sum to the total, per ship month. Both sums ride one
+    // scan/join (the CASE branches inside the same aggregate), each
+    // exact-decimal then cast double, and the share is one double
+    // division spelled identically in the oracle. part joins as a
+    // stats-gated broadcast keyed on partkey.
+    "q236_promo_effect" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(Tables.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(
+          dsumd(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+            .as("promo_rev"),
+          dsumd(disc).as("total_rev"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_rev") / col("total_rev"))
+        .orderBy("ship_month")
+    }),
+
+    // RELATIVE-RANK BANDS — percent_rank/cume_dist builtins (the last
+    // uncovered window-function class): each part's price percentile
+    // WITHIN its brand, bucketed to deciles. Determinism: the window
+    // orders on exact cents (ties share a rank, so tie order can never
+    // flip a band); percent_rank = (rank−1)/(n−1) and cume_dist =
+    // peers≤/n are the same integer-ratio IEEE divisions in both
+    // engines; the band floor((pr·10)) runs on those identical
+    // doubles, clamped so pr = 1.0 lands in band 9. Scale: one
+    // exchange on brand shared by both window functions, then a tiny
+    // (brand, band) rollup.
+    "q243_price_rank_bands" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("cents"))
+      Tables.part(s, dir)
+        .select(col("p_brand"),
+          floor(col("p_retailprice") * 100).cast("long").as("cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("band", least(floor(col("pr") * 10), lit(9)).cast("int"))
+        .groupBy("p_brand", "band")
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+          max(col("cd")).as("max_cume_dist"))
+        .orderBy("p_brand", "band")
     })
   )
 
@@ -932,6 +1133,105 @@ object Relational {
          FROM part JOIN f
            ON CAST(floor(p_retailprice * 100) AS BIGINT) = f.cents
           AND CAST(p_size AS BIGINT) = f.best_sz
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+    "q230_shipping_priority" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q231_order_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q232_forecast_revenue" ->
+      """SELECT
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q233_returned_items" ->
+      """SELECT c_custkey, c_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q234_important_parts" ->
+      """WITH per_part AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                           * 10000 AS BIGINT)) AS BIGINT) AS part_cents
+           FROM lineitem GROUP BY 1),
+         g AS (SELECT CAST(SUM(part_cents) AS BIGINT) // COUNT(*) AS mean_cents
+               FROM per_part)
+         SELECT l_partkey,
+           CAST(part_cents AS DOUBLE) / 10000.0 AS part_value
+         FROM per_part, g
+         WHERE part_cents * 100 > mean_cents * 105
+         ORDER BY part_value DESC, l_partkey""",
+    "q235_late_shipment_bands" ->
+      """SELECT
+           CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS late_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY late_band ORDER BY late_band""",
+    "q236_promo_effect" ->
+      """WITH m AS (
+           SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY 1)
+         SELECT ship_month, promo_rev, total_rev,
+           100.0 * promo_rev / total_rev AS promo_share
+         FROM m ORDER BY ship_month""",
+    "q243_price_rank_bands" ->
+      """WITH r AS (
+           SELECT p_brand,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY
+             CAST(floor(p_retailprice * 100) AS BIGINT)))
+         SELECT p_brand,
+           CAST(least(floor(pr * 10), 9) AS INTEGER) AS band,
+           COUNT(*) AS n_parts,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           MAX(cd) AS max_cume_dist
+         FROM r GROUP BY 1, 2 ORDER BY p_brand, band"""
   )
 }

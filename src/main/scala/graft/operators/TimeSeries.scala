@@ -561,6 +561,123 @@ object TimeSeries {
               (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
             .as("pearson_r"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // MAX DRAWDOWN — the risk metric the reference's OHLC plan exists
+    // to feed (README.md:106-110 pandas analytics): per series, the
+    // deepest peak-to-trough loss. All-integer: close in exact cents,
+    // running peak = windowed MAX (per-series rows ≤ calendar —
+    // bounded tasks), drawdown in basis points via (peak−close)·10⁴
+    // DIV peak (floor division on non-negatives — identical in both
+    // engines; close > 0 so peak > 0). The per-series argmax joins
+    // back on the max with an earliest-day tie-break — two tiny
+    // aggregates, no driver action.
+    "q237_max_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = graft.Caches.cached(dailyClose(s, dir)
+        .select(col("event_type"), col("day"),
+          (dec(col("close")) * lit(100)).cast("long").as("cents"))
+        .withColumn("peak", max(col("cents")).over(w))
+        .withColumn("dd_bp",
+          expr("((peak - cents) * 10000) DIV peak")))
+      val worst = dd.groupBy(col("event_type").as("et"))
+        .agg(max(col("dd_bp")).as("max_dd_bp"))
+      dd.join(Tables.maybeBroadcast(worst),
+          col("event_type") === col("et") && col("dd_bp") === col("max_dd_bp"))
+        .groupBy("event_type", "max_dd_bp")
+        .agg(min(col("day")).as("trough_day"))
+        .select("event_type", "max_dd_bp", "trough_day")
+        .orderBy("event_type")
+    }),
+
+    // ON-BALANCE VOLUME — the classic volume-flow accumulator: volume
+    // signed by the close-to-close direction, running-summed per
+    // series. Exact longs end to end (cents diff sign × volume); the
+    // first bar contributes 0 (no prior close). The windowed
+    // SUM(BIGINT) is CAST in the oracle (DuckDB widens window sums to
+    // HUGEINT). Scale: one (type, day) bar reduce, one per-series
+    // window — tasks bounded by series length.
+    "q238_obv" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dailyClose(s, dir)
+        .select(col("event_type"), col("day"), col("volume"),
+          (dec(col("close")) * lit(100)).cast("long").as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(wo))
+        .withColumn("signed",
+          when(col("prev").isNull || col("cents") === col("prev"), 0L)
+            .when(col("cents") > col("prev"), col("volume"))
+            .otherwise(-col("volume")))
+        .withColumn("obv", sum(col("signed")).over(wr))
+        .select("event_type", "day", "volume", "obv")
+        .orderBy("event_type", "day")
+    }),
+
+    // RETURN AUTOCORRELATION (ACF lags 1–3) — does today's move predict
+    // tomorrow's? q221's sufficient-statistic discipline applied to a
+    // series and its OWN lagged self: returns are exact cent diffs,
+    // each lag's (x, y) pairs come off ONE window pass (three lag
+    // columns, unpivoted via explode — no self-join), and Pearson per
+    // (series, lag) is six long sums + one sqrt/division on identical
+    // longs. Magnitude: |ret| ≤ 5e4 cents, products ≤ 2.5e9, ×30 days
+    // ≪ 2^63. Scale: one bar reduce + one per-series window + one
+    // (type, lag)-grain aggregate.
+    "q239_return_acf" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val rets = dailyClose(s, dir)
+        .select(col("event_type"), col("day"),
+          (dec(col("close")) * lit(100)).cast("long").as("cents"))
+        .withColumn("ret", col("cents") - lag(col("cents"), 1).over(wo))
+        .filter(col("ret").isNotNull)
+      val lagged = rets
+        .withColumn("l1", lag(col("ret"), 1).over(wo))
+        .withColumn("l2", lag(col("ret"), 2).over(wo))
+        .withColumn("l3", lag(col("ret"), 3).over(wo))
+        .select(col("event_type"), col("ret"),
+          explode(array(
+            struct(lit(1).as("k"), col("l1").as("y")),
+            struct(lit(2).as("k"), col("l2").as("y")),
+            struct(lit(3).as("k"), col("l3").as("y")))).as("p"))
+        .select(col("event_type"), col("p.k").as("lag_k"),
+          col("ret").as("x"), col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      lagged.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag_k"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("acf"))
+        .orderBy("event_type", "lag_k")
+    }),
+
+    // CANDLESTICK PATTERN SCAN (three white soldiers) — the bar-shape
+    // sibling of q206's event-sequence patterns: three consecutive
+    // bullish bars (close > open) with strictly rising closes. Pure
+    // lag algebra on exact cents — no journey arrays, no regex; the
+    // per-series window is calendar-bounded. Emits the completing day
+    // of each match.
+    "q240_candlestick_scan" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dailyClose(s, dir)
+        .select(col("event_type"), col("day"),
+          (dec(col("open")) * lit(100)).cast("long").as("oc"),
+          (dec(col("close")) * lit(100)).cast("long").as("cc"))
+        .withColumn("bull", col("cc") > col("oc"))
+        .withColumn("bull1", lag(col("bull"), 1).over(wo))
+        .withColumn("bull2", lag(col("bull"), 2).over(wo))
+        .withColumn("cc1", lag(col("cc"), 1).over(wo))
+        .withColumn("cc2", lag(col("cc"), 2).over(wo))
+        .filter(col("bull") && col("bull1") && col("bull2") &&
+          col("cc") > col("cc1") && col("cc1") > col("cc2"))
+        .select(col("event_type"), col("day").as("pattern_day"),
+          (col("cc") - col("cc2")).as("run_gain_cents"))
+        .orderBy("event_type", "pattern_day")
     })
   )
 
@@ -872,6 +989,88 @@ object TimeSeries {
                    PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS xs
                FROM bars)
-         ORDER BY event_type, day""")
+         ORDER BY event_type, day"""),
+    "q237_max_drawdown" -> (barsSql +
+      """, dd AS (
+           SELECT event_type, day,
+             ((peak - cents) * 10000) // peak AS dd_bp
+           FROM (SELECT event_type, day,
+                   CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+                   MAX(CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT)) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                 FROM bars)),
+         worst AS (
+           SELECT event_type, CAST(MAX(dd_bp) AS BIGINT) AS max_dd_bp
+           FROM dd GROUP BY 1)
+         SELECT d.event_type, w.max_dd_bp, MIN(d.day) AS trough_day
+         FROM dd d JOIN worst w
+           ON d.event_type = w.event_type AND d.dd_bp = w.max_dd_bp
+         GROUP BY d.event_type, w.max_dd_bp
+         ORDER BY d.event_type"""),
+    "q238_obv" -> (barsSql +
+      """, c AS (
+           SELECT event_type, day, volume,
+             CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+           FROM bars),
+         s AS (
+           SELECT event_type, day, volume,
+             CASE WHEN prev IS NULL OR cents = prev THEN 0
+                  WHEN cents > prev THEN volume
+                  ELSE -volume END AS signed
+           FROM (SELECT *, lag(cents) OVER (PARTITION BY event_type
+                   ORDER BY day) AS prev FROM c))
+         SELECT event_type, day, volume,
+           CAST(SUM(signed) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+         FROM s ORDER BY event_type, day"""),
+    "q239_return_acf" -> (barsSql +
+      """, r AS (
+           SELECT event_type, day,
+             cents - lag(cents) OVER w AS ret
+           FROM (SELECT event_type, day,
+                   CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+                 FROM bars)
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)
+           QUALIFY ret IS NOT NULL),
+         lagged AS (
+           SELECT event_type, ret,
+             lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+             lag(ret, 3) OVER w AS l3
+           FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         pairs AS (
+           SELECT event_type, 1 AS lag_k, ret AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+           UNION ALL
+           SELECT event_type, 2, ret, l2 FROM lagged WHERE l2 IS NOT NULL
+           UNION ALL
+           SELECT event_type, 3, ret, l3 FROM lagged WHERE l3 IS NOT NULL),
+         sums AS (
+           SELECT event_type, lag_k, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, lag_k, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+         FROM sums ORDER BY event_type, lag_k"""),
+    "q240_candlestick_scan" -> (barsSql +
+      """, c AS (
+           SELECT event_type, day,
+             CAST(CAST(open  AS DECIMAL(18,4)) * 100 AS BIGINT) AS oc,
+             CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cc
+           FROM bars),
+         l AS (
+           SELECT event_type, day, cc > oc AS bull,
+             lag(cc > oc, 1) OVER w AS bull1, lag(cc > oc, 2) OVER w AS bull2,
+             cc, lag(cc, 1) OVER w AS cc1, lag(cc, 2) OVER w AS cc2
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day AS pattern_day,
+           CAST(cc - cc2 AS BIGINT) AS run_gain_cents
+         FROM l
+         WHERE bull AND bull1 AND bull2 AND cc > cc1 AND cc1 > cc2
+         ORDER BY event_type, pattern_day""")
   )
 }
