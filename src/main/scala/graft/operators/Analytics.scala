@@ -967,6 +967,41 @@ object Analytics {
         .agg(count(lit(1)).as("n_parts"),
           min(col("n")).as("min_part"), max(col("n")).as("max_part"))
         .orderBy("d")
+    }),
+
+    // CONVERSION-DELAY PERCENTILES — how long from first view to the
+    // converting purchase, per cohort (q70's funnel semantics: the
+    // first purchase STRICTLY after the first view). Delays are exact
+    // integer minutes (epoch-micros diff DIV 60e6 — floor on
+    // non-negatives, identical both engines) and the p50/p90/p99 cuts
+    // ride the q166 histogram-cumulation discipline: cumulate counts
+    // over DISTINCT delay values per cohort (window tasks bounded by
+    // distinct delays, not users) and pick the smallest value whose
+    // cumulative share clears the cut by integer cross-multiplication
+    // — percentile_disc with NO global sort.
+    "q245_conversion_delay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val cv = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"),
+          max(col("v_ts")).as("v_ts2"))
+      val h = cv.select((col("user_id") % 10).as("cohort"),
+          expr("(unix_micros(p_ts) - unix_micros(v_ts2)) DIV 60000000")
+            .as("delay_min"))
+        .groupBy("cohort", "delay_min").agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy(col("cohort")).orderBy(col("delay_min"))
+      val tot = h.groupBy("cohort").agg(sum(col("c")).as("n_conv"))
+      h.withColumn("cum", sum(col("c")).over(wC))
+        .join(tot, "cohort")
+        .groupBy("cohort")
+        .agg(max(col("n_conv")).as("n_conv"),
+          min(when(col("cum") * 2 >= col("n_conv"), col("delay_min"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n_conv") * 9, col("delay_min"))).as("p90"),
+          min(when(col("cum") * 100 >= col("n_conv") * 99, col("delay_min"))).as("p99"),
+          max(col("delay_min")).as("max_delay"))
+        .orderBy("cohort")
     })
   )
 
@@ -1387,6 +1422,33 @@ object Analytics {
          md AS (SELECT n, MIN(d) AS d FROM bfs GROUP BY 1)
          SELECT CAST(d AS INTEGER) AS d, COUNT(*) AS n_parts,
            MIN(n) AS min_part, MAX(n) AS max_part
-         FROM md GROUP BY 1 ORDER BY d"""
+         FROM md GROUP BY 1 ORDER BY d""",
+    "q245_conversion_delay" ->
+      """WITH fv AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         cv AS (
+           SELECT e.user_id, MIN(e.ts) AS p_ts, MAX(fv.v_ts) AS v_ts2
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+           GROUP BY 1),
+         dl AS (
+           SELECT user_id % 10 AS cohort,
+             (epoch_us(p_ts) - epoch_us(v_ts2)) // 60000000 AS delay_min
+           FROM cv),
+         h AS (SELECT cohort, delay_min, COUNT(*) AS c FROM dl GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort, delay_min, c,
+             SUM(c) OVER (PARTITION BY cohort ORDER BY delay_min) AS cum
+           FROM h),
+         tot AS (SELECT cohort, CAST(SUM(c) AS BIGINT) AS n_conv
+                 FROM h GROUP BY 1)
+         SELECT cohort, n_conv,
+           CAST(MIN(CASE WHEN cum * 2 >= n_conv THEN delay_min END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= n_conv * 9 THEN delay_min END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= n_conv * 99 THEN delay_min END) AS BIGINT) AS p99,
+           CAST(MAX(delay_min) AS BIGINT) AS max_delay
+         FROM cum JOIN tot USING (cohort)
+         GROUP BY cohort, n_conv ORDER BY cohort"""
   )
 }

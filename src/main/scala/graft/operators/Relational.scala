@@ -841,6 +841,37 @@ object Relational {
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
           max(col("cd")).as("max_cume_dist"))
         .orderBy("p_brand", "band")
+    }),
+
+    // FULL-OUTER RECONCILIATION (YoY) — the one join type no other
+    // query exercises: per-part 1996 vs 1997 revenue, keeping parts
+    // present in EITHER year, classified BOTH/ONLY_1996/ONLY_1997
+    // with an exact integer delta. Money is 1e-4-granule BIGINTs
+    // (null-safe COALESCE before arithmetic); the two year slices
+    // aggregate to part grain BEFORE the join (aggregate-before-join
+    // — the full outer joins two part-grain tables, never facts);
+    // both year filters push to the parquet scans. The Seq-column
+    // join coalesces the key exactly like SQL USING.
+    "q244_yoy_reconcile" -> ((s, dir) => {
+      def yearRev(lo: String, hi: String, out: String) =
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+                  col("l_shipdate") <  lit(hi).cast("timestamp"))
+          .groupBy("l_partkey")
+          .agg(sum((dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * lit(10000)).cast("long")).as(out))
+      yearRev("1996-01-01 00:00:00", "1997-01-01 00:00:00", "c96")
+        .join(yearRev("1997-01-01 00:00:00", "1998-01-01 00:00:00", "c97"),
+          Seq("l_partkey"), "full_outer")
+        .select(col("l_partkey"),
+          when(col("c96").isNull, "ONLY_1997")
+            .when(col("c97").isNull, "ONLY_1996")
+            .otherwise("BOTH").as("presence"),
+          (coalesce(col("c96"), lit(0L)).cast("double") / lit(1e4)).as("rev_1996"),
+          (coalesce(col("c97"), lit(0L)).cast("double") / lit(1e4)).as("rev_1997"),
+          (coalesce(col("c97"), lit(0L)) - coalesce(col("c96"), lit(0L)))
+            .as("yoy_delta_cents"))
+        .orderBy("l_partkey")
     })
   )
 
@@ -1232,6 +1263,32 @@ object Relational {
            CAST(MIN(cents) AS BIGINT) AS min_cents,
            CAST(MAX(cents) AS BIGINT) AS max_cents,
            MAX(cd) AS max_cume_dist
-         FROM r GROUP BY 1, 2 ORDER BY p_brand, band"""
+         FROM r GROUP BY 1, 2 ORDER BY p_brand, band""",
+    "q244_yoy_reconcile" ->
+      """WITH a AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS c96
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1),
+         b AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS c97
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY 1)
+         SELECT l_partkey,
+           CASE WHEN c96 IS NULL THEN 'ONLY_1997'
+                WHEN c97 IS NULL THEN 'ONLY_1996'
+                ELSE 'BOTH' END AS presence,
+           CAST(COALESCE(c96, 0) AS DOUBLE) / 1e4 AS rev_1996,
+           CAST(COALESCE(c97, 0) AS DOUBLE) / 1e4 AS rev_1997,
+           CAST(COALESCE(c97, 0) - COALESCE(c96, 0) AS BIGINT) AS yoy_delta_cents
+         FROM a FULL JOIN b USING (l_partkey)
+         ORDER BY l_partkey"""
   )
 }

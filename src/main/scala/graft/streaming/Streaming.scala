@@ -1050,6 +1050,108 @@ object Streaming {
     out
   }
 
+  /** Per-user funnel state: first-view time and the converting
+    * purchase (q70/q245 semantics: first purchase STRICTLY after the
+    * first view), both epoch micros; Long.MaxValue = unset. */
+  case class FunnelState(minViewUs: Long, convUs: Long)
+
+  /** Streaming funnel/attribution tracker: O(1) state per user, one
+    * emission per user AT the batch their conversion completes.
+    * Correctness leans on the replay contract the audit enforces:
+    * chunks partition GLOBAL event time, so a user's events arrive in
+    * time order ACROSS batches — minView never decreases once set
+    * (later batches only carry later timestamps), so a purchase
+    * rejected as ≤ minView can never re-qualify, and a purchase
+    * accepted as > minView stays the FIRST qualifying one (later
+    * batches' purchases are later). Within one batch the fold computes
+    * the batch-final minView before qualifying that batch's purchases.
+    * No timeout/watermark: funnel state is (16 bytes × users) — the
+    * q137 sessionizer's O(users) bound. */
+  def funnelMaintain(events: DataFrame): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val rows = it.toIndexedSeq
+        val st = state.getOption.getOrElse(FunnelState(Long.MaxValue, Long.MaxValue))
+        val wasConverted = st.convUs != Long.MaxValue
+        val mv = rows.iterator.filter(_._3 == "view")
+          .map(r => tsMicros(r._2)).foldLeft(st.minViewUs)(math.min)
+        var conv = st.convUs
+        if (mv != Long.MaxValue)
+          rows.iterator.filter(_._3 == "purchase").map(r => tsMicros(r._2))
+            .filter(_ > mv).foreach(p => conv = math.min(conv, p))
+        state.update(FunnelState(mv, conv))
+        if (!wasConverted && conv != Long.MaxValue) Iterator((uid, mv, conv))
+        else Iterator.empty
+      }
+  }
+
+  /** Driver-visible audit of [[funnelMaintain]] — the 13th streaming
+    * loop: events land in three time-ordered chunks with checkpointed
+    * AvailableNow restarts; each converted user is emitted exactly
+    * once by the state machine (duplicates from at-least-once sink
+    * appends are dropped by a distinct on the immutable conversion
+    * tuple). The final cohort report is the q245 histogram-cumulation
+    * spelling over the streamed conversions and hash-matches q245's
+    * full-recompute DuckDB oracle VERBATIM — streamed funnel state ==
+    * batch funnel, the q222 oracle-sharing pin. */
+  def streamFunnelAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val Array(bounds) = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).collect() // 2-value driver action
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q246_funnel").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/conv", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = true)))
+    val ms = unix_millis(col("ts"))
+    val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing)
+      val q = funnelMaintain(spark.readStream.schema(schema).parquet(landing))
+        .toDF("user_id", "v_us", "p_us")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val conv = spark.read.parquet(outDir).distinct()
+    // q245's histogram-cumulation report over the streamed conversions
+    val h = conv.select((col("user_id") % 10).as("cohort"),
+        expr("(p_us - v_us) DIV 60000000").as("delay_min"))
+      .groupBy("cohort", "delay_min").agg(count(lit(1)).as("c"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("delay_min"))
+    val tot = h.groupBy("cohort").agg(sum(col("c")).as("n_conv"))
+    val out = h.withColumn("cum", sum(col("c")).over(wC))
+      .join(tot, "cohort")
+      .groupBy("cohort")
+      .agg(max(col("n_conv")).as("n_conv"),
+        min(when(col("cum") * 2 >= col("n_conv"), col("delay_min"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n_conv") * 9, col("delay_min"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n_conv") * 99, col("delay_min"))).as("p99"),
+        max(col("delay_min")).as("max_delay"))
+      .orderBy("cohort")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -1061,12 +1163,17 @@ object Streaming {
     "q197_stream_dedup" -> ((s, dir) => streamDedupAudit(s, dir)),
     "q200_stream_ema" -> ((s, dir) => streamEmaAudit(s, dir)),
     "q203_stream_outer_join" -> ((s, dir) => streamOuterJoinAudit(s, dir)),
-    "q222_stream_trend" -> ((s, dir) => streamTrendAudit(s, dir)))
+    "q222_stream_trend" -> ((s, dir) => streamTrendAudit(s, dir)),
+    "q246_stream_funnel" -> ((s, dir) => streamFunnelAudit(s, dir)))
 
   /** Exact-Jaccard replay of the three-run admission algebra: fixture
     * construction, token-5-gram Jaccard pairs, per-run components
     * (recursive CTEs), store-hit infection, canonical-only admission. */
   val oracles: Map[String, String] = Map(
+    // streamed funnel state == batch funnel: q246 shares q245's
+    // full-recompute oracle verbatim (the q222 oracle-sharing pin)
+    "q246_stream_funnel" ->
+      graft.operators.Analytics.oracles("q245_conversion_delay"),
     // streamed maintenance == batch maintenance == one-shot recompute:
     // q222 shares q217's full-recompute oracle verbatim
     "q222_stream_trend" ->

@@ -151,8 +151,10 @@ class PlanSpec extends SparkSpec {
       "q218_silhouette",      // corpus × 8 broadcast centroids (the
                               // q79/q90/q96 lloydAssign shape) — the
                               // whole point is O(n·cells), no pairs
-      "q226_pq_delete_serve") // q215's serve shape over the
+      "q226_pq_delete_serve", // q215's serve shape over the
                               // delete-maintained store
+      "q234_important_parts") // 1-row global-mean broadcast (the
+                              // q142/q178 threshold pattern)
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

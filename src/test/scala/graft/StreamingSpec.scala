@@ -450,4 +450,43 @@ class StreamingSpec extends SparkSpec {
       s"streaming SCD2 diverged from batch: only-stream=${(folded -- batch).take(3)} " +
         s"only-batch=${(batch -- folded).take(3)}")
   }
+
+  test("funnel state: strict-after conversion, once per user, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = Streaming.funnelMaintain(df).toDF("user_id", "v_us", "p_us")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    // batch 1: u1 converts in-batch (first qualifying purchase wins);
+    // u2's purchase precedes any view (must never qualify); u3's
+    // purchase ties its view timestamp (strict > excludes it)
+    mem.addData(
+      (1L, t("2024-01-01 09:00:00"), "view"),
+      (1L, t("2024-01-01 10:00:00"), "purchase"),
+      (1L, t("2024-01-01 11:00:00"), "purchase"),
+      (2L, t("2024-01-01 08:00:00"), "purchase"),
+      (3L, t("2024-01-01 09:00:00"), "view"),
+      (3L, t("2024-01-01 09:00:00"), "purchase"))
+    q.processAllAvailable()
+    // batch 2 (later times only — the audit's time-ordered replay
+    // contract): u2 converts fresh, u3 converts against its batch-1
+    // view, u1 purchases again but is already converted (no re-emit)
+    mem.addData(
+      (2L, t("2024-01-02 09:00:00"), "view"),
+      (2L, t("2024-01-02 10:00:00"), "purchase"),
+      (3L, t("2024-01-02 10:00:00"), "purchase"),
+      (1L, t("2024-01-02 12:00:00"), "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, us("2024-01-01 09:00:00"), us("2024-01-01 10:00:00")),
+      (2L, us("2024-01-02 09:00:00"), us("2024-01-02 10:00:00")),
+      (3L, us("2024-01-01 09:00:00"), us("2024-01-02 10:00:00"))),
+      s"funnel emissions wrong: $rows")
+  }
 }
