@@ -681,7 +681,12 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
                 col("o_orderdate") <  lit("1997-04-01 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      // derived scan bound Catalyst cannot infer (the residual compares
+      // two columns): o_orderdate ≥ quarter start ⇒ any qualifying line
+      // ships after start + 90 d — prunes the fact scan to the tail
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-04-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
       o.join(li, col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
           "left_semi")
