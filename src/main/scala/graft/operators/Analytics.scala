@@ -953,17 +953,25 @@ object Analytics {
       val seeds = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("n")).distinct()
-      var dist = seeds.withColumn("d", lit(0)).localCheckpoint()
-      var frontier = seeds.localCheckpoint()
-      for (h <- 1 to 4) {
+      // one checkpoint per LEVEL (the new frontier only — never the
+      // growing visited set, whose union of already-checkpointed
+      // levels has shallow lineage), early exit on frontier exhaustion
+      // (a cheap isEmpty on the materialized checkpoint)
+      val levels = scala.collection.mutable.ArrayBuffer(
+        seeds.withColumn("d", lit(0)).localCheckpoint())
+      var frontier = levels(0).select("n")
+      var h = 1
+      while (h <= 4 && !frontier.isEmpty) {
+        val visited = levels.map(_.select("n")).reduce(_ unionAll _)
         val next = frontier.join(adj, col("n") === col("src"))
           .select(col("dst").as("n")).distinct()
-          .join(dist.select("n"), Seq("n"), "left_anti")
-          .localCheckpoint()
-        dist = dist.unionAll(next.withColumn("d", lit(h))).localCheckpoint()
-        frontier = next
+          .join(visited, Seq("n"), "left_anti")
+          .withColumn("d", lit(h)).localCheckpoint()
+        levels += next
+        frontier = next.select("n")
+        h += 1
       }
-      dist.groupBy("d")
+      levels.reduce(_ unionAll _).groupBy("d")
         .agg(count(lit(1)).as("n_parts"),
           min(col("n")).as("min_part"), max(col("n")).as("max_part"))
         .orderBy("d")
