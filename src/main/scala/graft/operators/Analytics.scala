@@ -977,6 +977,79 @@ object Analytics {
         .orderBy("d")
     }),
 
+    // LOCAL CLUSTERING COEFFICIENT — how clique-like is each part's
+    // co-purchase neighborhood (the community-structure gauge next to
+    // q213's global triangle counts). Each triangle is counted once
+    // per CENTER node (wedge a<b at n closes iff (a,b) is an edge), so
+    // per-node counts need no orientation trick and per-center work is
+    // deg² — bounded here by the repeat-co-purchase threshold (c ≥ 2
+    // caps degree at catalog-popularity scale, max 6 at sf0.1), and
+    // the q44 salting route exists for a hot hub. All-integer output:
+    // coefficient in ppm via tri·2·10⁶ DIV d(d−1).
+    "q247_clustering_coeff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = graft.Caches.cached(li.as("x")
+        .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("u", "v"))
+      val adj = graft.Caches.cached(
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+      val deg = adj.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      val wedges = adj.select(col("src").as("n"), col("dst").as("a"))
+        .join(adj.select(col("src").as("n2"), col("dst").as("b")),
+          col("n") === col("n2") && col("a") < col("b"))
+      val triN = wedges.join(e, col("a") === col("u") && col("b") === col("v"))
+        .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("d") >= 2)
+        .join(triN, Seq("n"), "left")
+        .select(col("n").as("l_partkey"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          expr("coalesce(n_tri, 0) * 2000000 DIV (d * (d - 1))")
+            .as("coeff_ppm"))
+        .orderBy(col("coeff_ppm").desc, col("l_partkey"))
+        .limit(25)
+    }),
+
+    // ITEM-ITEM NEIGHBORHOOD SIMILARITY — the collaborative-filtering
+    // co-occurrence pass ("parts bought alongside the same parts"):
+    // common co-purchase neighbors per part pair via one wedge join
+    // (each common neighbor is a wedge center), neighborhood Jaccard
+    // in exact ppm from cn and the two degrees (|N(a) ∪ N(b)| =
+    // dₐ + d_b − cn). Same Σdeg² bound and salting escape hatch as
+    // q247; the pair stream is wedge-generated, never an all-pairs
+    // part join.
+    "q248_item_similarity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = li.as("x")
+        .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("u", "v")
+      val adj = graft.Caches.cached(
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+      val deg = graft.Caches.cached(
+        adj.groupBy(col("src").as("n")).agg(count(lit(1)).as("d")))
+      val cn = adj.select(col("src").as("ctr"), col("dst").as("a"))
+        .join(adj.select(col("src").as("ctr2"), col("dst").as("b")),
+          col("ctr") === col("ctr2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      cn.join(deg.select(col("n").as("a"), col("d").as("deg_a")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("deg_b")), "b")
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("n_common"), col("deg_a"), col("deg_b"),
+          expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // CONVERSION-DELAY PERCENTILES — how long from first view to the
     // converting purchase, per cohort (q70's funnel semantics: the
     // first purchase STRICTLY after the first view). Delays are exact
@@ -1431,6 +1504,51 @@ object Analytics {
          SELECT CAST(d AS INTEGER) AS d, COUNT(*) AS n_parts,
            MIN(n) AS min_part, MAX(n) AS max_part
          FROM md GROUP BY 1 ORDER BY d""",
+    "q247_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS src, v AS dst FROM e
+                 UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT src AS n, COUNT(*) AS d FROM adj GROUP BY 1),
+         w AS (SELECT x.src AS n, x.dst AS a, y.dst AS b
+               FROM adj x JOIN adj y
+                 ON x.src = y.src AND x.dst < y.dst),
+         tri AS (SELECT w.n, COUNT(*) AS n_tri
+                 FROM w JOIN e ON w.a = e.u AND w.b = e.v
+                 GROUP BY 1)
+         SELECT deg.n AS l_partkey, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(tri.n_tri, 0) * 2000000
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_ppm
+         FROM deg LEFT JOIN tri ON deg.n = tri.n
+         WHERE deg.d >= 2
+         ORDER BY coeff_ppm DESC, l_partkey LIMIT 25""",
+    "q248_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS src, v AS dst FROM e
+                 UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT src AS n, COUNT(*) AS d FROM adj GROUP BY 1),
+         cn AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common
+                FROM adj x JOIN adj y
+                  ON x.src = y.src AND x.dst < y.dst
+                GROUP BY 1, 2)
+         SELECT cn.a AS part_a, cn.b AS part_b,
+           CAST(cn.n_common AS BIGINT) AS n_common,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+           CAST(cn.n_common * 1000000
+                // (da.d + db.d - cn.n_common) AS BIGINT) AS jaccard_ppm
+         FROM cn JOIN deg da ON cn.a = da.n
+                 JOIN deg db ON cn.b = db.n
+         ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""",
     "q245_conversion_delay" ->
       """WITH fv AS (
            SELECT user_id, MIN(ts) AS v_ts FROM events
