@@ -73,7 +73,9 @@ object SparkEntry {
     "q215_pq_append_serve",      // PQ index append layout
     "q118_bpe_encode",           // persisted BPE merge table
     "q217_trend_maintenance",    // persisted daily-revenue MV state
-    "q226_pq_delete_serve")      // PQ index delete layout
+    "q226_pq_delete_serve",      // PQ index delete layout
+    "q213_triangles")            // co-purchase edge store (shared by
+                                 // q241/q247/q248)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
