@@ -377,6 +377,67 @@ object CorpusHealth {
         .withColumn("rank", row_number().over(wS))
         .filter(col("rank") <= 10)
         .orderBy("source", "rank")
+    }),
+
+    // TOKEN-WEIGHTED length percentiles — q166's cuts answer "how long
+    // is the median DOCUMENT"; a packing/curriculum planner needs "at
+    // what length does half the TOKEN MASS sit" (long docs carry
+    // disproportionate mass). Same histogram-cumulation discipline
+    // with the count replaced by the per-length token weight
+    // (c·n_tok, exact BIGINT): the smallest length whose cumulative
+    // token mass clears num/den of the source's total. All-integer
+    // cross-multiplied cuts, no global sort; the doc-grain histogram
+    // is the only corpus-sized stage.
+    "q249_weighted_percentiles" -> ((s, dir) => {
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+        .groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+        .withColumn("w", col("c") * col("n_tok"))
+      val tot = h.groupBy("source").agg(sum(col("w")).as("t_mass"),
+        sum(col("c")).as("n_docs"))
+      h.withColumn("cum", sum(col("w")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("t_mass")).as("total_tokens"),
+          min(when(col("cum") * 2 >= col("t_mass"), col("n_tok"))).as("wp50"),
+          min(when(col("cum") * 10 >= col("t_mass") * 9, col("n_tok"))).as("wp90"))
+        .orderBy("source")
+    }),
+
+    // MEDIAN ABSOLUTE DEVIATION — the robust dispersion gauge next to
+    // q167's winsorized moments (a MAD jump flags a distribution
+    // change no clamped mean sees). Two histogram-cumulation passes,
+    // BOTH at histogram grain: the per-source median via q166's cut,
+    // then |n_tok − median| re-histogrammed BY CELL (the deviation of
+    // every doc in a cell is identical, so cells merge by conditional
+    // sum — the corpus is never rescanned) and cut again. Exact
+    // integers end to end.
+    "q250_length_mad" -> ((s, dir) => {
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+      val h = graft.Caches.cached(
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("source"), size(wsToks).cast("long").as("n_tok"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("c")))
+      val tot = h.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      val med = h.withColumn("cum", sum(col("c")).over(wS))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n_docs"), col("n_tok"))).as("med"))
+      val wD = Window.partitionBy(col("source")).orderBy(col("dev"))
+      h.join(Tables.maybeBroadcast(med), "source")
+        .select(col("source"), col("n_docs"),
+          abs(col("n_tok") - col("med")).as("dev"), col("c"), col("med"))
+        .groupBy("source", "n_docs", "med", "dev")
+        .agg(sum(col("c")).as("dc"))
+        .withColumn("cum", sum(col("dc")).over(wD))
+        .groupBy("source")
+        .agg(max(col("med")).as("median_tok"),
+          min(when(col("cum") * 2 >= col("n_docs"), col("dev"))).as("mad_tok"),
+          max(col("n_docs")).as("n_docs"))
+        .orderBy("source")
     })
   )
 
@@ -731,6 +792,58 @@ object CorpusHealth {
          FROM documents
          WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
          QUALIFY row_number() OVER w <= 10
-         ORDER BY source, rank"""
+         ORDER BY source, rank""",
+    "q249_weighted_percentiles" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         hw AS (SELECT source, n_tok, c, c * n_tok AS w FROM h),
+         cum AS (
+           SELECT source, n_tok, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+           FROM hw),
+         tot AS (
+           SELECT source, CAST(SUM(w) AS BIGINT) AS t_mass,
+             CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM hw GROUP BY 1)
+         SELECT source, n_docs, t_mass AS total_tokens,
+           CAST(MIN(CASE WHEN cum * 2 >= t_mass THEN n_tok END) AS BIGINT)
+             AS wp50,
+           CAST(MIN(CASE WHEN cum * 10 >= t_mass * 9 THEN n_tok END) AS BIGINT)
+             AS wp90
+         FROM cum JOIN tot USING (source)
+         GROUP BY source, n_docs, t_mass ORDER BY source""",
+    "q250_length_mad" ->
+      """WITH h AS (
+           SELECT source,
+             CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+                 FROM h GROUP BY 1),
+         med AS (
+           SELECT source, n_docs,
+             CAST(MIN(CASE WHEN cum * 2 >= n_docs THEN n_tok END) AS BIGINT)
+               AS med
+           FROM (SELECT source, n_tok, c,
+                   SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum
+                 FROM h) JOIN tot USING (source)
+           GROUP BY source, n_docs),
+         dh AS (
+           SELECT h.source, med.n_docs, med.med,
+             abs(h.n_tok - med.med) AS dev, CAST(SUM(h.c) AS BIGINT) AS dc
+           FROM h JOIN med ON h.source = med.source
+           GROUP BY 1, 2, 3, 4),
+         dcum AS (
+           SELECT source, n_docs, med, dev, dc,
+             SUM(dc) OVER (PARTITION BY source ORDER BY dev) AS cum
+           FROM dh)
+         SELECT source, MAX(med) AS median_tok,
+           CAST(MIN(CASE WHEN cum * 2 >= n_docs THEN dev END) AS BIGINT)
+             AS mad_tok,
+           MAX(n_docs) AS n_docs
+         FROM dcum GROUP BY source ORDER BY source"""
   )
 }
