@@ -1152,7 +1152,104 @@ object Streaming {
     out
   }
 
+  /** Per-QI-class release-gate state: rows seen so far and the
+    * custkeys withheld while the class is still re-identifiable
+    * (|buf| < k always — once the class opens the buffer stays
+    * empty, so state is O(k) per class BY CONSTRUCTION, the bound
+    * q229's k<5 audit measures after the fact). */
+  case class KAnonState(n: Long, buf: List[Long])
+
+  /** Streaming k-anonymity RELEASE GATE — q229's preventive audit
+    * turned into an admission control: a row is released only once
+    * its quasi-identifier class (nation, segment, balance band) holds
+    * ≥ k rows; earlier arrivals are withheld in the class buffer and
+    * flushed the moment the class opens. The released SET is
+    * order-independent (class counts only grow, so released ==
+    * "member of a class whose FINAL size ≥ k"), which is what lets
+    * the audit hash-match a plain batch oracle. */
+  def kAnonGate(customers: DataFrame, k: Int = 5): Dataset[(Long, Int, String, Long)] = {
+    import customers.sparkSession.implicits._
+    customers.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .as[(Long, Int, String, Long)]
+      .groupByKey(r => (r._2, r._3, r._4))
+      .flatMapGroupsWithState[KAnonState, (Long, Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val keys = it.map(_._1).toList
+        val st = state.getOption.getOrElse(KAnonState(0L, Nil))
+        val n2 = st.n + keys.size
+        if (st.n >= k) { // class already open: pass straight through
+          state.update(KAnonState(n2, Nil))
+          keys.iterator.map(ck => (ck, key._1, key._2, key._3))
+        } else if (n2 >= k) { // opens NOW: flush buffer + this batch
+          state.update(KAnonState(n2, Nil))
+          (st.buf ++ keys).iterator.map(ck => (ck, key._1, key._2, key._3))
+        } else { // still below k: withhold
+          state.update(KAnonState(n2, st.buf ++ keys))
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Driver-visible audit of [[kAnonGate]] — the 14th streaming loop:
+    * customers land in three custkey-range chunks (no event time — the
+    * gate is order-independent, the strongest replay property in the
+    * family) with checkpointed AvailableNow restarts; the released
+    * rows (distinct over at-least-once sink appends — custkeys are
+    * unique) roll up per nation and hash-match the batch oracle
+    * "customers whose class size ≥ 5" computed by DuckDB from
+    * scratch. */
+  def streamKAnonAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val maxKey = cust.agg(max(col("c_custkey"))).head.getLong(0) // 1-value driver action
+    val cuts = Seq(maxKey / 3, 2 * maxKey / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q251_kanon").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/released", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_nationkey", IntegerType, nullable = true),
+      StructField("c_mktsegment", StringType, nullable = true),
+      StructField("c_acctbal", DoubleType, nullable = true)))
+    val chunks = Seq(
+      cust.filter(col("c_custkey") <= cuts(0)),
+      cust.filter(col("c_custkey") > cuts(0) && col("c_custkey") <= cuts(1)),
+      cust.filter(col("c_custkey") > cuts(1)))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing)
+      // k = 2 is FIXTURE-SCALED (sf0.001's largest class holds 2 rows
+      // — the production default stays kAnonGate's k = 5); at k = 2
+      // the gate engages at every SF: 6/416/1375 classes open
+      val q = kAnonGate(spark.readStream.schema(schema).parquet(landing), k = 2)
+        .toDF("c_custkey", "c_nationkey", "c_mktsegment", "bal_band")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.read.parquet(outDir).distinct()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_released"),
+        countDistinct(concat(col("c_mktsegment"), lit("#"),
+          col("bal_band").cast("string"))).as("n_classes"),
+        min(col("c_custkey")).as("min_released"),
+        max(col("c_custkey")).as("max_released"))
+      .orderBy("c_nationkey")
+      .localCheckpoint()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
+    "q251_stream_kanon_gate" -> ((s, dir) => streamKAnonAudit(s, dir)),
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
     "q133_stream_pack" -> ((s, dir) => streamPackAudit(s, dir)),
@@ -1174,6 +1271,29 @@ object Streaming {
     // full-recompute oracle verbatim (the q222 oracle-sharing pin)
     "q246_stream_funnel" ->
       graft.operators.Analytics.oracles("q245_conversion_delay"),
+    // the released set is order-independent: member of a class whose
+    // FINAL size ≥ k — a plain batch class-size oracle (k = 2,
+    // fixture-scaled: sf0.001's largest class holds 2 rows)
+    "q251_stream_kanon_gate" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             COUNT(*) AS k
+           FROM customer GROUP BY 1, 2, 3),
+         rel AS (SELECT * FROM cls WHERE k >= 2),
+         released AS (
+           SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS band
+           FROM customer c
+           JOIN rel ON c.c_nationkey = rel.c_nationkey
+                   AND c.c_mktsegment = rel.c_mktsegment
+                   AND CAST(floor(c.c_acctbal / 1000) AS BIGINT) = rel.band)
+         SELECT c_nationkey, COUNT(*) AS n_released,
+           COUNT(DISTINCT c_mktsegment || '#' || CAST(band AS VARCHAR))
+             AS n_classes,
+           MIN(c_custkey) AS min_released,
+           MAX(c_custkey) AS max_released
+         FROM released GROUP BY 1 ORDER BY 1""",
     // streamed maintenance == batch maintenance == one-shot recompute:
     // q222 shares q217's full-recompute oracle verbatim
     "q222_stream_trend" ->
