@@ -74,8 +74,10 @@ object SparkEntry {
     "q118_bpe_encode",           // persisted BPE merge table
     "q217_trend_maintenance",    // persisted daily-revenue MV state
     "q226_pq_delete_serve",      // PQ index delete layout
-    "q213_triangles")            // co-purchase edge store (shared by
+    "q213_triangles",            // co-purchase edge store (shared by
                                  // q241/q247/q248)
+    "q252_graph_append_serve")   // incrementally maintained pair-count
+                                 // store (build + append)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

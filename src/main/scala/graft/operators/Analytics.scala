@@ -31,17 +31,55 @@ object Analytics {
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = graft.Scratch.dirFor("copurchase", dir)
     graft.Scratch.ensure(path) {
-      val li = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_partkey").distinct()
-      li.as("x")
-        .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      pairCounts(Tables.lineitem(s, dir)).filter(col("c") >= 2)
         .select("u", "v")
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** Distinct co-order pair counts (u < v, c = co-ordering orders) —
+    * the PRE-threshold state the incremental store (q252) persists:
+    * counts merge additively across order-disjoint slices, the edge
+    * threshold does not. */
+  private def pairCounts(li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = li.select("l_orderkey", "l_partkey").distinct()
+    d.as("x")
+      .join(d.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** q213's degree-ordered triangle count per part over an edge set
+    * (u < v): orientation bounds per-task wedge work by the SMALLER
+    * endpoint degree (the standard heavy-hitter defense), each
+    * triangle credits its three corners once. Shared by q213 (full
+    * store) and q252 (incrementally maintained store). */
+  def trianglesPerPart(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = graft.Caches.cached(e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t")))
+    val wedges = o.select(col("s"), col("t").as("t1"))
+      .join(o.select(col("s"), col("t").as("t2")), "s")
+      .filter(col("t1") < col("t2"))
+    val tri = wedges.join(e,
+      least(col("t1"), col("t2")) === col("u") &&
+        greatest(col("t1"), col("t2")) === col("v"))
+    tri.select(explode(array(col("s"), col("t1"), col("t2")))
+        .as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("l_partkey"))
   }
 
   /** Per-user journey summary (first event letter, vvvp-contiguity
@@ -919,31 +957,39 @@ object Analytics {
     // per-part participation rollup hash-matches while the engine
     // keeps the skew-proof plan. Baskets bound the first pair join
     // (C(items,2) per order, q172's argument).
-    "q213_triangles" -> ((s, dir) => {
-      val e = graft.Caches.cached(copurchaseEdges(s, dir))
-      val deg = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val o = graft.Caches.cached(e
-        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("u"))
-            .otherwise(col("v")).as("s"),
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("v"))
-            .otherwise(col("u")).as("t")))
-      val wedges = o.select(col("s"), col("t").as("t1"))
-        .join(o.select(col("s"), col("t").as("t2")), "s")
-        .filter(col("t1") < col("t2"))
-      val tri = wedges.join(e,
-        least(col("t1"), col("t2")) === col("u") &&
-          greatest(col("t1"), col("t2")) === col("v"))
-      tri.select(explode(array(col("s"), col("t1"), col("t2")))
-          .as("l_partkey"))
-        .groupBy("l_partkey").agg(count(lit(1)).as("n_triangles"))
-        .orderBy(col("n_triangles").desc, col("l_partkey"))
+    "q213_triangles" -> ((s, dir) =>
+      trianglesPerPart(graft.Caches.cached(copurchaseEdges(s, dir)))),
+
+    // INCREMENTAL GRAPH-STORE MAINTENANCE — the co-purchase store's
+    // append verb (the q103/q215 lifecycle applied to graphs). The
+    // subtlety: the EDGE set (pairs co-ordered ≥ 2 times) is NOT
+    // additively mergeable — a pair at c = 1 in the store and c = 1 in
+    // tonight's batch must BECOME an edge — so the persisted state is
+    // the pair-COUNT table (one level below the derivation), merged
+    // additively by (u, v), and the threshold derives edges at serve
+    // time. Additivity is exact because pairs live inside single
+    // orders and the batch split is BY ORDER (the q93 delta
+    // convention), so no order's pairs straddle the cut. Merged counts
+    // localCheckpoint-pin before the overwrite (the q222 discipline:
+    // never read your own output mid-rewrite); at production scale the
+    // rewrite is partition-scoped to touched key ranges (the q226
+    // spelling). Served triangles == q213's full-graph answer — the
+    // entry shares q213's oracle VERBATIM (append == rebuild, the
+    // family's strongest pin).
+    "q252_graph_append_serve" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val path = graft.Scratch.dirFor("copurchase_inc", dir)
+      graft.Scratch.ensure(path) {
+        pairCounts(li.filter(col("l_orderkey") % 10 =!= 0))
+          .write.mode("overwrite").parquet(path)
+        val merged = s.read.parquet(path)
+          .unionByName(pairCounts(li.filter(col("l_orderkey") % 10 === 0)))
+          .groupBy("u", "v").agg(sum(col("c")).as("c"))
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+      }
+      trianglesPerPart(graft.Caches.cached(
+        s.read.parquet(path).filter(col("c") >= 2).select("u", "v")))
     }),
 
     // MULTI-SOURCE BFS — hop distance from a seed set (one brand's
@@ -1468,6 +1514,25 @@ object Analytics {
            COUNT(*) AS n_change_points
          FROM r GROUP BY 1 ORDER BY 1""",
     "q213_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         c AS (SELECT x AS p FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+         SELECT p AS l_partkey, COUNT(*) AS n_triangles
+         FROM c GROUP BY 1
+         ORDER BY n_triangles DESC, l_partkey""",
+    // append == rebuild: q252 serves q213's full-graph answer from the
+    // incrementally maintained pair-count store — same oracle verbatim
+    "q252_graph_append_serve" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
                FROM li a JOIN li b
