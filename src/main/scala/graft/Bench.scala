@@ -31,8 +31,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a 238-query run leaves thousands of dereferenced shuffle
+      // dependencies; ContextCleaner only reclaims their files after a
+      // JVM GC notices the dead references, and the default periodic-GC
+      // interval (30 min) outlives the whole run — so the back half of
+      // a long run would otherwise accumulate every query's shuffle
+      // files on disk (r10 verdict #1, the bench back-half drift)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // releasing a localCheckpoint logs one WARN per RDD ("lineage has
+    // been truncated...") — correct behavior under the Caches.pin
+    // release discipline, but hundreds of them would drown the bench
+    // output, so the rdd logger runs at ERROR here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // optional debug filter: SPARK_GRAFT_ONLY=regex runs a subset.
     // Full runs skip the fixed-size semantics audits (benchExcluded) —
     // an explicit ONLY regex still selects them for dev timing.
@@ -75,6 +88,18 @@ object Bench {
       finally Caches.releaseAll()
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // per-process leak diagnostic (r10 verdict #1): every 50 queries,
+    // one stderr line with heap, registered-pin count, live persistent
+    // RDDs, and the scratch shuffle footprint — the drift signature
+    // (any of these growing run-long) now has a committed trace.
+    var qIndex = 0
+    def leakLine(): Unit = {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val nRdds = spark.sparkContext.getPersistentRDDs.size
+      System.err.println(
+        s"BENCH DIAG q#$qIndex heapMB=$heapMb persistentRDDs=$nRdds pinned=${Caches.pinnedCount}")
+    }
     val results = selected.flatMap { case (name, fn) =>
       def runReps(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -85,6 +110,8 @@ object Bench {
         }
         finally Caches.releaseAll() // each rep pays its own cache cost
       }
+      qIndex += 1
+      if (qIndex % 50 == 0) leakLine()
       // scale-shape pins (q86) time ONE rep: min-of-reps exists to cut
       // host noise on throughput queries, not to double a pin's cost
       val qReps = if (SparkEntry.singleRep(name)) 1 else reps
@@ -99,6 +126,7 @@ object Bench {
         times = times ++ runReps(4 - qReps)
       if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
     }
+    leakLine() // closing diagnostic: end-of-run process state
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

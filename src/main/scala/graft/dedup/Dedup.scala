@@ -673,9 +673,9 @@ object Dedup {
     sess.conf.set("spark.sql.shuffle.partitions",
       math.max(2L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
     try {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var pinned = graft.Caches.pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var labels: DataFrame = pinned
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -688,15 +688,20 @@ object Dedup {
       // pointer jump: my new label ← label of the node my label points
       // to. Skipped in round 1, where labels are still the identity map
       // and the join would be a no-op shuffle.
-      val updated = (if (iter == 0) stepped.select(col("id"), col("label"),
+      val updated = graft.Caches.pin(
+        if (iter == 0) stepped.select(col("id"), col("label"),
           col("mid_label").as("new_label"))
         else {
           val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
           stepped.join(parents, stepped("mid_label") === parents("p_id"), "left")
             .select(col("id"), col("label"),
               least(col("mid_label"), coalesce(col("p_label"), col("mid_label"))).as("new_label"))
-        }).localCheckpoint()
+        })
       changed = updated.filter(col("new_label") < col("label")).count()
+      // round N's blocks are dead once N+1 is materialized and the
+      // changed-count read — release now, not at JVM exit (r10 #1)
+      graft.Caches.unpin(pinned)
+      pinned = updated
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }

@@ -253,6 +253,10 @@ object Multimodal {
         !s.sparkContext.isStopped) cached
     else {
       mediaMemo.remove(key)
+      // deliberately a RAW localCheckpoint, never Caches.pin: this memo
+      // is the one CROSS-query checkpoint in the engine (build-once
+      // media fixture), and a releaseAll between queries must not free
+      // it — a released checkpoint cannot recompute (truncated lineage)
       val df = encodeMediaPayloads(mediaBase(s, dir)).localCheckpoint()
       mediaMemo.put(key, df)
       df

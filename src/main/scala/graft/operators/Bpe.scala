@@ -76,8 +76,10 @@ object Bpe {
   def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     // pin both tables once; each round's lineage is then one delta deep
-    var vocab = symVocab(spark, wordFreq).localCheckpoint()
-    var counts = pairCounts(vocab).localCheckpoint()
+    // (Caches.pin, not raw localCheckpoint: superseded rounds release
+    // mid-loop and whatever survives releases at query end — r10 #1)
+    var vocab = graft.Caches.pin(symVocab(spark, wordFreq))
+    var counts = graft.Caches.pin(pairCounts(vocab))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     while (round <= nMerges) {
@@ -107,18 +109,21 @@ object Bpe {
           }
           d.iterator.filter(_._2 != 0L).map { case ((a, b), dd) => (a, b, dd) }
         }.toDF("l", "r", "n")
-        counts = counts.unionByName(deltas)
+        // cut the per-round lineage; pair-table-sized, never corpus.
+        // The superseded round's blocks release the moment the new
+        // checkpoint is materialized (eager), so the loop holds TWO
+        // rounds of blocks at peak, not `round` of them.
+        val nextCounts = graft.Caches.pin(counts.unionByName(deltas)
           .groupBy("l", "r").agg(sum(col("n")).as("n"))
-          .filter(col("n") > 0)
-          // cut the per-round lineage; pair-table-sized, never corpus
-          .localCheckpoint()
+          .filter(col("n") > 0))
         // coalesce BEFORE the checkpoint: union adds both sides'
         // partition counts, so without it vocab's partitioning DOUBLES
         // per round — exponential empty-task scheduling by round ~20
-        vocab = untouched
+        val nextVocab = graft.Caches.pin(untouched
           .union(touched.map { case (syms, c) => (applyMerge(syms, l, r), c) })
-          .coalesce(spark.sparkContext.defaultParallelism)
-          .localCheckpoint()
+          .coalesce(spark.sparkContext.defaultParallelism))
+        graft.Caches.unpin(counts); graft.Caches.unpin(vocab)
+        counts = nextCounts; vocab = nextVocab
         round += 1
       }
     }
@@ -132,7 +137,7 @@ object Bpe {
   private[graft] def trainMergesRecompute(spark: SparkSession, wordFreq: DataFrame,
                                           nMerges: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
-    var vocab = symVocab(spark, wordFreq).localCheckpoint()
+    var vocab = graft.Caches.pin(symVocab(spark, wordFreq))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     while (round <= nMerges) {
@@ -142,8 +147,10 @@ object Bpe {
       else {
         val (l, r, n) = top(0)
         merges += ((merges.length + 1, l, r, n))
-        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
-          .localCheckpoint()
+        val next = graft.Caches.pin(
+          vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) })
+        graft.Caches.unpin(vocab)
+        vocab = next
         round += 1
       }
     }

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.{Q, Tables}
+import graft.{PinnedOps, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1436,7 +1436,7 @@ object Similarity {
       .filter(col("cell").isin(cells: _*))
       .join(del, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("ss"), col("code"), col("cell"))
-      .localCheckpoint() // pin BEFORE overwriting the partitions being read
+      .pinned() // pin BEFORE overwriting the partitions being read
     val keptCells = survivors.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet // bounded: <= nCells values
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

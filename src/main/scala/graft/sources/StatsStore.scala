@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.PinnedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -135,7 +136,7 @@ object StatsStore {
     val spark = batch.sparkSession
     // file-count-sized driver/executor footprint, pinned before the
     // append so the overwrite below can't read its own output
-    val old = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    val old = spark.read.parquet(s"$dir/manifest").pinned()
     val oldFiles = old.select("file").collect().map(_.getString(0)).toSeq
     batch.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
@@ -281,7 +282,7 @@ object StatsStore {
   def appendToBloomStore(batch: DataFrame, dir: String, nFiles: Int,
                          mBits: Int = 1 << 16, k: Int = 3): Unit = {
     val spark = batch.sparkSession
-    val old = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    val old = spark.read.parquet(s"$dir/manifest").pinned()
     val oldFiles = old.select("file").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: store file count
     batch.repartitionByRange(nFiles, col("doc_id"))
