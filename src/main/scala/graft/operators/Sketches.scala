@@ -107,43 +107,17 @@ object Sketches {
     * definition as q66; SketchesSpec pins q107 == q66 row-for-row and
     * that the candidate stage actually prunes. Operating envelope: the
     * filter sizes at ~10 bits/gram at fpp 0.01 and must fit the
-    * driver + one broadcast — the knob a deployment tunes. */
+    * driver + one broadcast — and the envelope is now ENFORCED, not
+    * documented (r10 verdict #2): past `evalGramBudget` distinct eval
+    * grams the Bloom build would OOM the driver, so the query routes
+    * to the exact distributed semi-join instead (the q66 spelling) —
+    * same rows by construction (the Bloom stage only PREfilters an
+    * exact verify; SketchesSpec pins both routes equal). The gate
+    * statistic (the distinct eval-gram count) is already computed for
+    * the filter's sizing, so the routing is free — the overBudget
+    * pattern from [[graft.dedup.Dedup]]. */
   val queries2: Map[String, Q] = Map(
-    "q107_bloom_decontaminate" -> ((s, dir) => {
-      import s.implicits._
-      val toks = split(trim(col("text")), "\\s+")
-      val docs = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), toks.as("toks"))
-      val grams = graft.Caches.cached(docs
-        .filter(size(col("toks")) >= 13)
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
-        .select(col("doc_id"), col("source"),
-          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
-      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
-        .select("gram").distinct()
-      val nEval = evalGrams.count().max(1L)
-      val bloom = evalGrams.stat.bloomFilter("gram", nEval, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val candidates = grams.filter(col("doc_id") % 20 =!= 0)
-        .select("doc_id", "source", "gram").as[(Long, String, String)]
-        .mapPartitions { it => // membership probe: kernel, not a join
-          val f = bc.value
-          it.filter { case (_, _, g) => f.mightContain(g) }
-        }
-        .toDF("doc_id", "source", "gram")
-      val contaminated = candidates
-        .join(evalGrams, Seq("gram"), "left_semi") // exact verify, candidates only
-        .select("doc_id", "source").distinct()
-      val base = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
-        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      val cont = contaminated.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_contaminated"))
-      base.join(cont, Seq("source"), "left")
-        .select(col("source"), col("n_docs"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
-        .orderBy("source")
-    }),
+    "q107_bloom_decontaminate" -> (bloomDecontaminate(_, _)),
 
     // INCREMENTAL SKETCH-STATE MAINTENANCE (r8 verdict #6) — the
     // approximate member of the incremental-maintenance family (q93
@@ -236,6 +210,58 @@ object Sketches {
         .orderBy("event_type", "band")
     })
   )
+
+  /** q107's implementation, budget-gated (see the [[queries2]] doc).
+    * `evalGramBudget` caps the DRIVER-side Bloom build at ~10 bits per
+    * distinct eval gram (the default 64M grams ≈ 80 MB of filter —
+    * comfortably inside one driver/broadcast); a larger eval suite
+    * routes to the exact distributed semi-join, which has no driver
+    * footprint at all. SketchesSpec drives both routes on the same
+    * corpus and pins result equality. */
+  private[graft] def bloomDecontaminate(s: org.apache.spark.sql.SparkSession, dir: String,
+                                        evalGramBudget: Long = 64L * 1000 * 1000): DataFrame = {
+    import s.implicits._
+    val toks = split(trim(col("text")), "\\s+")
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+    val grams = graft.Caches.cached(docs
+      .filter(size(col("toks")) >= 13)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select("gram").distinct()
+    // the gate statistic doubles as the filter's sizing parameter —
+    // routing costs nothing beyond the count the build needed anyway
+    val nEval = evalGrams.count().max(1L)
+    val corpusGrams = grams.filter(col("doc_id") % 20 =!= 0)
+      .select("doc_id", "source", "gram")
+    val candidates =
+      if (nEval > evalGramBudget) corpusGrams // past budget: no driver
+      // filter — the exact semi-join below IS the whole decontamination
+      else {
+        val bloom = evalGrams.stat.bloomFilter("gram", nEval, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        corpusGrams.as[(Long, String, String)]
+          .mapPartitions { it => // membership probe: kernel, not a join
+            val f = bc.value
+            it.filter { case (_, _, g) => f.mightContain(g) }
+          }
+          .toDF("doc_id", "source", "gram")
+      }
+    val contaminated = candidates
+      .join(evalGrams, Seq("gram"), "left_semi") // exact verify, candidates only
+      .select("doc_id", "source").distinct()
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val cont = contaminated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    base.join(cont, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
+      .orderBy("source")
+  }
 
   val oracles: Map[String, String] = Map(
     // identical final semantics to q66 (the Bloom stage only prunes

@@ -76,6 +76,14 @@ class SketchesSpec extends SparkSpec {
     assert(bloom.nonEmpty && bloom == exact,
       "the Bloom stage must only prune candidates, never change the answer")
     Caches.releaseAll()
+    // budget gate (r10 verdict #2): an eval suite past the driver-Bloom
+    // budget must route to the exact distributed semi-join — same rows.
+    // budget=1 gram forces the past-budget route on this corpus.
+    val gated = Sketches.bloomDecontaminate(spark, sf, evalGramBudget = 1L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gated == exact,
+      "past-budget route (exact semi-join, no driver Bloom) must equal the Bloom route")
+    Caches.releaseAll()
   }
 
   test("q102 returns the corpus's exact heavy-hitter set") {
