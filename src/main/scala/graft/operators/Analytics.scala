@@ -135,14 +135,20 @@ object Analytics {
     *    (localCheckpoint pins static plans, so AQE can't coalesce).
     * Exhausting maxIter THROWS — a half-converged rank must never
     * silently flow downstream. Dangling nodes (no out-edges) are
-    * impossible on symmetrized input and are rejected up front
-    * otherwise, so rank mass is conserved each round (AnalyticsSpec
-    * pins sum == 1). Teleport keeps the bipartite walk aperiodic, so
-    * the delta contracts by ~damping per round: maxIter must cover
-    * ln(tol)/ln(damping) (~85 rounds at 0.85/1e-6). */
+    * impossible on symmetrized input; on directed input either opt in
+    * to the standard redistribution (`redistributeDangling=true`: each
+    * round the dangling nodes' rank mass spreads uniformly, the
+    * Page/Brin correction — real crawl/citation graphs have sinks) or
+    * they are rejected up front. Either way rank mass is conserved
+    * each round (AnalyticsSpec pins sum == 1 on both routes, and a
+    * closed-form law on a sink fixture). Teleport keeps the bipartite
+    * walk aperiodic, so the delta contracts by ~damping per round:
+    * maxIter must cover ln(tol)/ln(damping) (~85 rounds at
+    * 0.85/1e-6). */
   private[graft] def pageRank(edges0: org.apache.spark.sql.DataFrame,
                               damping: Double, tol: Double, maxIter: Int,
-                              localBudget: Long = 8L * 1000 * 1000): org.apache.spark.sql.DataFrame = {
+                              localBudget: Long = 8L * 1000 * 1000,
+                              redistributeDangling: Boolean = false): org.apache.spark.sql.DataFrame = {
     val sess = edges0.sparkSession
     val edges = graft.Caches.cached(edges0.select(col("src"), col("dst")).distinct())
     // the components() small-graph route: below the budget the whole
@@ -152,36 +158,53 @@ object Analytics {
     // collect (edges never leave the executors); a graph that
     // outgrows the budget routes to the loop automatically.
     if (edges.count() <= localBudget)
-      return pageRankSingleTask(edges, damping, tol, maxIter)
+      return pageRankSingleTask(edges, damping, tol, maxIter, redistributeDangling)
     val deg = graft.Caches.cached(edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = graft.Caches.cached(
       edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id"))).distinct())
     val n = nodes.count() // bounded driver aggregate (node count)
-    val dangling = nodes.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti").count()
-    require(dangling == 0,
-      s"pageRank: $dangling dangling node(s) — symmetrize or drop sinks upstream")
+    // dangling node set: no out-edges. Bounded by |nodes|; cached only
+    // when the redistribution loop re-reads it every round.
+    val danglingNodes = nodes.join(
+      deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+    val dangling = danglingNodes.count()
+    require(redistributeDangling || dangling == 0,
+      s"pageRank: $dangling dangling node(s) — symmetrize/drop sinks upstream " +
+        "or opt in to redistributeDangling")
+    val sinks = if (dangling > 0) graft.Caches.cached(danglingNodes) else danglingNodes
     // size the per-round shuffle to the graph (the components() rule)
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions",
       math.max(2L, math.min(prevParts.toLong, n / 100000L + 1)).toString)
     try {
-      var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      var pinned = graft.Caches.pin(nodes.withColumn("rank", lit(1.0 / n)))
+      var ranks: org.apache.spark.sql.DataFrame = pinned
       var iter = 0
       var delta = Double.MaxValue
       while (delta > tol && iter < maxIter) {
+        // dangling mass this round: a 1-value driver action over the
+        // sink-restricted rank frame (the Page/Brin correction term) —
+        // zero when redistribution is off or the graph has no sinks
+        val dMass =
+          if (dangling == 0) 0.0
+          else ranks.join(sinks, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
         val inflow = edges.join(deg, Seq("src"))
           .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy("id").agg(sum(col("c")).as("inflow"))
-        val updated = nodes.join(inflow, Seq("id"), "left")
+        val updated = graft.Caches.pin(nodes.join(inflow, Seq("id"), "left")
           .select(col("id"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("new_rank"))
-          .localCheckpoint()
+            (lit((1.0 - damping) / n + damping * dMass / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("new_rank")))
         // 1-value driver action: total-variation distance to last round
         delta = updated.join(ranks, Seq("id"))
           .agg(sum(abs(col("new_rank") - col("rank")))).head.getDouble(0)
+        // round N's blocks are dead once round N+1 is materialized and
+        // the delta read — release them now, not at JVM exit (r10 #1)
+        graft.Caches.unpin(pinned)
+        pinned = updated
         ranks = updated.select(col("id"), col("new_rank").as("rank"))
         iter += 1
       }
@@ -195,8 +218,8 @@ object Analytics {
     * same fixpoint/maxIter contract, edges sorted before folding so
     * the fp sums are deterministic across runs. */
   private def pageRankSingleTask(edges: org.apache.spark.sql.DataFrame,
-                                 damping: Double, tol: Double,
-                                 maxIter: Int): org.apache.spark.sql.DataFrame = {
+                                 damping: Double, tol: Double, maxIter: Int,
+                                 redistributeDangling: Boolean = false): org.apache.spark.sql.DataFrame = {
     val sess = edges.sparkSession
     import sess.implicits._
     edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -214,13 +237,19 @@ object Analytics {
           val dst = arr.map(t => idx(t._2))
           val deg = new Array[Long](n)
           src.foreach(i => deg(i) += 1)
-          require(deg.forall(_ > 0),
-            "pageRank: dangling node(s) — symmetrize or drop sinks upstream")
+          require(redistributeDangling || deg.forall(_ > 0),
+            "pageRank: dangling node(s) — symmetrize/drop sinks upstream " +
+              "or opt in to redistributeDangling")
           var rank = Array.fill(n)(1.0 / n)
           var iter = 0
           var delta = Double.MaxValue
           while (delta > tol && iter < maxIter) {
-            val next = Array.fill(n)((1.0 - damping) / n)
+            // SAME algebra as the loop route: dangling mass spreads
+            // uniformly (0 when the graph has no sinks)
+            var dMass = 0.0
+            var s = 0
+            while (s < n) { if (deg(s) == 0) dMass += rank(s); s += 1 }
+            val next = Array.fill(n)((1.0 - damping) / n + damping * dMass / n)
             var k = 0
             while (k < src.length) {
               next(dst(k)) += damping * rank(src(k)) / deg(src(k)); k += 1
@@ -784,9 +813,19 @@ object Analytics {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct())
       val n = it.select(countDistinct(col("ok")).as("n_orders"))
-      val cnt = it.groupBy("pk").agg(count(lit(1)).as("c"))
-      val a = it.select(col("ok"), col("pk").as("part_a"))
-      val b = it.select(col("ok").as("ok2"), col("pk").as("part_b"))
+      val cnt = graft.Caches.cached(it.groupBy("pk").agg(count(lit(1)).as("c")))
+      // A-PRIORI SUPPORT PREFILTER (r10 verdict #3): a pair needs
+      // c_ab >= 3, and c_ab <= min(c_a, c_b) — so a part with TOTAL
+      // count < 3 can never appear in any surviving pair. Semi-joining
+      // the basket stream against the frequent-part set BEFORE the
+      // self-join removes the once-bought long tail (the dominant
+      // population at 100 TB) from BOTH sides of the pair join without
+      // changing a single output row; n_orders and c_a/c_b still come
+      // from the UNfiltered tables, so the statistic is untouched.
+      val frequent = cnt.filter(col("c") >= 3).select("pk")
+      val itF = it.join(frequent, Seq("pk"), "left_semi")
+      val a = itF.select(col("ok"), col("pk").as("part_a"))
+      val b = itF.select(col("ok").as("ok2"), col("pk").as("part_b"))
       a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)
@@ -969,9 +1008,11 @@ object Analytics {
     // additively by (u, v), and the threshold derives edges at serve
     // time. Additivity is exact because pairs live inside single
     // orders and the batch split is BY ORDER (the q93 delta
-    // convention), so no order's pairs straddle the cut. Merged counts
-    // localCheckpoint-pin before the overwrite (the q222 discipline:
-    // never read your own output mid-rewrite); at production scale the
+    // convention), so no order's pairs straddle the cut. The merge
+    // writes a SIBLING generation and serves from it — never an
+    // overwrite of the directory being read (r10 ADVICE: the old
+    // checkpoint-pin spelling made correctness hinge on eager
+    // materialization + block survival); at production scale the
     // rewrite is partition-scoped to touched key ranges (the q226
     // spelling). Served triangles == q213's full-graph answer — the
     // entry shares q213's oracle VERBATIM (append == rebuild, the
@@ -980,16 +1021,22 @@ object Analytics {
       val li = Tables.lineitem(s, dir)
       val path = graft.Scratch.dirFor("copurchase_inc", dir)
       graft.Scratch.ensure(path) {
+        // the merge WRITES TO A SIBLING and swaps directories (r10
+        // ADVICE): never overwrite the path being read — correctness
+        // must not hinge on checkpoint blocks surviving eviction. The
+        // swap is a local-FS rename here; a cluster deployment writes
+        // the sibling and flips a manifest pointer (the q226 spelling).
+        val gen0 = s"$path/gen0"
+        val gen1 = s"$path/gen1"
         pairCounts(li.filter(col("l_orderkey") % 10 =!= 0))
-          .write.mode("overwrite").parquet(path)
-        val merged = s.read.parquet(path)
+          .write.mode("overwrite").parquet(gen0)
+        s.read.parquet(gen0)
           .unionByName(pairCounts(li.filter(col("l_orderkey") % 10 === 0)))
           .groupBy("u", "v").agg(sum(col("c")).as("c"))
-          .localCheckpoint()
-        merged.write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(gen1)
       }
       trianglesPerPart(graft.Caches.cached(
-        s.read.parquet(path).filter(col("c") >= 2).select("u", "v")))
+        s.read.parquet(s"$path/gen1").filter(col("c") >= 2).select("u", "v")))
     }),
 
     // MULTI-SOURCE BFS — hop distance from a seed set (one brand's
@@ -1016,15 +1063,17 @@ object Analytics {
       // levels has shallow lineage), early exit on frontier exhaustion
       // (a cheap isEmpty on the materialized checkpoint)
       val levels = scala.collection.mutable.ArrayBuffer(
-        seeds.withColumn("d", lit(0)).localCheckpoint())
+        graft.Caches.pin(seeds.withColumn("d", lit(0))))
       var frontier = levels(0).select("n")
       var h = 1
       while (h <= 4 && !frontier.isEmpty) {
         val visited = levels.map(_.select("n")).reduce(_ unionAll _)
-        val next = frontier.join(adj, col("n") === col("src"))
+        // pin, don't raw-checkpoint: every level lives until the final
+        // union is consumed, then releases with the query (r10 #1)
+        val next = graft.Caches.pin(frontier.join(adj, col("n") === col("src"))
           .select(col("dst").as("n")).distinct()
           .join(visited, Seq("n"), "left_anti")
-          .withColumn("d", lit(h)).localCheckpoint()
+          .withColumn("d", lit(h)))
         levels += next
         frontier = next.select("n")
         h += 1
