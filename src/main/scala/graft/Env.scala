@@ -11,4 +11,5 @@ object Env {
   val Reps     = "SPARK_GRAFT_REPS"
   val Only     = "SPARK_GRAFT_ONLY"
   val BenchOut = "SPARK_GRAFT_BENCH_OUT"
+  val DataDir  = "SPARK_GRAFT_DATA_DIR" // graft.Main's pipeline data root
 }

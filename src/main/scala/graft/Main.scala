@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{Ingest, Pipeline, TickerStore}
+
+/** E1: the runnable pipeline entrypoint — the reference CLI's flag
+  * surface and control flow (`psx_data_automation/main.py:45-50` flags,
+  * `:90-115` full-run staging) bound onto [[graft.sources.Pipeline]]
+  * and the engine's own stage implementations:
+  *
+  *  - `--sync-tickers`     ticker sync → dated snapshot (S18/S11/S22)
+  *  - `--update-ticker-info` enrich latest snapshot → "updated" kind
+  *    (S12/S15 family)
+  *  - `--download-historical` bulk tick → daily OHLC bars (P1,
+  *    implemented here where the reference stubs it, main.py:76-81)
+  *  - `--daily-update`     checkpointed incremental append (P2,
+  *    implemented where the reference stubs it, main.py:83-88)
+  *  - `--full-run` or NO flags: all four in order (main.py:90 — the
+  *    `or not any([...])` contract), with the reference's exact
+  *    failure algebra: sync failure ABORTS the pipeline
+  *    (main.py:96-98), update-info failure logs and CONTINUES
+  *    (main.py:102-104).
+  *  - `--version` prints the engine version and exits 0.
+  *
+  * Individually-requested stages run in the reference's fixed order
+  * and abort on the first failure (main.py:63-71 returns 1 on a failed
+  * requested stage). Unknown flags exit 2 (argparse parity).
+  *
+  * Offline by design: the default sync source is the degradation
+  * ladder's deterministic mock table ([[Ingest.loadTickersWithFallback]]
+  * with no live attempts); a deployment passes real fetch attempts via
+  * [[Main.Stages]] — the same injection seam SourcesSpec drives.
+  */
+object Main {
+
+  val version = "0.11.0"
+
+  /** The four stage bindings; injectable so tests (and deployments
+    * with live connectors) swap implementations without touching the
+    * control flow. */
+  final case class Stages(sync: () => Boolean,
+                          updateInfo: () => Boolean,
+                          downloadHistorical: () => Boolean,
+                          dailyUpdate: () => Boolean)
+
+  /** Production bindings over a data-root directory layout:
+    * `dataDir/tickers` snapshot store, `dataDir/landing` raw event
+    * parquet drops, `dataDir/ohlc` bar table, `dataDir/store` the
+    * day-partitioned dedup store, `dataDir/ckpt` stream checkpoints.
+    * A missing landing dir makes the two data stages vacuous successes
+    * (nothing to ingest is not a failure — the reference's stub stages
+    * log and continue, main.py:78-88). */
+  def defaultStages(spark: SparkSession, dataDir: String,
+                    syncDate: String): Stages = {
+    val tickerRoot = s"$dataDir/tickers"
+    val landing = s"$dataDir/landing"
+    def landingExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(landing)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    Stages(
+      sync = () => {
+        val t = Ingest.loadTickersWithFallback(spark, Seq.empty)
+        TickerStore.writeSnapshot(t, tickerRoot, syncDate, "raw")
+        !t.isEmpty
+      },
+      updateInfo = () => {
+        // offline enrichment: normalize the latest snapshot's fields
+        // (the reference re-fetches name/sector per ticker; the engine
+        // side is the snapshot-in → snapshot-out contract, with the
+        // fetch pluggable upstream)
+        val latest = TickerStore.readLatestSnapshot(spark, tickerRoot)
+        TickerStore.writeSnapshot(latest, tickerRoot, syncDate, "updated")
+        !latest.isEmpty
+      },
+      downloadHistorical = () => {
+        if (!landingExists) true // nothing to ingest
+        else {
+          val ticks = spark.read.parquet(landing)
+          operators.TimeSeries
+            .ohlcDaily(ticks, "event_type", "ts", "value", "event_id")
+            .write.mode("overwrite").parquet(s"$dataDir/ohlc")
+          true
+        }
+      },
+      dailyUpdate = () => {
+        if (!landingExists) true // nothing to ingest
+        else {
+          val schema = spark.read.parquet(landing).schema
+          streaming.Streaming.incrementalAppend(spark, landing,
+            s"$dataDir/store", s"$dataDir/ckpt", schema)
+          true
+        }
+      })
+  }
+
+  /** Flag-driven staging over [[Pipeline.run]]; returns the process
+    * exit code (0 ok; 1 failed stage per the reference's contract; 2
+    * bad usage). Pure control flow — testable without a process. */
+  def run(args: Seq[String], stages: Stages,
+          log: String => Unit = m => Console.err.println(s"[graft] $m")): Int = {
+    val known = Set("--sync-tickers", "--download-historical",
+      "--daily-update", "--update-ticker-info", "--full-run", "--version")
+    args.find(!known.contains(_)) match {
+      case Some(bad) => log(s"unknown argument: $bad"); return 2
+      case None =>
+    }
+    if (args.contains("--version")) { println(s"graft v$version"); return 0 }
+    val flags = args.toSet
+    val fullRun = flags.contains("--full-run") ||
+      !flags.exists(Set("--sync-tickers", "--download-historical",
+        "--daily-update", "--update-ticker-info")) // no flags => full run
+    // stage table in the reference's fixed order; criticality only
+    // differs in full-run mode (sync aborts, the rest continue —
+    // main.py:96-104); individually requested stages all abort on
+    // failure (main.py:63-71 returns 1)
+    val table = Seq(
+      ("sync-tickers", stages.sync, true),
+      ("update-ticker-info", stages.updateInfo, false),
+      ("download-historical", stages.downloadHistorical, false),
+      ("daily-update", stages.dailyUpdate, false))
+    val selected =
+      if (fullRun) table
+      else table.collect { case (n, f, _) if flags.contains(s"--$n") => (n, f, true) }
+    val results = Pipeline.run(selected.map { case (n, f, crit) =>
+      Pipeline.Stage(n, critical = crit)(f)
+    })
+    results.foreach { r =>
+      log(s"stage ${r.name}: " +
+        (if (!r.ran) "skipped (earlier critical failure)"
+         else if (r.succeeded) "ok" else "FAILED"))
+    }
+    // exit 1 iff a CRITICAL stage failed (full-run: sync only; single
+    // stages: any requested one) — full-run completes with code 0 past
+    // an update-info failure, exactly main.py:102-115
+    val criticalByName = selected.map { case (n, _, c) => n -> c }.toMap
+    if (results.exists(r => r.ran && !r.succeeded && criticalByName(r.name))) 1 else 0
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.contains("--version")) { println(s"graft v$version"); sys.exit(0) }
+    val dataDir = sys.env.getOrElse(Env.DataDir, "./graft_data")
+    val cpus = sys.env.getOrElse(Env.Cpus, "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val syncDate = java.time.LocalDate.now().toString.replace("-", "")
+    val code =
+      try run(args.toSeq, defaultStages(spark, dataDir, syncDate))
+      finally spark.stop()
+    sys.exit(code)
+  }
+}

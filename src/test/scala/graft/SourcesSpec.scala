@@ -160,6 +160,74 @@ class SourcesSpec extends SparkSpec {
     assert(!r3(0).succeeded && !r3(1).ran) // exceptions = failure
   }
 
+  test("Main CLI: flag surface + full-run failure algebra (E1, main.py:45-50,90-115)") {
+    def rec(calls: scala.collection.mutable.ListBuffer[String], n: String,
+            ok: Boolean = true)(): Boolean = { calls += n; ok }
+    def stages(calls: scala.collection.mutable.ListBuffer[String],
+               syncOk: Boolean = true, updOk: Boolean = true) = Main.Stages(
+      sync = rec(calls, "sync", syncOk), updateInfo = rec(calls, "upd", updOk),
+      downloadHistorical = rec(calls, "dl"), dailyUpdate = rec(calls, "daily"))
+    val quiet: String => Unit = _ => ()
+    // no flags => full run, all four stages in reference order, exit 0
+    val c1 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq.empty, stages(c1), quiet) == 0)
+    assert(c1.toSeq == Seq("sync", "upd", "dl", "daily"))
+    // full-run CONTINUES past an update-info failure (main.py:102-104)
+    // and still exits 0 — update is not critical
+    val c2 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--full-run"), stages(c2, updOk = false), quiet) == 0)
+    assert(c2.toSeq == Seq("sync", "upd", "dl", "daily"))
+    // full-run ABORTS on sync failure (main.py:96-98): nothing after
+    // sync runs, exit 1
+    val c3 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq.empty, stages(c3, syncOk = false), quiet) == 1)
+    assert(c3.toSeq == Seq("sync"))
+    // individually requested stages: only those run, in fixed order
+    val c4 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--daily-update", "--sync-tickers"), stages(c4), quiet) == 0)
+    assert(c4.toSeq == Seq("sync", "daily"))
+    // an individually requested stage that fails exits 1 (main.py:63-71)
+    val c5 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--update-ticker-info"), stages(c5, updOk = false), quiet) == 1)
+    assert(c5.toSeq == Seq("upd"))
+    // version + bad usage
+    val c6 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--version"), stages(c6), quiet) == 0 && c6.isEmpty)
+    assert(Main.run(Seq("--frobnicate"), stages(c6), quiet) == 2 && c6.isEmpty)
+  }
+
+  test("Main CLI: default stages drive sync → update → ohlc → daily over fixtures (E1 end-to-end)") {
+    val dataDir = tmp("maincli")
+    // landing fixture: two overlapping event drops (the P2 dedup case)
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter($"event_id" % 3 =!= 0).write.mode("append")
+      .parquet(s"$dataDir/landing")
+    val st = Main.defaultStages(spark, dataDir, "20250111")
+    assert(Main.run(Seq.empty, st, _ => ()) == 0)
+    // sync + update: latest snapshot resolves to the updated kind
+    val latest = TickerStore.readLatestSnapshot(spark, s"$dataDir/tickers")
+    assert(latest.count() == 22)
+    // historical: bars match the operator over the same landing data
+    val bars = spark.read.parquet(s"$dataDir/ohlc")
+    val want = graft.operators.TimeSeries.ohlcDaily(
+      spark.read.parquet(s"$dataDir/landing"),
+      "event_type", "ts", "value", "event_id")
+    assert(bars.count() == want.count() && bars.count() > 0)
+    // daily update: store holds exactly the landed (deduped) ids; a
+    // SECOND run with a re-delivered overlap stays duplicate-free
+    val n1 = spark.read.parquet(s"$dataDir/store").count()
+    assert(n1 == ev.filter($"event_id" % 3 =!= 0).count())
+    ev.filter($"event_id" % 2 === 0).write.mode("append")
+      .parquet(s"$dataDir/landing")
+    assert(Main.run(Seq("--daily-update"), st, _ => ()) == 0)
+    val stored = spark.read.parquet(s"$dataDir/store")
+    assert(stored.count() == stored.select("event_id").distinct().count(),
+      "re-delivered ids must not duplicate in the store")
+    assert(stored.count() ==
+      ev.filter($"event_id" % 3 =!= 0 || $"event_id" % 2 === 0).count())
+  }
+
   test("stats store: manifest prunes files, pruned read equals full filter") {
     import graft.sources.StatsStore
     val tmp = java.nio.file.Files.createTempDirectory("rstore").toString
