@@ -554,12 +554,15 @@ object TimeSeries {
           sum(col("ya") * col("yb")).as("sab"),
           sum(col("ya") * col("ya")).as("saa"),
           sum(col("yb") * col("yb")).as("sbb"))
+        // zero-variance guard: same cross-engine edge as q239 (see the
+        // acf comment) — degenerate series are explicitly NULL
+        .withColumn("den",
+          sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+            (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
         .select(col("type_a"), col("type_b"), col("n"),
           (col("n") * col("sab") - col("sa") * col("sb")).as("cov_num"),
           ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-            sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
-              (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
-            .as("pearson_r"))
+            when(col("den") > 0, col("den"))).as("pearson_r"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -578,6 +581,11 @@ object TimeSeries {
       val dd = graft.Caches.cached(dailyClose(s, dir)
         .select(col("event_type"), col("day"),
           (dec(col("close")) * lit(100)).cast("long").as("cents"))
+        // structural positivity (r10 ADVICE): DIV on a non-positive
+        // peak diverges cross-engine (Spark NULLs, DuckDB // floors);
+        // prices are positive by contract — enforce it in the PLAN (and
+        // identically in the oracle) instead of a comment
+        .filter(col("cents") > 0)
         .withColumn("peak", max(col("cents")).over(w))
         .withColumn("dd_bp",
           expr("((peak - cents) * 10000) DIV peak")))
@@ -648,11 +656,17 @@ object TimeSeries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // zero-variance guard (r10 ADVICE): a constant series at some
+        // lag makes the denominator 0, where Spark double division
+        // yields NULL but DuckDB yields inf/NaN — make the degenerate
+        // case EXPLICITLY NULL in both spellings (when-without-
+        // otherwise here, NULLIF in the oracle)
+        .withColumn("den",
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
         .select(col("event_type"), col("lag_k"), col("n"),
           ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
-            .as("acf"))
+            when(col("den") > 0, col("den"))).as("acf"))
         .orderBy("event_type", "lag_k")
     }),
 
@@ -936,8 +950,8 @@ object TimeSeries {
          SELECT type_a, type_b, n,
            CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
            CAST(n * sab - sa * sb AS DOUBLE) /
-             sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
-                  CAST(n * sbb - sb * sb AS DOUBLE)) AS pearson_r
+             NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
+                  CAST(n * sbb - sb * sb AS DOUBLE)), 0) AS pearson_r
          FROM sums ORDER BY type_a, type_b""",
     "q217_trend_maintenance" ->
       """WITH daily AS (
@@ -994,12 +1008,14 @@ object TimeSeries {
       """, dd AS (
            SELECT event_type, day,
              ((peak - cents) * 10000) // peak AS dd_bp
-           FROM (SELECT event_type, day,
-                   CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
-                   MAX(CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT)) OVER (
+           FROM (SELECT event_type, day, cents,
+                   MAX(cents) OVER (
                      PARTITION BY event_type ORDER BY day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-                 FROM bars)),
+                 FROM (SELECT event_type, day,
+                         CAST(CAST(close AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+                       FROM bars)
+                 WHERE cents > 0)),
          worst AS (
            SELECT event_type, CAST(MAX(dd_bp) AS BIGINT) AS max_dd_bp
            FROM dd GROUP BY 1)
@@ -1053,8 +1069,8 @@ object TimeSeries {
            FROM pairs GROUP BY 1, 2)
          SELECT event_type, lag_k, n,
            CAST(n * sxy - sx * sy AS DOUBLE) /
-             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                  CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+             NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)), 0) AS acf
          FROM sums ORDER BY event_type, lag_k"""),
     "q240_candlestick_scan" -> (barsSql +
       """, c AS (

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.PinnedOps
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -139,7 +140,11 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
-        try {
+        // scoped, NOT releaseAll: batch cleanup must only free this
+        // batch's own caches/pins — a global release inside a batch
+        // would free checkpoints pinned outside the stream, which are
+        // unrecoverable (truncated lineage)
+        graft.Caches.scoped {
           // None ONLY for a not-yet-existing dir (first run) — an
           // existing-but-unreadable store must THROW and abort the
           // batch: silently bootstrapping over a corrupt store would
@@ -203,16 +208,16 @@ object Streaming {
           // refreshes that path's caches — a cached-but-lineage-bearing
           // admitted would re-evaluate against its own output when the
           // signature write runs, admitting the wrong docs into the
-          // store. localCheckpoint pins the batch-sized result to
-          // executor blocks; both appends then read those blocks.
-          val admitted = batch
+          // store. The pin holds the batch-sized result in executor
+          // blocks; both appends then read those blocks, and the
+          // surrounding scope frees them when the batch ends.
+          val admitted = graft.Caches.pin(batch
             .join(storeHit, Seq("doc_id"), "left_anti")
-            .join(clusterRejected, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+            .join(clusterRejected, Seq("doc_id"), "left_anti"))
           admitted.write.mode("append").parquet(admittedDir)
           Dedup.minhashSignaturesTokens(admitted, w, k)
             .write.mode("append").parquet(sigStoreDir)
-        } finally graft.Caches.releaseAll() // per-batch intermediates
+        } // scoped: per-batch intermediates released here
       }
       .start()
     q.awaitTermination()
@@ -479,7 +484,7 @@ object Streaming {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("source", "bin")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     manifest
   }
@@ -536,7 +541,7 @@ object Streaming {
       .select(col("user_id"), col("version"), col("attr"), col("valid_from"),
         col("valid_to"), col("n_events"), col("is_current"))
       .orderBy("user_id", "version")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     hist
   }
@@ -611,7 +616,7 @@ object Streaming {
         col("n_events").cast("long").as("n_events"),
         col("start").as("session_start"), col("end").as("session_end"))
       .orderBy("user_id", "session_id")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -668,7 +673,7 @@ object Streaming {
     val out = spark.read.parquet(outDir)
       .select("p_id", "user_id", "p_ts", "p_value", "v_id", "v_ts", "v_value")
       .orderBy("p_id", "v_id")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -725,7 +730,7 @@ object Streaming {
       .select(col("event_type"), to_date(col("day_start")).as("day"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
       .orderBy("event_type", "day")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -792,7 +797,7 @@ object Streaming {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"), dsumd(col("value")).as("total_value"))
       .orderBy("event_type", "day")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -896,7 +901,7 @@ object Streaming {
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("macd", col("ema_fast") - col("ema_slow"))
       .orderBy("event_type")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -967,7 +972,7 @@ object Streaming {
       .filter(col("user_id") >= 0) // drop the sentinel's own emission
       .select("p_id", "user_id", "p_ts", "p_value", "v_id", "v_ts", "v_value")
       .orderBy("p_id", "v_id")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -1019,7 +1024,7 @@ object Streaming {
           val merged =
             if (new java.io.File(state).exists()) {
               // pin the old MV before overwriting its directory
-              val old = spark.read.parquet(state).localCheckpoint()
+              val old = spark.read.parquet(state).pinned()
               old.unionByName(delta)
                 .groupBy("event_type", "cohort", "day")
                 .agg(sum(col("y")).as("y"))
@@ -1045,7 +1050,7 @@ object Streaming {
           (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
           .as("slope_per_day"))
       .orderBy("event_type", "cohort")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -1117,7 +1122,14 @@ object Streaming {
     val chunks = Seq(ev.filter(ms < t1), ev.filter(ms >= t1 && ms < t2),
       ev.filter(ms >= t2))
     chunks.foreach { c =>
-      c.write.mode("append").parquet(landing)
+      // ONE file per chunk (r10 ADVICE): funnelMaintain's proof needs a
+      // user's events time-ordered ACROSS micro-batches, which holds
+      // only if each landed chunk is consumed whole in a single batch —
+      // a multi-file chunk could be split by a maxFilesPerTrigger-style
+      // source limit, letting a purchase process before its earlier
+      // same-chunk view (conversion lost vs the batch oracle). A
+      // single file per restart makes single-batch-per-chunk structural.
+      c.coalesce(1).write.mode("append").parquet(landing)
       val q = funnelMaintain(spark.readStream.schema(schema).parquet(landing))
         .toDF("user_id", "v_us", "p_us")
         .writeStream
@@ -1147,7 +1159,7 @@ object Streaming {
         min(when(col("cum") * 100 >= col("n_conv") * 99, col("delay_min"))).as("p99"),
         max(col("delay_min")).as("max_delay"))
       .orderBy("cohort")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
@@ -1243,7 +1255,7 @@ object Streaming {
         min(col("c_custkey")).as("min_released"),
         max(col("c_custkey")).as("max_released"))
       .orderBy("c_nationkey")
-      .localCheckpoint()
+      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }
