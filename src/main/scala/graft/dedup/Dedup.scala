@@ -246,6 +246,16 @@ object Dedup {
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     withSh
+      // LENGTH FILTER (r10 verdict #5 — the q37 profile showed the
+      // two-pointer merge is ~58% of the pipeline over ~1M est-
+      // surviving pairs): J = I/(|A|+|B|−I) ≤ min/max, so J ≥ t
+      // REQUIRES min(|A|,|B|) ≥ t·max(|A|,|B|) — the classic size
+      // bound from the similarity-join literature (AllPairs/PPJoin).
+      // A pure codegen'd size comparison evaluated BELOW the project,
+      // so mismatched-length pairs never pay the merge kernel; implied
+      // by the final predicate, so the pair set is bit-identical.
+      .filter(least(size(col("a_sh")), size(col("b_sh"))) * lit(1.0) >=
+        lit(threshold) * greatest(size(col("a_sh")), size(col("b_sh"))))
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)

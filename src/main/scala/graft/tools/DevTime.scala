@@ -24,21 +24,24 @@ object DevTime {
     // reporting still use count().
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warm per-stage timing for the q37 pipeline (stage 2 of 2 reported)
+    // warm per-stage timing for the q37 pipeline (stage 2 of 2
+    // reported); DEVTIME_THRESHOLD picks the Jaccard threshold (0.9
+    // historical default; q37's bench line runs 0.7 — profile THAT)
     if (sys.env.contains("DEVTIME_WARM")) {
+      val th = sys.env.getOrElse("DEVTIME_THRESHOLD", "0.9").toDouble
       val d2 = Tables.documents(spark, dir).select("doc_id", "text")
       (1 to 2).foreach { rep =>
         graft.Caches.releaseAll()
         val s0 = System.nanoTime()
         val sg = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32)); consume(sg)
         val s1 = System.nanoTime()
-        val sv = Dedup.lshSurvivors(sg, 8, 4, 0.9)
+        val sv = Dedup.lshSurvivors(sg, 8, 4, th)
         val nSv = Tables.fanOut(sv).count()
         val s2 = System.nanoTime()
         graft.Caches.releaseAll()
-        val full = Dedup.minhashNearDups(d2, 3, 32, 8, 0.9).count()
+        val full = Dedup.minhashNearDups(d2, 3, 32, 8, th).count()
         val s3 = System.nanoTime()
-        if (rep == 2) println(f"WARM sigs=${(s1-s0)/1e9}%.2f survivors($nSv)=${(s2-s1)/1e9}%.2f full($full)=${(s3-s2)/1e9}%.2f")
+        if (rep == 2) println(f"WARM th=$th sigs=${(s1-s0)/1e9}%.2f survivors($nSv)=${(s2-s1)/1e9}%.2f full($full)=${(s3-s2)/1e9}%.2f")
       }
       // verify-side breakdown: pair cache, survivor-scoped array build,
       // and the final verify joins timed separately (DEVTIME_VERIFY=1)
@@ -46,7 +49,7 @@ object DevTime {
         graft.Caches.releaseAll()
         val t0 = System.nanoTime()
         val sg = graft.Caches.cached(Dedup.minhashSignatures(d2, 3, 32))
-        val pairs = graft.Caches.cached(Dedup.lshSurvivors(sg, 8, 4, 0.9))
+        val pairs = graft.Caches.cached(Dedup.lshSurvivors(sg, 8, 4, th))
         val nP = pairs.count()
         val t1 = System.nanoTime()
         graft.plans.SortedShingles.register(spark)
@@ -64,8 +67,11 @@ object DevTime {
           .join(Tables.maybeBroadcast(shArr.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), leafExpansion = 24.0), "a_id")
           .join(Tables.maybeBroadcast(shArr.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), leafExpansion = 24.0), "b_id")
         val uni = size(col("a_sh")) + size(col("b_sh")) - inter
-        val n = withSh.select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
-          .filter(col("jaccard") >= 0.9).count()
+        val n = withSh
+          .filter(least(size(col("a_sh")), size(col("b_sh"))) * lit(1.0) >=
+            lit(th) * greatest(size(col("a_sh")), size(col("b_sh"))))
+          .select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+          .filter(col("jaccard") >= th).count()
         val t3 = System.nanoTime()
         println(f"VERIFY pairs($nP)=${(t1-t0)/1e9}%.2f shArr($nS)=${(t2-t1)/1e9}%.2f verify($n)=${(t3-t2)/1e9}%.2f")
         if (sys.env.contains("DEVTIME_EXPLAIN"))
