@@ -1176,10 +1176,86 @@ object Analytics {
           min(when(col("cum") * 100 >= col("n_conv") * 99, col("delay_min"))).as("p99"),
           max(col("delay_min")).as("max_delay"))
         .orderBy("cohort")
+    }),
+
+    // DANGLING-MASS PROPAGATION, ORACLE-CHECKED (r10 verdict #6 made
+    // the pageRank operator redistribute sink mass; this query puts the
+    // SAME algebra under the DuckDB hash gate, which the fixpoint q214
+    // cannot — a loop isn't one SQL statement, but two UNROLLED rounds
+    // are): the customer→part purchase graph is genuinely directed with
+    // real sinks (parts have no out-edges), every node starts with 10⁶
+    // mass, and each round a node receives Σ inflow(m DIV deg) plus a
+    // uniform share (dm DIV n) of the dangling nodes' mass — the
+    // Page/Brin correction in exact integer arithmetic, bit-stable
+    // across engines (DIV == // on non-negatives). Mass is conserved up
+    // to DIV truncation (the q114 envelope law). Scale shape: edges
+    // built once and cached; each round is one edge-keyed join + one
+    // node-sized aggregate; dangling totals and the node count are
+    // 1-row broadcasts (the q142 stats shape).
+    "q253_dangling_mass" -> ((s, dir) => {
+      val e = graft.Caches.cached(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct())
+      val nodes = graft.Caches.cached(
+        e.select((col("c") * 2).as("id"))
+          .unionByName(e.select((col("p") * 2 + 1).as("id"))).distinct())
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val deg = graft.Caches.cached(
+        e.groupBy((col("c") * 2).as("id")).agg(count(lit(1)).as("deg")))
+      def round(m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // dangling mass: nodes with no out-edges (1-row aggregate)
+        val dang = m.join(deg, Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("m")), lit(0L)).as("dm"))
+        val infl = e.select((col("c") * 2).as("id"), (col("p") * 2 + 1).as("dst"))
+          .join(m.join(deg, Seq("id")), Seq("id"))
+          .select(col("dst").as("id"), expr("m DIV deg").as("frag"))
+          .groupBy("id").agg(sum(col("frag")).as("infl"))
+        nodes.join(infl, Seq("id"), "left")
+          .crossJoin(broadcast(dang)) // 1 row: this round's dangling mass
+          .crossJoin(broadcast(nn))   // 1 row: the node count
+          .select(col("id"),
+            (coalesce(col("infl"), lit(0L)) + expr("dm DIV n")).as("m"))
+      }
+      val m2 = round(round(nodes.withColumn("m", lit(1000000L))))
+      m2.select(col("id").as("node_id"), (col("id") % 2).as("kind"),
+          col("m").as("mass"))
+        .orderBy(col("mass").desc, col("node_id").asc)
+        .limit(20)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q253_dangling_mass" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         nodes AS (SELECT c * 2 AS id FROM e UNION SELECT p * 2 + 1 FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT c * 2 AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+         m0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes),
+         d1 AS (SELECT CAST(COALESCE(SUM(m.m), 0) AS BIGINT) AS dm
+                FROM m0 m LEFT JOIN deg d ON m.id = d.id WHERE d.id IS NULL),
+         i1 AS (SELECT e.p * 2 + 1 AS id, CAST(SUM(m.m // d.deg) AS BIGINT) AS infl
+                FROM e JOIN deg d ON d.id = e.c * 2 JOIN m0 m ON m.id = e.c * 2
+                GROUP BY 1),
+         m1 AS (SELECT nodes.id,
+                  CAST(COALESCE(i1.infl, 0) +
+                    (SELECT dm FROM d1) // (SELECT n FROM nn) AS BIGINT) AS m
+                FROM nodes LEFT JOIN i1 ON nodes.id = i1.id),
+         d2 AS (SELECT CAST(COALESCE(SUM(m.m), 0) AS BIGINT) AS dm
+                FROM m1 m LEFT JOIN deg d ON m.id = d.id WHERE d.id IS NULL),
+         i2 AS (SELECT e.p * 2 + 1 AS id, CAST(SUM(m.m // d.deg) AS BIGINT) AS infl
+                FROM e JOIN deg d ON d.id = e.c * 2 JOIN m1 m ON m.id = e.c * 2
+                GROUP BY 1),
+         m2 AS (SELECT nodes.id,
+                  CAST(COALESCE(i2.infl, 0) +
+                    (SELECT dm FROM d2) // (SELECT n FROM nn) AS BIGINT) AS m
+                FROM nodes LEFT JOIN i2 ON nodes.id = i2.id)
+         SELECT id AS node_id, CAST(id % 2 AS BIGINT) AS kind, m AS mass
+         FROM m2 ORDER BY mass DESC, node_id LIMIT 20""",
     "q70_funnel" ->
       """WITH fv AS (
            SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -153,8 +153,10 @@ class PlanSpec extends SparkSpec {
                               // whole point is O(n·cells), no pairs
       "q226_pq_delete_serve", // q215's serve shape over the
                               // delete-maintained store
-      "q234_important_parts") // 1-row global-mean broadcast (the
+      "q234_important_parts", // 1-row global-mean broadcast (the
                               // q142/q178 threshold pattern)
+      "q253_dangling_mass")   // two 1-row broadcasts per round (dangling
+                              // mass + node count — the q142 stats shape)
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
