@@ -441,7 +441,11 @@ object TimeSeries {
           (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
           (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
           ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+            // zero-variance guard (the q239/q221 cross-engine edge): a
+            // one-day cohort has slope_den = 0 — explicitly NULL in
+            // both spellings (NULLIF in the oracle)
+            when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0,
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) / 1e4)
             .as("slope_per_day"))
         .orderBy("event_type", "cohort")
     }),
@@ -492,7 +496,11 @@ object TimeSeries {
           (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
           (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
           ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+            // zero-variance guard (the q239/q221 cross-engine edge): a
+            // one-day cohort has slope_den = 0 — explicitly NULL in
+            // both spellings (NULLIF in the oracle)
+            when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0,
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) / 1e4)
             .as("slope_per_day"))
         .orderBy("event_type", "cohort")
     }),
@@ -971,7 +979,7 @@ object TimeSeries {
            CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
            CAST(n_days * sxy - sx * sy AS DOUBLE) /
-             CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e4 AS slope_per_day
+             NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0) / 1e4 AS slope_per_day
          FROM sums ORDER BY event_type, cohort""",
     "q216_trend_fit" ->
       """WITH daily AS (
@@ -992,7 +1000,7 @@ object TimeSeries {
            CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
            CAST(n_days * sxy - sx * sy AS DOUBLE) /
-             CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e4 AS slope_per_day
+             NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0) / 1e4 AS slope_per_day
          FROM sums ORDER BY event_type, cohort""",
     "q210_rolling_median" -> (barsSql +
       """SELECT event_type, day, close,

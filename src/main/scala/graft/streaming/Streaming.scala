@@ -1047,7 +1047,9 @@ object Streaming {
         (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
         (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
         ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e4)
+          // zero-variance guard (the q239/q221 cross-engine edge)
+          when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0,
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) / 1e4)
           .as("slope_per_day"))
       .orderBy("event_type", "cohort")
       .pinned()
