@@ -124,7 +124,13 @@ object Bench {
       // moving multi-x on identical code.
       if (!SparkEntry.singleRep(name) && times.nonEmpty && times.min < 1.0 && qReps < 4)
         times = times ++ runReps(4 - qReps)
-      if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
+      if (times.isEmpty) { failed += name; None } else {
+        // stderr trace with the RUN POSITION — the drift diagnostic
+        // (r10 #1): lets two runs be compared positionally, which the
+        // order-free JSON map cannot support
+        System.err.println(f"BENCH TIME #$qIndex $name ${times.min}%.3f")
+        Some(name -> times.min)
+      }
     }
     leakLine() // closing diagnostic: end-of-run process state
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
