@@ -661,12 +661,16 @@ object Analytics {
           sum(col("cd") * col("pd")).as("scp"),
           sum(col("cd") * col("cd")).as("scc"),
           sum(col("pd") * col("pd")).as("spp"))
+        // zero-variance guard (the q239/q221 cross-engine edge): a
+        // degree-regular graph zeroes either variance — explicitly NULL
+        // in both spellings (when-guard here, NULLIF in the oracle)
+        .withColumn("den",
+          sqrt((col("n_edges") * col("scc") - col("sc") * col("sc")).cast("double") *
+            (col("n_edges") * col("spp") - col("sp") * col("sp")).cast("double")))
         .select(col("n_edges"),
           (col("n_edges") * col("scp") - col("sc") * col("sp")).as("cov_num"),
           ((col("n_edges") * col("scp") - col("sc") * col("sp")).cast("double") /
-            sqrt((col("n_edges") * col("scc") - col("sc") * col("sc")).cast("double") *
-              (col("n_edges") * col("spp") - col("sp") * col("sp")).cast("double")))
-            .as("assortativity"))
+            when(col("den") > 0, col("den"))).as("assortativity"))
     }),
 
     // GINI CONCENTRATION of customer spend per nation — the
@@ -1571,8 +1575,8 @@ object Analytics {
          SELECT n_edges,
            CAST(n_edges * scp - sc * sp AS BIGINT) AS cov_num,
            CAST(n_edges * scp - sc * sp AS DOUBLE) /
-             sqrt(CAST(n_edges * scc - sc * sc AS DOUBLE) *
-                  CAST(n_edges * spp - sp * sp AS DOUBLE)) AS assortativity
+             NULLIF(sqrt(CAST(n_edges * scc - sc * sc AS DOUBLE) *
+                  CAST(n_edges * spp - sp * sp AS DOUBLE)), 0) AS assortativity
          FROM sums""",
     "q228_gini_spend" ->
       """WITH spend AS (
