@@ -1223,7 +1223,11 @@ object Analytics {
           .select(col("id"),
             (coalesce(col("infl"), lit(0L)) + expr("dm DIV n")).as("m"))
       }
-      val m2 = round(round(nodes.withColumn("m", lit(1000000L))))
+      // cache the intermediate round: round 2 consumes m1 TWICE (the
+      // dangling 1-row aggregate and the inflow join) — uncached, the
+      // whole round-1 plan would execute once per consumer
+      val m1 = graft.Caches.cached(round(nodes.withColumn("m", lit(1000000L))))
+      val m2 = round(m1)
       m2.select(col("id").as("node_id"), (col("id") % 2).as("kind"),
           col("m").as("mass"))
         .orderBy(col("mass").desc, col("node_id").asc)
