@@ -61,17 +61,25 @@ object Main {
     Stages(
       sync = () => {
         val t = Ingest.loadTickersWithFallback(spark, Seq.empty)
-        TickerStore.writeSnapshot(t, tickerRoot, syncDate, "raw")
+        // idempotent: a same-day re-run REPLACES the day's partition,
+        // exactly like the reference overwriting tickers_YYYYMMDD.json
+        TickerStore.writeSnapshotIdempotent(t, tickerRoot, syncDate, "raw")
         !t.isEmpty
       },
       updateInfo = () => {
         // offline enrichment: normalize the latest snapshot's fields
         // (the reference re-fetches name/sector per ticker; the engine
         // side is the snapshot-in → snapshot-out contract, with the
-        // fetch pluggable upstream)
-        val latest = TickerStore.readLatestSnapshot(spark, tickerRoot)
-        TickerStore.writeSnapshot(latest, tickerRoot, syncDate, "updated")
-        !latest.isEmpty
+        // fetch pluggable upstream). PIN before the write: on a
+        // same-day re-run the latest snapshot IS the (today, updated)
+        // partition the idempotent write is about to replace — never
+        // read the partition being overwritten (the q252 discipline)
+        val latest = graft.Caches.pin(
+          TickerStore.readLatestSnapshot(spark, tickerRoot))
+        try {
+          TickerStore.writeSnapshotIdempotent(latest, tickerRoot, syncDate, "updated")
+          !latest.isEmpty
+        } finally graft.Caches.unpin(latest)
       },
       downloadHistorical = () => {
         if (!landingExists) true // nothing to ingest

@@ -52,6 +52,28 @@ object TickerStore {
       .withColumn("kind", lit(kind))
       .write.partitionBy("sync_date", "kind").mode(SaveMode.Append).parquet(root)
 
+  /** Same-day IDEMPOTENT snapshot write — the reference's sync
+    * OVERWRITES tickers_YYYYMMDD.json when re-run the same day
+    * (scrape_tickers.py's dated filename), so a re-run must replace
+    * that day's partition, never append duplicates into it. Spelled as
+    * a dynamic partition overwrite: only the (sync_date, kind)
+    * partitions present in `df`'s write are rewritten; history stays.
+    * [[graft.Main]]'s sync/update stages use this; the plain
+    * [[writeSnapshot]] append remains for distinct-date bulk loads. */
+  def writeSnapshotIdempotent(df: DataFrame, root: String, syncDate: String, kind: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.select("symbol", "name", "sector", "url")
+      .withColumn("sync_date", lit(syncDate))
+      .withColumn("kind", lit(kind))
+      .write.partitionBy("sync_date", "kind").mode(SaveMode.Overwrite).parquet(root)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** P5: delisted-ticker archive — rows leaving the universe move to an
     * append-only archive partitioned by delist date (filter + write;
     * README.md:166-172's "archive delisted tickers"). */

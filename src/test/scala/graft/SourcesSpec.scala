@@ -208,6 +208,13 @@ class SourcesSpec extends SparkSpec {
     // sync + update: latest snapshot resolves to the updated kind
     val latest = TickerStore.readLatestSnapshot(spark, s"$dataDir/tickers")
     assert(latest.count() == 22)
+    // SAME-DAY RE-RUN IDEMPOTENCE: the reference's sync overwrites its
+    // dated file; a second full-run on the same sync date must REPLACE
+    // the day's partitions, never append duplicates into them
+    assert(Main.run(Seq("--sync-tickers", "--update-ticker-info"), st, _ => ()) == 0)
+    val latest2 = TickerStore.readLatestSnapshot(spark, s"$dataDir/tickers")
+    assert(latest2.count() == 22,
+      s"same-day re-run duplicated snapshot rows: ${latest2.count()}")
     // historical: bars match the operator over the same landing data
     val bars = spark.read.parquet(s"$dataDir/ohlc")
     val want = graft.operators.TimeSeries.ohlcDaily(
