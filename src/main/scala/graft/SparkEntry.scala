@@ -76,8 +76,11 @@ object SparkEntry {
     "q226_pq_delete_serve",      // PQ index delete layout
     "q213_triangles",            // co-purchase edge store (shared by
                                  // q241/q247/q248)
-    "q252_graph_append_serve")   // incrementally maintained pair-count
+    "q252_graph_append_serve",   // incrementally maintained pair-count
                                  // store (build + append)
+    "q114_graph_mass_rank",      // trade edge store (shared by
+                                 // q214/q227)
+    "q253_dangling_mass")        // customer→part edge store
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

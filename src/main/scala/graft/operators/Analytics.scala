@@ -38,6 +38,45 @@ object Analytics {
     s.read.parquet(path)
   }
 
+  /** Distinct customer⇄supplier trade edge list as a MATERIALIZED
+    * store (the [[copurchaseEdges]] discipline applied to the BIPARTITE
+    * trade graph): q114 mass rank, q214 PageRank and q227 assortativity
+    * each re-derived the same orders⋈lineitem distinct per query —
+    * at sf0.1 that one shuffle is most of each line's cost, and in
+    * production the trade graph is an ingest-refreshed artifact served
+    * many times. Build charged to benchBuilds; the DuckDB oracles
+    * recompute the derivation inline, so hash-matching is untouched;
+    * AnalyticsSpec pins store == inline derivation. */
+  def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.Scratch.dirFor("trade_edges", dir)
+    graft.Scratch.ensure(path) {
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Same store discipline for the customer→part purchase edge list
+    * (q253's genuinely-directed sink graph). */
+  def custPartEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.Scratch.dirFor("custpart_edges", dir)
+    graft.Scratch.ensure(path) {
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Distinct co-order pair counts (u < v, c = co-ordering orders) —
     * the PRE-threshold state the incremental store (q252) persists:
     * counts merge additively across order-disjoint slices, the edge
@@ -584,12 +623,7 @@ object Analytics {
     // re-exchanging edges every round. Degrees are edge aggregates
     // (never fact-table rescans); mass frames are node-sized.
     "q114_graph_mass_rank" -> ((s, dir) => {
-      val edges = graft.Caches.cached(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-          .distinct())
+      val edges = graft.Caches.cached(tradeEdges(s, dir))
       val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cdeg"))
       val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pdeg"))
       // iteration 1: customers → suppliers
@@ -621,11 +655,7 @@ object Analytics {
     // one edge-sized contribution aggregate; the edge list is built
     // once and cached, never rescanned from the fact tables.
     "q214_pagerank" -> ((s, dir) => {
-      val co = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-        .distinct()
+      val co = tradeEdges(s, dir)
       val edges = co.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionByName(co.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       val pr = pageRank(edges, damping = 0.85, tol = 1e-6, maxIter = 120)
@@ -647,12 +677,7 @@ object Analytics {
     // both degree tables are edge aggregates re-joined on their own
     // keys, and the final reduce is a 1-row global aggregate.
     "q227_assortativity" -> ((s, dir) => {
-      val edges = graft.Caches.cached(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-          .distinct())
+      val edges = graft.Caches.cached(tradeEdges(s, dir))
       val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
       val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pd"))
       edges.join(cdeg, Seq("c")).join(pdeg, Seq("p"))
@@ -1197,12 +1222,7 @@ object Analytics {
     // node-sized aggregate; dangling totals and the node count are
     // 1-row broadcasts (the q142 stats shape).
     "q253_dangling_mass" -> ((s, dir) => {
-      val e = graft.Caches.cached(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct())
+      val e = graft.Caches.cached(custPartEdges(s, dir))
       val nodes = graft.Caches.cached(
         e.select((col("c") * 2).as("id"))
           .unionByName(e.select((col("p") * 2 + 1).as("id"))).distinct())

@@ -359,6 +359,28 @@ class AnalyticsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("trade edge store equals the inline derivation (build-once serving law)") {
+    val inline = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = graft.operators.Analytics.tradeEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == inline && served.nonEmpty,
+      s"trade store diverged: only-store=${(served -- inline).take(3)} " +
+        s"only-inline=${(inline -- served).take(3)}")
+    // customer→part flavor, same law
+    val inlineCP = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servedCP = graft.operators.Analytics.custPartEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedCP == inlineCP && servedCP.nonEmpty)
+  }
+
   test("co-purchase edge store equals the inline derivation (build-once serving law)") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").distinct()
