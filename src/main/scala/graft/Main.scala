@@ -84,7 +84,11 @@ object Main {
       downloadHistorical = () => {
         if (!landingExists) true // nothing to ingest
         else {
-          val ticks = spark.read.parquet(landing)
+          // landing is an at-least-once drop zone: a re-delivered file
+          // must not double-count bar volume — dedup on the natural key
+          // BEFORE aggregating (the incrementalAppend store does the
+          // same for the persisted table)
+          val ticks = spark.read.parquet(landing).dropDuplicates("event_id")
           operators.TimeSeries
             .ohlcDaily(ticks, "event_type", "ts", "value", "event_id")
             .write.mode("overwrite").parquet(s"$dataDir/ohlc")

@@ -233,6 +233,18 @@ class SourcesSpec extends SparkSpec {
       "re-delivered ids must not duplicate in the store")
     assert(stored.count() ==
       ev.filter($"event_id" % 3 =!= 0 || $"event_id" % 2 === 0).count())
+    // historical bars over an at-least-once landing (the second append
+    // RE-DELIVERS the overlap) must equal bars over the DISTINCT
+    // events — re-delivery must not double-count volume
+    assert(Main.run(Seq("--download-historical"), st, _ => ()) == 0)
+    val bars2 = spark.read.parquet(s"$dataDir/ohlc")
+      .collect().map(_.toSeq).toSet
+    val wantDedup = graft.operators.TimeSeries.ohlcDaily(
+      ev.filter($"event_id" % 3 =!= 0 || $"event_id" % 2 === 0),
+      "event_type", "ts", "value", "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(bars2 == wantDedup,
+      "re-delivered landing files double-counted bar volume")
   }
 
   test("stats store: manifest prunes files, pruned read equals full filter") {
