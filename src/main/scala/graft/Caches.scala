@@ -91,20 +91,47 @@ object Caches {
     * right after releaseAll). */
   def pinnedCount: Int = synchronized(pinnedRdds.size)
 
+  // LIFO stack of open scoped() frames — detects interleaved scopes,
+  // which the watermark scheme cannot tolerate (scope A exiting after
+  // scope B opened would free B's pins; unrecoverable for checkpoints).
+  private val scopeStack = scala.collection.mutable.ArrayBuffer[Long]()
+  private var nextScopeId = 0L
+
   /** Run `body` and release ONLY the caches/pins it registered — the
     * per-micro-batch cleanup for streaming foreachBatch bodies. A
     * global releaseAll there would also free pins made OUTSIDE the
     * batch (unrecoverable for checkpoints: truncated lineage cannot
     * recompute), so batch cleanup must be scoped to the batch's own
-    * registrations. Marks are registration-order watermarks; queries
-    * run batches one at a time, so scope interleaving is not a
-    * concern in the harnesses (Bench/Verify/specs are sequential). */
+    * registrations. Marks are registration-order watermarks, which is
+    * only sound for strictly nested (LIFO) scopes: interleaved scopes
+    * (two threads, or non-nested overlap) would release each other's
+    * pins. Exit therefore ASSERTS LIFO order and throws on
+    * interleaving instead of silently freeing foreign registrations.
+    * A releaseAll() inside the body legitimately shrinks the registry
+    * below the entry watermark, so the cleanup clamps to the current
+    * length rather than removing a negative count. */
   def scoped[A](body: => A): A = {
-    val (cacheMark, tokenMark) = synchronized((active.length, nextToken))
+    val (cacheMark, tokenMark, scopeId) = synchronized {
+      val id = nextScopeId; nextScopeId += 1
+      scopeStack += id
+      (active.length, nextToken, id)
+    }
     try body
     finally synchronized {
-      active.drop(cacheMark).foreach(_.unpersist(blocking = false))
-      active.remove(cacheMark, active.length - cacheMark)
+      if (scopeStack.isEmpty || scopeStack.last != scopeId) {
+        // Another scope opened inside ours and hasn't exited (or a
+        // foreign thread interleaved). Releasing by watermark now would
+        // free ITS pins — refuse loudly instead of corrupting state.
+        scopeStack -= scopeId
+        throw new IllegalStateException(
+          s"Caches.scoped exit out of LIFO order (scope $scopeId; open: ${scopeStack.mkString(",")}) — " +
+            "interleaved scopes would release each other's pinned checkpoints")
+      }
+      scopeStack.remove(scopeStack.length - 1)
+      // clamp: body may have called releaseAll(), shrinking below the mark
+      val from = math.min(cacheMark, active.length)
+      active.drop(from).foreach(_.unpersist(blocking = false))
+      active.remove(from, active.length - from)
       pinnedRdds.keys.filter(_ >= tokenMark).toList.foreach { t =>
         pinnedRdds.remove(t).foreach(_.foreach(_.unpersist(blocking = false)))
       }

@@ -72,4 +72,54 @@ class CachesSpec extends SparkSpec {
     }
     assert(Caches.pinnedCount == 0, "a failed batch must not leak its pins")
   }
+
+  test("scoped tolerates a releaseAll() inside the body (watermark clamps, r11 advice)") {
+    Caches.releaseAll()
+    Caches.cached((1 to 4).toDF("x")).count() // registration BELOW the scope's mark
+    val out = Caches.scoped {
+      Caches.cached((1 to 6).toDF("x")).count()
+      Caches.releaseAll() // shrinks the registry below the entry watermark
+      Caches.cached((1 to 8).toDF("x")).count() // re-registration inside the scope
+      42
+    }
+    // before the clamp this finally block threw IndexOutOfBounds from
+    // active.remove(mark, negativeCount) and masked the body's result
+    assert(out == 42)
+    assert(Caches.pinnedCount == 0)
+    Caches.releaseAll()
+  }
+
+  test("scoped THROWS on interleaved (non-LIFO) scopes instead of freeing foreign pins (r11 verdict #4)") {
+    Caches.releaseAll()
+    // properly NESTED scopes across threads are LIFO and stay legal
+    Caches.scoped { Caches.scoped { 1 } }
+    // interleave: scope A exits while scope B (opened inside A on
+    // another thread) is still open — the watermark release would free
+    // B's pins, so A's exit must refuse loudly
+    val bOpened = new java.util.concurrent.CountDownLatch(1)
+    val aExited = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bResult = 0
+    val ex = intercept[IllegalStateException] {
+      Caches.scoped {
+        val t = new Thread(() => {
+          bResult = Caches.scoped {
+            bOpened.countDown()
+            aExited.await() // hold B open across A's exit
+            7
+          }
+        })
+        t.setDaemon(true); t.start()
+        bOpened.await()
+      }
+    }
+    assert(ex.getMessage.contains("LIFO"))
+    aExited.countDown()
+    // B's own exit is clean and the registry stays usable afterwards
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (bResult == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(bResult == 7)
+    assert(Caches.scoped { Caches.cached((1 to 3).toDF("x")).count() } == 3)
+    assert(Caches.pinnedCount == 0)
+    Caches.releaseAll()
+  }
 }
