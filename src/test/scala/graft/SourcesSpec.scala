@@ -194,6 +194,60 @@ class SourcesSpec extends SparkSpec {
     val c6 = scala.collection.mutable.ListBuffer[String]()
     assert(Main.run(Seq("--version"), stages(c6), quiet) == 0 && c6.isEmpty)
     assert(Main.run(Seq("--frobnicate"), stages(c6), quiet) == 2 && c6.isEmpty)
+    // --full-run COMBINED with stage flags runs BOTH blocks, exactly as
+    // main.py:63-88 then :90-115 (r11 ADVICE): sync executes twice
+    val c7 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--sync-tickers", "--full-run"), stages(c7), quiet) == 0)
+    assert(c7.toSeq == Seq("sync", "sync", "upd", "dl", "daily"))
+    // ... and a failed flagged stage returns 1 BEFORE the full-run block
+    // starts (update-info is critical as a flagged stage, non-critical
+    // only inside the full-run sequence)
+    val c8 = scala.collection.mutable.ListBuffer[String]()
+    assert(Main.run(Seq("--update-ticker-info", "--full-run"),
+      stages(c8, updOk = false), quiet) == 1)
+    assert(c8.toSeq == Seq("upd"))
+  }
+
+  test("Main CLI: default update stage runs the S16 merge, not a re-kind pass-through (update_ticker_info.py:151-209)") {
+    import org.apache.spark.sql.functions._
+    val dataDir = tmp("maincli_s16")
+    val tickerRoot = s"$dataDir/tickers"
+    // degraded raw snapshot: HBL with a placeholder name + Unknown
+    // sector (the shape a failed detail fetch leaves behind), plus a
+    // symbol absent from the details source entirely
+    val degraded = spark.createDataFrame(Seq(
+      ("HBL", "HBL", "Unknown", ""),
+      ("ZZZ", "Zeta Industries", "Textile", "https://example.invalid/ZZZ")
+    )).toDF("symbol", "name", "sector", "url")
+    TickerStore.writeSnapshotIdempotent(degraded, tickerRoot, "20250110", "raw")
+    // details source = the default mock-details table PLUS a sentinel
+    // row, so both merge directions are driven end-to-end: a real
+    // detail row updates the placeholder, a "No record found" sentinel
+    // must NOT clobber the original
+    val st = Main.defaultStages(spark, dataDir, "20250111",
+      details = s => graft.sources.Ingest.mockTickerTable(s).toDF()
+        .unionByName(s.createDataFrame(Seq(
+          ("ZZZ", "No record found", "Unknown", ""))).toDF("symbol", "name", "sector", "url")))
+    assert(Main.run(Seq("--update-ticker-info"), st, _ => ()) == 0)
+    val updated = spark.read.parquet(tickerRoot)
+      .filter(col("kind") === "updated" && col("sync_date").cast("string") === "20250111")
+    assert(updated.count() == 2)
+    val bySym = updated.select("symbol", "name", "sector")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // placeholder enriched from the details row (the S16 merge RAN)
+    assert(bySym("HBL") == ("Habib Bank Limited", "Commercial Banks"),
+      s"default update stage did not run the S16 merge: ${bySym("HBL")}")
+    // sentinel fresh values never clobber the original
+    assert(bySym("ZZZ") == ("Zeta Industries", "Textile"),
+      s"sentinel details clobbered the original: ${bySym("ZZZ")}")
+    // DEFAULT details (no injection): the mock table — merge still runs
+    // and keeps a mock-known symbol's real fields intact
+    assert(Main.run(Seq("--update-ticker-info"),
+      Main.defaultStages(spark, dataDir, "20250112"), _ => ()) == 0)
+    val u2 = spark.read.parquet(tickerRoot)
+      .filter(col("kind") === "updated" && col("sync_date").cast("string") === "20250112")
+    assert(u2.filter(col("symbol") === "HBL" &&
+      col("name") === "Habib Bank Limited").count() == 1)
   }
 
   test("Main CLI: default stages drive sync → update → ohlc → daily over fixtures (E1 end-to-end)") {
