@@ -12,11 +12,13 @@ import org.apache.spark.sql.SparkSession
   *    per-query MIN — run-to-run variance on this host is multi-x;
   *  - a crashing query is recorded in "failed" (and excluded from
   *    "queries"/total) instead of logging a fake fast time;
-  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
-  *    BENCH_QUERIES.json — a COMMITTED artifact, because the driver's
-  *    bounded stdout capture truncated the per-query map in two
-  *    consecutive round artifacts; committing the file is the only
-  *    truncation-proof per-query history);
+  *  - the JSON line is also written to a file (the driver's bounded
+  *    stdout capture truncated the per-query map in two consecutive
+  *    round artifacts; a file is the only truncation-proof per-query
+  *    history): SPARK_GRAFT_BENCH_OUT if set, else the COMMITTED
+  *    BENCH_QUERIES.json when SPARK_GRAFT_BENCH_COMMIT=1, else the
+  *    gitignored target/BENCH_QUERIES.json — so default runs never
+  *    clobber the reconciled committed artifact (r11 verdict #3);
   *  - a SHORT total-only JSON line follows the big one, so a bounded
   *    stdout capture that truncates the per-query map still carries the
   *    headline number (the r04 driver artifact lost its total that way).
@@ -93,12 +95,23 @@ object Bench {
     // RDDs, and the scratch shuffle footprint — the drift signature
     // (any of these growing run-long) now has a committed trace.
     var qIndex = 0
+    // cumulative stop-the-world GC time: the r11 dispersion suspect —
+    // spark.cleaner.periodicGC fires System.gc() every minute, and a
+    // full GC on a pre-touched 30g heap is a multi-second pause charged
+    // to whichever query is running (BENCH SPREAD below localizes it)
+    def gcMs: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val b = it.next(); if (b.getCollectionTime > 0) t += b.getCollectionTime }
+      t
+    }
     def leakLine(): Unit = {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val nRdds = spark.sparkContext.getPersistentRDDs.size
       System.err.println(
-        s"BENCH DIAG q#$qIndex heapMB=$heapMb persistentRDDs=$nRdds pinned=${Caches.pinnedCount}")
+        s"BENCH DIAG q#$qIndex heapMB=$heapMb persistentRDDs=$nRdds pinned=${Caches.pinnedCount} gcMs=$gcMs")
     }
     val results = selected.flatMap { case (name, fn) =>
       def runReps(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
@@ -111,7 +124,7 @@ object Bench {
         finally Caches.releaseAll() // each rep pays its own cache cost
       }
       qIndex += 1
-      if (qIndex % 50 == 0) leakLine()
+      val gc0 = gcMs
       // scale-shape pins (q86) time ONE rep: min-of-reps exists to cut
       // host noise on throughput queries, not to double a pin's cost
       val qReps = if (SparkEntry.singleRep(name)) 1 else reps
@@ -124,6 +137,18 @@ object Bench {
       // moving multi-x on identical code.
       if (!SparkEntry.singleRep(name) && times.nonEmpty && times.min < 1.0 && qReps < 4)
         times = times ++ runReps(4 - qReps)
+      // Dispersion localizer (r11 verdict #1): when this query's reps
+      // disagree by >3x, print EVERY rep time plus the GC time the
+      // query's reps accumulated — separates a one-rep environmental
+      // pause (min-of-reps already absorbs it) from an all-reps state
+      // change (plan/stat flip: the min itself moved).
+      if (times.length > 1 && times.min > 0 && times.max / times.min > 3)
+        System.err.println(s"BENCH SPREAD #$qIndex $name " +
+          s"reps=[${times.map(t => f"$t%.3f").mkString(",")}] gcMsDelta=${gcMs - gc0}")
+      // DIAG fires AFTER query #qIndex's reps complete (r11 advice:
+      // emitting it before the query ran reported pre-query process
+      // state under a post-query label — off-by-one vs BENCH TIME #N)
+      if (qIndex % 50 == 0) leakLine()
       if (times.isEmpty) { failed += name; None } else {
         // stderr trace with the RUN POSITION — the drift diagnostic
         // (r10 #1): lets two runs be compared positionally, which the
@@ -143,15 +168,25 @@ object Bench {
     // truncation-proof summary: a bounded stdout capture can lose the
     // head of the big line above; this one is < 120 bytes and LAST
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}}""")
-    // Default artifact path ONLY for full runs: a SPARK_GRAFT_ONLY
-    // subset dev run must not clobber the committed per-query history
-    // (it did, twice, before this guard) — subsets write only when
-    // SPARK_GRAFT_BENCH_OUT is explicitly set.
-    val out = sys.env.get(Env.BenchOut)
-      .orElse(if (sys.env.contains(Env.Only)) None else Some("BENCH_QUERIES.json"))
+    // One-artifact protocol (r11 verdict #3): the COMMITTED
+    // BENCH_QUERIES.json is updated ONLY on an explicit opt-in
+    // (SPARK_GRAFT_BENCH_COMMIT=1) — the driver's default per-round runs
+    // kept overwriting the builder's reconciled artifact in the working
+    // tree. Default full runs land in target/BENCH_QUERIES.json
+    // (gitignored, still truncation-proof for reading back); an explicit
+    // SPARK_GRAFT_BENCH_OUT overrides the path either way; SPARK_GRAFT_ONLY
+    // subset dev runs write only when BENCH_OUT is explicitly set.
+    val out = sys.env.get(Env.BenchOut).orElse {
+      if (sys.env.contains(Env.Only)) None
+      else if (sys.env.get(Env.BenchCommit).contains("1")) Some("BENCH_QUERIES.json")
+      else Some("target/BENCH_QUERIES.json")
+    }
     out.foreach { o =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(o),
-        (line + "\n").getBytes("UTF-8"))
+      try {
+        val p = java.nio.file.Paths.get(o)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      }
       catch { case e: java.io.IOException =>
         System.err.println(s"BENCH: could not write $o: ${e.getMessage}")
       }

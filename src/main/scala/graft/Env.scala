@@ -11,5 +11,7 @@ object Env {
   val Reps     = "SPARK_GRAFT_REPS"
   val Only     = "SPARK_GRAFT_ONLY"
   val BenchOut = "SPARK_GRAFT_BENCH_OUT"
+  val BenchCommit = "SPARK_GRAFT_BENCH_COMMIT" // =1: update committed BENCH_QUERIES.json
   val DataDir  = "SPARK_GRAFT_DATA_DIR" // graft.Main's pipeline data root
+  val Stress   = "SPARK_GRAFT_STRESS"   // =1: run the opt-in scale-stress suite
 }
