@@ -55,3 +55,42 @@ object Scratch {
     path
   }
 }
+
+/** Generation-pointer manifest for multi-generation stores (the q252
+  * co-purchase append store): a store root holds sibling generation
+  * directories (`gen0`, `gen1`, ...) plus one MANIFEST file naming the
+  * generation readers should serve. Writers build the NEW generation as
+  * a sibling, [[flip]] the pointer LAST (write-to-temp + atomic rename,
+  * so a racing reader sees either the old or the new pointer, never a
+  * torn file), then [[reclaim]] the superseded directory. On a cluster
+  * the same protocol runs against the object store's atomic-put
+  * manifest; only the rename primitive changes. */
+object StoreManifest {
+  private def manifest(root: String) = java.nio.file.Paths.get(root, "MANIFEST")
+
+  /** Point the store's readers at generation `gen` (atomic replace). */
+  def flip(root: String, gen: String): Unit = {
+    val tmp = java.nio.file.Paths.get(root, s".MANIFEST.tmp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, manifest(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The generation the manifest currently points at. */
+  def current(root: String): String =
+    new String(java.nio.file.Files.readAllBytes(manifest(root)), "UTF-8").trim
+
+  /** Delete a SUPERSEDED generation directory — call only after [[flip]]
+    * has pointed readers elsewhere. Refuses to delete the generation the
+    * manifest still serves. */
+  def reclaim(root: String, gen: String): Unit = {
+    require(current(root) != gen,
+      s"refusing to reclaim the served generation '$gen' of $root")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/$gen"))
+  }
+}

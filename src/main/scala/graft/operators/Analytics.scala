@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Q, StoreManifest, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact._
@@ -221,14 +221,17 @@ object Analytics {
       var ranks: org.apache.spark.sql.DataFrame = pinned
       var iter = 0
       var delta = Double.MaxValue
+      // Round 0's dangling mass (the Page/Brin correction term) is a
+      // one-time bootstrap aggregate; EVERY LATER round's is
+      // piggybacked on that round's delta job (r11 verdict #6) — one
+      // driver action per round, not two: both are 1-row aggregates
+      // over the same id-joined rank frames, so the sink-mass sum
+      // rides the delta scan for free.
+      var dMass =
+        if (dangling == 0) 0.0
+        else ranks.join(sinks, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
       while (delta > tol && iter < maxIter) {
-        // dangling mass this round: a 1-value driver action over the
-        // sink-restricted rank frame (the Page/Brin correction term) —
-        // zero when redistribution is off or the graph has no sinks
-        val dMass =
-          if (dangling == 0) 0.0
-          else ranks.join(sinks, Seq("id"), "left_semi")
-            .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
         val inflow = edges.join(deg, Seq("src"))
           .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
@@ -237,9 +240,22 @@ object Analytics {
           .select(col("id"),
             (lit((1.0 - damping) / n + damping * dMass / n) +
               lit(damping) * coalesce(col("inflow"), lit(0.0))).as("new_rank")))
-        // 1-value driver action: total-variation distance to last round
-        delta = updated.join(ranks, Seq("id"))
-          .agg(sum(abs(col("new_rank") - col("rank")))).head.getDouble(0)
+        // THE round's single driver action: total-variation distance to
+        // last round, plus (when the graph has sinks) next round's
+        // dangling mass over the updated ranks — same joined frame,
+        // one job
+        val joined = updated.join(ranks, Seq("id"))
+        val stats =
+          (if (dangling == 0)
+             joined.agg(sum(abs(col("new_rank") - col("rank"))).as("d"),
+               lit(0.0).as("m"))
+           else
+             joined.join(sinks.withColumn("is_sink", lit(1)), Seq("id"), "left")
+               .agg(sum(abs(col("new_rank") - col("rank"))).as("d"),
+                 coalesce(sum(when(col("is_sink") === 1, col("new_rank"))),
+                   lit(0.0)).as("m"))).head
+        delta = stats.getDouble(0)
+        dMass = stats.getDouble(1)
         // round N's blocks are dead once round N+1 is materialized and
         // the delta read — release them now, not at JVM exit (r10 #1)
         graft.Caches.unpin(pinned)
@@ -1050,22 +1066,30 @@ object Analytics {
       val li = Tables.lineitem(s, dir)
       val path = graft.Scratch.dirFor("copurchase_inc", dir)
       graft.Scratch.ensure(path) {
-        // the merge WRITES TO A SIBLING and swaps directories (r10
-        // ADVICE): never overwrite the path being read — correctness
-        // must not hinge on checkpoint blocks surviving eviction. The
-        // swap is a local-FS rename here; a cluster deployment writes
-        // the sibling and flips a manifest pointer (the q226 spelling).
+        // the merge WRITES TO A SIBLING generation and then FLIPS A
+        // MANIFEST pointer at it (r10 ADVICE): never overwrite the
+        // directory being read — correctness must not hinge on
+        // checkpoint blocks surviving eviction. The flip is the last
+        // step, so a reader that raced the merge still resolves gen0
+        // whole; gen0 is reclaimed only AFTER the flip (r11 ADVICE:
+        // the earlier spelling claimed a swap but served gen1 directly
+        // and retained the stale gen0). A cluster deployment does the
+        // same with an atomic manifest put (the q226 spelling).
         val gen0 = s"$path/gen0"
         val gen1 = s"$path/gen1"
         pairCounts(li.filter(col("l_orderkey") % 10 =!= 0))
           .write.mode("overwrite").parquet(gen0)
+        StoreManifest.flip(path, "gen0")
         s.read.parquet(gen0)
           .unionByName(pairCounts(li.filter(col("l_orderkey") % 10 === 0)))
           .groupBy("u", "v").agg(sum(col("c")).as("c"))
           .write.mode("overwrite").parquet(gen1)
+        StoreManifest.flip(path, "gen1")
+        StoreManifest.reclaim(path, "gen0")
       }
       trianglesPerPart(graft.Caches.cached(
-        s.read.parquet(s"$path/gen1").filter(col("c") >= 2).select("u", "v")))
+        s.read.parquet(s"$path/${StoreManifest.current(path)}")
+          .filter(col("c") >= 2).select("u", "v")))
     }),
 
     // MULTI-SOURCE BFS — hop distance from a seed set (one brand's
