@@ -254,8 +254,15 @@ object Dedup {
       // A pure codegen'd size comparison evaluated BELOW the project,
       // so mismatched-length pairs never pay the merge kernel; implied
       // by the final predicate, so the pair set is bit-identical.
-      .filter(least(size(col("a_sh")), size(col("b_sh"))) * lit(1.0) >=
-        lit(threshold) * greatest(size(col("a_sh")), size(col("b_sh"))))
+      // Spelled with the SAME fp-division shape as the final
+      // `inter/uni >= threshold` predicate (r11 advice): fp division
+      // is monotone and min/max >= I/union pointwise (I <= min,
+      // union >= max), so min/max >= t whenever I/union >= t with the
+      // identical rounding — the product spelling (`min*1.0 >= t*max`)
+      // could round above min at an exact boundary and drop a pair the
+      // final predicate keeps.
+      .filter(least(size(col("a_sh")), size(col("b_sh"))).cast("double") /
+        greatest(size(col("a_sh")), size(col("b_sh"))) >= lit(threshold))
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
