@@ -270,6 +270,30 @@ object TextScoring {
         .orderBy("source")
     }),
 
+    // EXACT-QUOTA deterministic stratified sample — the third member
+    // of the sampling family: q138 thresholds md5(doc_id) against a
+    // per-source RATE (kept count is binomial around the rate), this
+    // one RANKS by the same hash and takes exactly k=20 docs per
+    // source — the reproducible "give me exactly N per stratum" eval/
+    // holdout primitive. Scale shape: rank within stratum only (no
+    // global sort); Spark 4 pushes rn <= k into WindowGroupLimit, so
+    // each partition retains k rows before the final per-stratum
+    // shuffle — a 100 TB stratum never materializes its full sort.
+    // Hash ties are impossible (md5 of distinct ids), but doc_id
+    // breaks them anyway so the oracle can never diverge on engine
+    // sort stability.
+    "q254_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("source"), col("rn"), col("doc_id"), col("h"))
+        .orderBy("source", "rn")
+    }),
+
     // CORPUS-BUILD CAPSTONE — the full pretraining data pipeline as
     // ONE query, every stage the hash-matched spelling of an existing
     // one: quality filter (q80) → exact bag-of-words dedup (q57/q80's
@@ -980,6 +1004,20 @@ object TextScoring {
              AS kept_tokens,
            ANY_VALUE(thr) AS thr
          FROM k GROUP BY source ORDER BY source""",
+
+    // identical md5 rank, identical k, rn cast to BIGINT on both sides
+    // (Spark row_number is int, DuckDB's is int64)
+    "q254_stratified_sample" ->
+      """WITH h AS (
+           SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, h,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+           FROM h)
+         SELECT source, rn, doc_id, h FROM r
+         WHERE rn <= 20 ORDER BY source, rn""",
 
     // q80's features → q85's closure → q97's rates → q94's prefix
     // sums, composed; each CTE is its source query's proven spelling
