@@ -46,7 +46,8 @@ object SparkEntry {
     "q133_stream_pack", "q134_stream_scd2", "q137_stream_sessions",
     "q141_stream_interval_join", "q143_stream_ohlc", "q197_stream_dedup",
     "q200_stream_ema", "q203_stream_outer_join", "q222_stream_trend",
-    "q246_stream_funnel", "q251_stream_kanon_gate")
+    "q246_stream_funnel", "q251_stream_kanon_gate",
+    "q255_stream_stratified_sample")
 
   /** Queries Bench runs at ONE rep instead of SPARK_GRAFT_REPS — none
     * currently; q86 moved to [[benchExcluded]] (r7 verdict #4). */

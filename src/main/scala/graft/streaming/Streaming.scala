@@ -1262,7 +1262,106 @@ object Streaming {
     out
   }
 
+  case class StratEntry(h: String, doc_id: Long)
+  case class StratState(gen: Long, top: Seq[StratEntry])
+  case class StratSampleRow(source: String, rn: Long, doc_id: Long,
+                            h: String, gen: Long)
+
+  /** STREAMING exact-quota stratified sample — q254's twin over an
+    * unbounded stream: per stratum, keep the k documents with the
+    * smallest (md5(doc_id), doc_id) rank. The selection function is a
+    * commutative, associative merge of bounded top-k sets, so the
+    * final state is EXACTLY the batch q254 answer regardless of
+    * arrival order or batch boundaries — the property that makes
+    * hash-rank sampling the streaming-safe spelling of "exactly N per
+    * stratum" (a rate-threshold sample is also mergeable but only
+    * approximately sized; a reservoir sample is sized but
+    * order-dependent). State per stratum is O(k): one bounded sorted
+    * set plus a generation counter, never the stream.
+    *
+    * Update-mode contract: each batch that TOUCHES a stratum re-emits
+    * that stratum's full current top-k stamped with a bumped `gen`;
+    * consumers fold "latest gen wins per source" (an untouched
+    * stratum's previous emission is still its current answer). */
+  def stratifiedSampleStream(docs: DataFrame, k: Int): Dataset[StratSampleRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ord = implicitly[Ordering[(String, Long)]]
+    docs
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StratState, StratSampleRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state) =>
+          val prev = state.getOption.getOrElse(StratState(0L, Nil))
+          val top = scala.collection.mutable.TreeSet.empty[(String, Long)]
+          prev.top.foreach(e => top.add((e.h, e.doc_id)))
+          // bounded insert: O(log k) per row, never materializes the
+          // batch iterator (a hot stratum's batch can be corpus-sized)
+          rows.foreach { r =>
+            val e = (r._3, r._2)
+            if (top.size < k) top.add(e)
+            else if (ord.lt(e, top.last)) { top.add(e); top.remove(top.last) }
+          }
+          val gen = prev.gen + 1
+          state.update(StratState(gen,
+            top.toSeq.map { case (h, id) => StratEntry(h, id) }))
+          top.iterator.zipWithIndex.map { case ((h, id), i) =>
+            StratSampleRow(source, i + 1L, id, h, gen)
+          }
+      }
+  }
+
+  /** Driver-visible audit of [[stratifiedSampleStream]]: the REAL
+    * flatMapGroupsWithState loop over a three-chunk replay of the
+    * documents table with checkpointed restarts, update-mode emissions
+    * folded by "latest gen wins per source". Because the top-k merge is
+    * order-independent, the folded answer must equal the batch q254
+    * EXACTLY — the oracle is q254's SQL verbatim (the q246/q222
+    * oracle-sharing pin), hash-matched. */
+  def streamStratSampleAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "source")
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) // 1-value driver action
+    val cuts = Seq(maxDoc / 3, 2 * maxDoc / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("q255_strat").toString
+    val (landing, outDir, ckpt) = (s"$tmp/landing", s"$tmp/sample", s"$tmp/ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true)))
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    chunks.foreach { c =>
+      c.write.mode("append").parquet(landing) // new files = new delivery
+      val q = stratifiedSampleStream(
+          spark.readStream.schema(schema).parquet(landing), k = 20)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[StratSampleRow], _: Long) =>
+          b.toDF().write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val byGen = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val out = spark.read.parquet(outDir)
+      .withColumn("mx", max(col("gen")).over(byGen))
+      .filter(col("gen") === col("mx"))
+      .select(col("source"), col("rn"), col("doc_id"), col("h"))
+      .orderBy("source", "rn")
+      .pinned()
+    rmTree(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, graft.Q] = Map(
+    "q255_stream_stratified_sample" -> ((s, dir) => streamStratSampleAudit(s, dir)),
     "q251_stream_kanon_gate" -> ((s, dir) => streamKAnonAudit(s, dir)),
     "q101_admission_loop" -> ((s, dir) => admissionLoopAudit(s, dir)),
     "q132_store_lifecycle" -> ((s, dir) => storeLifecycleAudit(s, dir)),
@@ -1281,6 +1380,11 @@ object Streaming {
     * construction, token-5-gram Jaccard pairs, per-run components
     * (recursive CTEs), store-hit infection, canonical-only admission. */
   val oracles: Map[String, String] = Map(
+    // folded streaming top-k state == batch stratified sample: the
+    // merge is order-independent, so q255 shares q254's oracle
+    // VERBATIM (the strongest stream-vs-batch pin in the family)
+    "q255_stream_stratified_sample" ->
+      graft.operators.TextScoring.oracles("q254_stratified_sample"),
     // streamed funnel state == batch funnel: q246 shares q245's
     // full-recompute oracle verbatim (the q222 oracle-sharing pin)
     "q246_stream_funnel" ->
