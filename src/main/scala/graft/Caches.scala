@@ -116,27 +116,35 @@ object Caches {
       scopeStack += id
       (active.length, nextToken, id)
     }
+    // track the body's own failure so a LIFO violation detected in the
+    // cleanup never REPLACES it — the root cause must propagate, with
+    // the violation attached as a suppressed exception
+    var primary: Throwable = null
     try body
+    catch { case t: Throwable => primary = t; throw t }
     finally synchronized {
       if (scopeStack.isEmpty || scopeStack.last != scopeId) {
         // Another scope opened inside ours and hasn't exited (or a
         // foreign thread interleaved). Releasing by watermark now would
         // free ITS pins — refuse loudly instead of corrupting state.
         scopeStack -= scopeId
-        throw new IllegalStateException(
+        val violation = new IllegalStateException(
           s"Caches.scoped exit out of LIFO order (scope $scopeId; open: ${scopeStack.mkString(",")}) — " +
             "interleaved scopes would release each other's pinned checkpoints")
+        if (primary != null) primary.addSuppressed(violation)
+        else throw violation
+      } else {
+        scopeStack.remove(scopeStack.length - 1)
+        // clamp: body may have called releaseAll(), shrinking below the mark
+        val from = math.min(cacheMark, active.length)
+        active.drop(from).foreach(_.unpersist(blocking = false))
+        active.remove(from, active.length - from)
+        pinnedRdds.keys.filter(_ >= tokenMark).toList.foreach { t =>
+          pinnedRdds.remove(t).foreach(_.foreach(_.unpersist(blocking = false)))
+        }
+        val it = tokenOf.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue >= tokenMark) it.remove()
       }
-      scopeStack.remove(scopeStack.length - 1)
-      // clamp: body may have called releaseAll(), shrinking below the mark
-      val from = math.min(cacheMark, active.length)
-      active.drop(from).foreach(_.unpersist(blocking = false))
-      active.remove(from, active.length - from)
-      pinnedRdds.keys.filter(_ >= tokenMark).toList.foreach { t =>
-        pinnedRdds.remove(t).foreach(_.foreach(_.unpersist(blocking = false)))
-      }
-      val it = tokenOf.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue >= tokenMark) it.remove()
     }
   }
 }

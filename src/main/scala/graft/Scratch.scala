@@ -22,14 +22,16 @@ package graft
   * bounded by the fixture corpus size.
   */
 object Scratch {
+  /** Recursive delete — THE shared spelling (shutdown hook, manifest
+    * reclaim, and the streaming audits' temp-dir cleanup all call it;
+    * three private copies drifted before this was hoisted). */
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
   private val root: String = {
     val r = s"${System.getProperty("java.io.tmpdir")}/graft_run_${ProcessHandle.current().pid()}"
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(r))
-    }
+    sys.addShutdownHook { rmTree(new java.io.File(r)) }
     r
   }
 
@@ -64,7 +66,16 @@ object Scratch {
   * so a racing reader sees either the old or the new pointer, never a
   * torn file), then [[reclaim]] the superseded directory. On a cluster
   * the same protocol runs against the object store's atomic-put
-  * manifest; only the rename primitive changes. */
+  * manifest; only the rename primitive changes.
+  *
+  * Reclaim contract: the pointer flip redirects FUTURE reads only — a
+  * scan that already resolved the old generation keeps reading its
+  * files. [[reclaim]] is therefore safe only single-writer with
+  * quiesced readers (the q252 shape: build and flip inside
+  * [[Scratch.ensure]] BEFORE any serve resolves the manifest). A
+  * deployment with concurrent long scans defers reclaim past a grace
+  * window (or to compaction), exactly like any snapshot-table vacuum;
+  * the `require` below protects the pointer, not in-flight scans. */
 object StoreManifest {
   private def manifest(root: String) = java.nio.file.Paths.get(root, "MANIFEST")
 
@@ -88,9 +99,6 @@ object StoreManifest {
   def reclaim(root: String, gen: String): Unit = {
     require(current(root) != gen,
       s"refusing to reclaim the served generation '$gen' of $root")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(s"$root/$gen"))
+    Scratch.rmTree(new java.io.File(s"$root/$gen"))
   }
 }

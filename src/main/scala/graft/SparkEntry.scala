@@ -49,6 +49,18 @@ object SparkEntry {
     "q246_stream_funnel", "q251_stream_kanon_gate",
     "q255_stream_stratified_sample")
 
+  /** The audit subset of [[benchExcluded]]: queries whose CONSTRUCTION
+    * executes a full checkpointed streaming loop / lifecycle replay and
+    * whose returned frame is a pinned result scan. Their physical plan
+    * is a constant (`Scan:1` / a LocalTableScan rollup) carrying zero
+    * plan-regression signal, so PlanFingerprintSpec skips them instead
+    * of paying minutes of audit wall-time per suite run for nothing —
+    * their correctness lives in the Verify hash gate, their internal
+    * shapes in StreamingSpec. q86 stays fingerprinted: its construction
+    * is lazy plan-building and its cluster-route shape is exactly what
+    * the net exists to pin. */
+  val auditQueries: Set[String] = benchExcluded - "q86_lsh_narrow_salted"
+
   /** Queries Bench runs at ONE rep instead of SPARK_GRAFT_REPS — none
     * currently; q86 moved to [[benchExcluded]] (r7 verdict #4). */
   val singleRep: Set[String] = Set.empty

@@ -126,6 +126,7 @@ object Tables {
     import org.apache.spark.sql.catalyst.plans.logical._
     plan match {
       case Project(_, c)             => isNarrowScan(c)
+      case Filter(_, c)              => isNarrowScan(c) // pushed-down predicate over a scan stays narrow
       case SubqueryAlias(_, c)       => isNarrowScan(c)
       case g: Generate               => isNarrowScan(g.child)
       case _: LeafNode               => true

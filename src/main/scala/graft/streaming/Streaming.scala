@@ -318,10 +318,9 @@ object Streaming {
     base
   }
 
-  /** Recursive temp cleanup for the audits' per-invocation stores. */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
+  /** Recursive temp cleanup for the audits' per-invocation stores —
+    * delegates to the one shared spelling. */
+  private def rmTree(f: java.io.File): Unit = graft.Scratch.rmTree(f)
 
   /** Run `body` under a fixture-sized shuffle width: every join in an
     * audit is ≤ 17 docs, so a wide session shuffle only adds empty-task
@@ -1299,11 +1298,16 @@ object Streaming {
           val top = scala.collection.mutable.TreeSet.empty[(String, Long)]
           prev.top.foreach(e => top.add((e.h, e.doc_id)))
           // bounded insert: O(log k) per row, never materializes the
-          // batch iterator (a hot stratum's batch can be corpus-sized)
+          // batch iterator (a hot stratum's batch can be corpus-sized).
+          // Evict ONLY when add() actually inserted: an at-least-once
+          // source can REDELIVER a doc already in the set (the
+          // nearDupAdmit redelivery mode) — add() is then a no-op and
+          // an unconditional evict would delete the legitimate k-th
+          // entry, permanently shrinking the sample.
           rows.foreach { r =>
             val e = (r._3, r._2)
             if (top.size < k) top.add(e)
-            else if (ord.lt(e, top.last)) { top.add(e); top.remove(top.last) }
+            else if (ord.lt(e, top.last) && top.add(e)) top.remove(top.last)
           }
           val gen = prev.gen + 1
           state.update(StratState(gen,
@@ -1335,27 +1339,32 @@ object Streaming {
       docs.filter(col("doc_id") <= cuts(0)),
       docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
       docs.filter(col("doc_id") > cuts(1)))
-    chunks.foreach { c =>
-      c.write.mode("append").parquet(landing) // new files = new delivery
-      val q = stratifiedSampleStream(
-          spark.readStream.schema(schema).parquet(landing), k = 20)
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: Dataset[StratSampleRow], _: Long) =>
-          b.toDF().write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.awaitTermination()
+    // narrow shuffle: every stage here is fixture-sized (the state
+    // shuffle keys on ~20 sources) — session-width shuffles would be
+    // pure empty-task scheduling overhead
+    val out = withNarrowShuffle(spark) {
+      chunks.foreach { c =>
+        c.write.mode("append").parquet(landing) // new files = new delivery
+        val q = stratifiedSampleStream(
+            spark.readStream.schema(schema).parquet(landing), k = 20)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: Dataset[StratSampleRow], _: Long) =>
+            b.toDF().write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val byGen = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      spark.read.parquet(outDir)
+        .withColumn("mx", max(col("gen")).over(byGen))
+        .filter(col("gen") === col("mx"))
+        .select(col("source"), col("rn"), col("doc_id"), col("h"))
+        .orderBy("source", "rn")
+        .pinned()
     }
-    val byGen = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    val out = spark.read.parquet(outDir)
-      .withColumn("mx", max(col("gen")).over(byGen))
-      .filter(col("gen") === col("mx"))
-      .select(col("source"), col("rn"), col("doc_id"), col("h"))
-      .orderBy("source", "rn")
-      .pinned()
     rmTree(new java.io.File(tmp))
     out
   }

@@ -59,10 +59,12 @@ object SimJoinAb {
     val nLsh = lshPairs.count()
     val nBoth = lshPairs.join(exactPairs, Seq("a_id", "b_id"), "left_semi").count()
     graft.Caches.releaseAll()
+    // empty reference sets yield vacuous 1.0, never NaN (NaN is not JSON)
+    def ratio(num: Long, den: Long): Double = if (den == 0) 1.0 else num.toDouble / den
     println(
       s"""{"sf":"$sfDir","exact_sec":$tExact,"lsh_sec":$tLsh,""" +
-        s""""exact_pairs":$nExact,"lsh_pairs":$nLsh,"lsh_recall":${nBoth.toDouble / nExact},""" +
-        s""""lsh_precision":${nBoth.toDouble / nLsh}}""")
+        s""""exact_pairs":$nExact,"lsh_pairs":$nLsh,"lsh_recall":${ratio(nBoth, nExact)},""" +
+        s""""lsh_precision":${ratio(nBoth, nLsh)}}""")
     spark.stop()
   }
 }

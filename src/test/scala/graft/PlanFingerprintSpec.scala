@@ -66,7 +66,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
   }
 
   test("every query's physical-plan operator multiset matches the committed PLANS.json") {
-    val current = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // audit queries are skipped, not pinned: their construction RUNS a
+    // full streaming/lifecycle replay and their returned plan is a
+    // constant result scan — minutes of suite wall-time for zero
+    // regression signal (see SparkEntry.auditQueries)
+    val swept = SparkEntry.queries -- SparkEntry.auditQueries
+    val current = swept.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fp =
         try PlanFingerprint.fingerprint(
           fn(spark, sf).queryExecution.executedPlan.toString)

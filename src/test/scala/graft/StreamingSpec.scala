@@ -489,4 +489,48 @@ class StreamingSpec extends SparkSpec {
       (3L, us("2024-01-01 09:00:00"), us("2024-01-02 10:00:00"))),
       s"funnel emissions wrong: $rows")
   }
+
+  test("streaming stratified sample survives at-least-once redelivery (evict only on real insert)") {
+    // a redelivered doc already in a FULL top-k must be a no-op: the
+    // TreeSet add returns false and no eviction may fire — the r12
+    // review found the unconditional evict silently shrank the sample
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val dir = tmp("q255_redeliver")
+    val (landing, outDir, ckpt) = (s"$dir/landing", s"$dir/out", s"$dir/ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true)))
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val rest = docs.filter($"doc_id" % 2 =!= 0)
+    // chunk 1, chunk 1 AGAIN (new files = at-least-once redelivery of
+    // every row, arriving while many strata's top-k are already full),
+    // then the remaining docs
+    Seq(half, half, rest).foreach { c =>
+      c.write.mode("append").parquet(landing)
+      val q = Streaming.stratifiedSampleStream(
+          spark.readStream.schema(schema).parquet(landing), k = 20)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Streaming.StratSampleRow], _: Long) =>
+            b.toDF().write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val byGen = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val folded = spark.read.parquet(outDir)
+      .withColumn("mx", max($"gen").over(byGen))
+      .filter($"gen" === $"mx")
+      .select("source", "rn", "doc_id", "h")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q254_stratified_sample")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(folded == batch,
+      "redelivery must not change the sample: folded state != batch q254")
+    graft.Scratch.rmTree(new java.io.File(dir))
+  }
 }
