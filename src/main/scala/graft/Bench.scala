@@ -42,6 +42,28 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Exogenous-window canary (r12 verdict #4): a SEPARATE fixed-work
+    // timer process (tools/canary/Canary.java via JDK source-file mode
+    // — no classpath needed, so it launches identically under sbt).
+    // Its timeline distinguishes "the host was slow during these reps"
+    // from "the tree got slower" by artifact diff instead of a
+    // re-bisect; its own JVM means bench-side GC never dilates it.
+    // Timeline lands next to the artifact: the committed
+    // BENCH_CANARY.jsonl under BENCH_COMMIT=1, else gitignored target/.
+    val canaryFile =
+      if (sys.env.get(Env.BenchCommit).contains("1")) "BENCH_CANARY.jsonl"
+      else "target/BENCH_CANARY.jsonl"
+    val canaryProc: Option[Process] =
+      if (!sys.env.get(Env.Canary).contains("1")) None
+      else try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+        val pb = new ProcessBuilder("java", "tools/canary/Canary.java", canaryFile)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(new java.io.File("target/canary.launch.log"))
+        Some(pb.start())
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"BENCH CANARY launch failed: ${e.getMessage}"); None
+      }
     // releasing a localCheckpoint logs one WARN per RDD ("lineage has
     // been truncated...") — correct behavior under the Caches.pin
     // release discipline, but hundreds of them would drown the bench
@@ -192,6 +214,23 @@ object Bench {
       }
     }
     spark.stop()
+    // canary teardown + summary: median/max workMs over the run. A
+    // max >> median localizes a host window; per-rep attribution comes
+    // from joining the timeline's epoch timestamps against the BENCH
+    // TIME stderr ordering.
+    canaryProc.foreach { p =>
+      p.destroy(); p.waitFor()
+      try {
+        val ms = scala.io.Source.fromFile(canaryFile).getLines()
+          .flatMap("\"workMs\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
+          .toSeq.sorted
+        if (ms.nonEmpty)
+          System.err.println(s"BENCH CANARY n=${ms.size} medianMs=${ms(ms.size / 2)} " +
+            s"p95Ms=${ms((ms.size * 95) / 100 min (ms.size - 1))} maxMs=${ms.last} file=$canaryFile")
+      } catch { case e: Exception =>
+        System.err.println(s"BENCH CANARY summary failed: ${e.getMessage}")
+      }
+    }
     if (failed.nonEmpty) System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")
   }
 }

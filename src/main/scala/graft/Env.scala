@@ -14,4 +14,5 @@ object Env {
   val BenchCommit = "SPARK_GRAFT_BENCH_COMMIT" // =1: update committed BENCH_QUERIES.json
   val DataDir  = "SPARK_GRAFT_DATA_DIR" // graft.Main's pipeline data root
   val Stress   = "SPARK_GRAFT_STRESS"   // =1: run the opt-in scale-stress suite
+  val Canary   = "SPARK_GRAFT_CANARY"   // =1: Bench launches the fixed-work host canary
 }

@@ -71,10 +71,27 @@ object Tables {
     * defaultParallelism partitions, fanOut is a no-op. Non-scan inputs
     * (candidate pair streams after a distinct) always repartition:
     * they are tiny in bytes but huge in downstream CPU, and AQE's
-    * byte-based coalescing would serialize them on 1-2 cores. */
-  def fanOut(df: DataFrame): DataFrame = {
+    * byte-based coalescing would serialize them on 1-2 cores.
+    *
+    * `nonSelectiveFilter`: Filter is EXCLUDED from the no-op shape by
+    * default (r6 ADVICE law, re-pinned r13) — a selective pushed
+    * filter over a many-file scan keeps the partition COUNT while
+    * emptying most partitions, and non-CBO plan stats pass the child
+    * size through a Filter unchanged, so NO stats gate can see
+    * selectivity; the only sound general rule is "filtered scans
+    * always repartition" (the exchange carries only the filter's
+    * survivors). A call site may pass `nonSelectiveFilter = true`
+    * ONLY when it can vouch — from the predicate's own semantics,
+    * not from measurements — that the filter keeps the bulk of every
+    * partition (e.g. q01's l_shipdate <= 1998-09-02 keeps ~98% of
+    * lineitem at every SF, uniformly in ship date and hence in file
+    * layout). Under the opt-in, Filter nodes become transparent to
+    * the narrow-scan test, so an already-parallel filtered scan is a
+    * no-op (the 100 TB shape) while a single-file fixture scan still
+    * spreads. */
+  def fanOut(df: DataFrame, nonSelectiveFilter: Boolean = false): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (isNarrowScan(df.queryExecution.analyzed) &&
+    if (isNarrowScan(df.queryExecution.analyzed, nonSelectiveFilter) &&
         df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
@@ -112,25 +129,30 @@ object Tables {
     * construction, so planning `.rdd` is safe (no query stage runs)
     * and its partition count reflects the scan's file layout.
     *
-    * Filter is deliberately EXCLUDED from the no-op shape (r6, ADVICE):
-    * a selective pushed filter over a many-file scan keeps the scan's
-    * partition COUNT while emptying most partitions, so the count gate
-    * would pass and the downstream CPU-heavy work would serialize on
-    * the few non-empty ones — the exact problem fanOut exists to
-    * prevent. (Non-CBO plan stats pass a Filter's child size through
-    * unchanged, so selectivity is invisible to a stats gate.) Filtered
-    * inputs therefore always repartition; the exchange carries only
+    * Filter is deliberately EXCLUDED from the no-op shape (r6, ADVICE;
+    * the r12 closing-tree commit briefly re-added it and went
+    * suite-red — reverted r13): a selective pushed filter over a
+    * many-file scan keeps the scan's partition COUNT while emptying
+    * most partitions, so the count gate would pass and the downstream
+    * CPU-heavy work would serialize on the few non-empty ones — the
+    * exact problem fanOut exists to prevent. (Non-CBO plan stats pass
+    * a Filter's child size through unchanged, so selectivity is
+    * invisible to a stats gate.) Filtered inputs therefore always
+    * repartition — UNLESS the caller vouched via `filterTransparent`
+    * (= fanOut's `nonSelectiveFilter` opt-in) that the predicate
+    * keeps the bulk of every partition. The exchange carries only
     * the filter's SURVIVORS, so its cost is proportional to exactly
     * the rows the downstream work is being spread for. */
-  private def isNarrowScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+  private def isNarrowScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                           filterTransparent: Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     plan match {
-      case Project(_, c)             => isNarrowScan(c)
-      case Filter(_, c)              => isNarrowScan(c) // pushed-down predicate over a scan stays narrow
-      case SubqueryAlias(_, c)       => isNarrowScan(c)
-      case g: Generate               => isNarrowScan(g.child)
-      case _: LeafNode               => true
-      case _                         => false
+      case Project(_, c)                        => isNarrowScan(c, filterTransparent)
+      case Filter(_, c) if filterTransparent    => isNarrowScan(c, filterTransparent)
+      case SubqueryAlias(_, c)                  => isNarrowScan(c, filterTransparent)
+      case g: Generate                          => isNarrowScan(g.child, filterTransparent)
+      case _: LeafNode                          => true
+      case _                                    => false
     }
   }
 }

@@ -40,6 +40,23 @@ object CorpusHealth {
       .agg(max(col("n_docs")).as("n_docs"), aggs: _*)
   }
 
+  /** The q113 all-integer granule log2 of a positive BIGINT column
+    * expression, as a SQL string valid in BOTH engines modulo the
+    * div/shift spellings: r = x·256, octave k = length(bin(r)) − 1,
+    * granules = (k−8)·512 + (r − 2^k)·512 DIV 2^k — ≈ 512·log2(x)
+    * with ≤ 0.086-bit error, no libm anywhere. `div`/`shl` are
+    * ("DIV", "shiftleft(CAST(1 AS BIGINT), %s)") for Spark and
+    * ("//", "(CAST(1 AS BIGINT) << %s)") for DuckDB. */
+  private def glog(x: String, div: String, shl: String => String): String = {
+    val r = s"($x * 256)"
+    val k = s"(length(bin($r)) - 1)"
+    s"((($k - 8) * 512) + (($r - ${shl(k)}) * 512) $div ${shl(k)})"
+  }
+  private def glogSpark(x: String): String =
+    glog(x, "DIV", k => s"shiftleft(CAST(1 AS BIGINT), $k)")
+  private def glogDuck(x: String): String =
+    glog(x, "//", k => s"(CAST(1 AS BIGINT) << $k)")
+
   val queries: Map[String, Q] = Map(
     // N-GRAM NOVELTY PROFILE — the marginal-value-of-data curve a
     // curation team reads before buying more of a source: in doc_id
@@ -438,10 +455,156 @@ object CorpusHealth {
           min(when(col("cum") * 2 >= col("n_docs"), col("dev"))).as("mad_tok"),
           max(col("n_docs")).as("n_docs"))
         .orderBy("source")
+    }),
+
+    // ZIPF-SLOPE VOCABULARY DIAGNOSTIC (r13) — does the corpus's
+    // rank-frequency curve look like natural language (slope ≈ −1) or
+    // like boilerplate/machine output (flat head, cliff tail)? The
+    // least-squares fit of granule-log2(freq) against
+    // granule-log2(rank) over the whole vocabulary, ALL-INTEGER until
+    // the final scalar division: both axes use q113's 512-granule log
+    // (no libm), the five sufficient statistics are exact BIGINTs,
+    // and the closing slope is ONE IEEE division of identical exact
+    // integers on both engines — bit-stable, hash-matched. Scale
+    // shape: ranks are assigned from the FREQUENCY HISTOGRAM (≤
+    // |distinct freqs| rows) via [[Prefix.exclusiveSum]] — no
+    // vocab-sized single-partition window — and each frequency class
+    // explodes its contiguous rank range in ≤ 4096-element blocks
+    // (two-level explode), so no task materializes more than one
+    // block whatever the class size (the singleton class f=1 is
+    // typically ~half the vocabulary). Within a class the granule-y
+    // is constant, so which token gets which rank cancels in every
+    // Σ — the fit needs no within-class order at all. Overflow bound
+    // at the Σxy spelling: V·(512·log2 V)² ≤ int64 ⇒ V ≤ ~10^10
+    // distinct tokens.
+    "q256_zipf_slope" -> ((s, dir) => {
+      val tok = Tables.fanOut(Tables.documents(s, dir))
+        .select(explode(wsToks).as("w"))
+      val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val fh = graft.Caches.cached(
+        voc.groupBy("c").agg(count(lit(1)).as("cnt")))
+      val mx = fh.agg(max(col("c")).as("mc"))
+      // Prefix keys must be nonnegative: rank descends in frequency,
+      // so the order key is (max freq − freq)
+      val keyed = fh.crossJoin(broadcast(mx))
+        .withColumn("ck", col("mc") - col("c"))
+      val off = Prefix.exclusiveSum(keyed, Nil, "ck", "cnt", "off")
+        .select(col("c"), col("cnt"), col("off"))
+      val ranks = off
+        .withColumn("b", explode(sequence(lit(0L), expr("(cnt - 1) DIV 4096"))))
+        .withColumn("rank", explode(sequence(
+          col("off") + col("b") * 4096 + 1,
+          least(col("off") + col("cnt"), col("off") + (col("b") + 1) * 4096))))
+      ranks
+        .withColumn("xg", expr(glogSpark("rank")))
+        .withColumn("yg", expr(glogSpark("c")))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("xg")).as("sum_x"), sum(col("yg")).as("sum_y"),
+          sum(col("xg") * col("yg")).as("sum_xy"),
+          sum(col("xg") * col("xg")).as("sum_x2"))
+        .withColumn("zipf_slope", expr(
+          """(CAST(n_vocab AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+               - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+             / (CAST(n_vocab AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))"""))
+    }),
+
+    // PER-SOURCE DISTRIBUTION DRIFT (r13) — which mixture component is
+    // most unigram-skewed against the blended corpus? KL(p_source ‖
+    // p_corpus) in 1/512-bit granules, with the log-RATIO DECOMPOSED
+    // into four single-count granule logs: sg = L(c_sw) + L(N) −
+    // L(N_s) − L(c_w), each L a q113 granule log of ONE count — no
+    // N·c products anywhere, so the spelling carries no N² overflow
+    // (the direct ratio spelling dies at N ≈ 3·10^9 tokens; this one
+    // holds past 2^45). The output keeps the exact integer numerator
+    // Σ c_sw·sg per source (no closing division: floor semantics on a
+    // possibly-negative integer differ across engines). Scale shape:
+    // one tokenize pass → (source, w) counts (map-side combined); the
+    // corpus vocab re-aggregates FROM sw (never a second corpus
+    // pass); the vocab join is stats-gated; N and the source totals
+    // broadcast (1 row / mixture-bounded).
+    "q257_kl_drift" -> ((s, dir) => {
+      val tok = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), explode(wsToks).as("w"))
+      val sw = graft.Caches.cached(
+        tok.groupBy("source", "w").agg(count(lit(1)).as("csw")))
+      val cw = sw.groupBy("w").agg(sum(col("csw")).as("cw"))
+      val ns = sw.groupBy("source")
+        .agg(sum(col("csw")).as("ns"), count(lit(1)).as("n_types"))
+      val n = sw.agg(sum(col("csw")).as("n"))
+      sw.join(Tables.maybeBroadcast(cw), Seq("w"))
+        .join(broadcast(ns), Seq("source")) // sources: bounded mixture domain
+        .crossJoin(broadcast(n))
+        .withColumn("sg", expr(
+          s"""${glogSpark("csw")} + ${glogSpark("n")}
+              - ${glogSpark("ns")} - ${glogSpark("cw")}"""))
+        .groupBy(col("source"), col("ns").as("n_tokens"), col("n_types"))
+        .agg(sum(col("csw") * col("sg")).as("kl_granule_sum"))
+        .orderBy("source")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // rank ranges come straight from the freq histogram's cumulative
+    // offsets; granule logs mirror the Spark spelling token for token;
+    // the slope is one IEEE division of identical exact BIGINTs
+    "q256_zipf_slope" ->
+      s"""WITH u AS (
+            SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
+            FROM documents),
+          voc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+          fh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM voc GROUP BY 1),
+          o AS (
+            SELECT c, cnt,
+              CAST(COALESCE(SUM(cnt) OVER (ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS off
+            FROM fh),
+          rk AS (
+            SELECT c, unnest(generate_series(off + 1, off + cnt)) AS rank
+            FROM o),
+          g AS (
+            SELECT ${glogDuck("rank")} AS xg, ${glogDuck("c")} AS yg
+            FROM rk),
+          a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+              CAST(SUM(xg) AS BIGINT) AS sum_x,
+              CAST(SUM(yg) AS BIGINT) AS sum_y,
+              CAST(SUM(xg * yg) AS BIGINT) AS sum_xy,
+              CAST(SUM(xg * xg) AS BIGINT) AS sum_x2
+            FROM g)
+          SELECT n_vocab, sum_x, sum_y, sum_xy, sum_x2,
+            (CAST(n_vocab AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+            / (CAST(n_vocab AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS zipf_slope
+          FROM a""",
+
+    // the four-term decomposed granule log-ratio, weighted by the
+    // source-local count; the integer numerator is the compared value
+    "q257_kl_drift" ->
+      s"""WITH u AS (
+            SELECT source,
+              unnest(str_split_regex(trim(text), '\\s+')) AS w
+            FROM documents),
+          sw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw
+            FROM u GROUP BY 1, 2),
+          cw AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+          ns AS (
+            SELECT source, CAST(SUM(csw) AS BIGINT) AS ns,
+              CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM sw GROUP BY 1),
+          tot AS (SELECT CAST(SUM(csw) AS BIGINT) AS n FROM sw),
+          g AS (
+            SELECT source, ns, n_types, csw,
+              ${glogDuck("csw")} + ${glogDuck("n")}
+                - ${glogDuck("ns")} - ${glogDuck("cw")} AS sg
+            FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot)
+          SELECT source, ns AS n_tokens, n_types,
+            CAST(SUM(csw * sg) AS BIGINT) AS kl_granule_sum
+          FROM g GROUP BY 1, 2, 3 ORDER BY 1""",
+
     // per-gram first owner = MIN(doc_id) over the gram's posting; a
     // doc's novel grams are those it owns; ppm is integer fixed point
     "q151_novelty_profile" ->

@@ -51,12 +51,17 @@ object Relational {
     // ~6 groups the map-side partial aggregate IS the whole row work,
     // and the fixture's single-row-group parquet file scans as ONE
     // task — the rich decimal partials would run single-threaded
-    // without the spread (isolated min-of-4: 1.26 s → ~0.4 s). At
-    // cluster scale the scan already carries >= parallelism partitions
-    // and fanOut is a no-op, so the 100 TB plan is unchanged.
+    // without the spread (isolated min-of-4: 1.26 s → ~0.4 s).
+    // nonSelectiveFilter opt-in: l_shipdate <= 1998-09-02 keeps ~98%
+    // of lineitem at every SF, uniformly across files (ship dates are
+    // not file-clustered), so at cluster scale — where the scan
+    // already carries >= parallelism partitions — the no-op is sound
+    // and the 100 TB plan gains no corpus-sized exchange. Selective
+    // filters must NOT use this opt-in (ScaleSpec's filtered-scan law).
     "q01_pricing_summary" -> ((s, dir) => {
       Tables.fanOut(Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp")))
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp")),
+          nonSelectiveFilter = true)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsumd(col("l_quantity")).as("sum_qty"),

@@ -125,11 +125,21 @@ object Snapshots {
   /** S16 sentinel-aware merge (update_ticker_info.py:170-181): fresh
     * values win only when present and meaningful. `old`/`fresh` share
     * schema (symbol, name, sector, url); fresh may be missing rows
-    * (= fetch failure, keep original, update_ticker_info.py:205-209). */
+    * (= fetch failure, keep original, update_ticker_info.py:205-209).
+    *
+    * The reference collapses details into a dict KEYED BY SYMBOL, so a
+    * details source that yields the same symbol twice contributes ONE
+    * row — a left join on a duplicated key would instead fan out
+    * snapshot rows (r12 ADVICE). Collapse first via a deterministic
+    * per-symbol max(struct(...)) — a map-side-combinable hash
+    * aggregate, no window, layout-independent (dropDuplicates would
+    * keep an arbitrary partition-order-dependent row). */
   def mergeUpsert(old: DataFrame, fresh: DataFrame): DataFrame = {
-    val f = fresh.select(col("symbol"), col("name").as("f_name"),
-      col("sector").as("f_sector"), col("url").as("f_url"),
-      lit(1).as("f_present"))
+    val f = fresh.groupBy(col("symbol"))
+      .agg(max(struct(col("name"), col("sector"), col("url"))).as("__f"))
+      .select(col("symbol"), col("__f.name").as("f_name"),
+        col("__f.sector").as("f_sector"), col("__f.url").as("f_url"),
+        lit(1).as("f_present"))
     val nameOk = col("f_present").isNotNull && col("f_name").isNotNull &&
       col("f_name") =!= col("symbol") && col("f_name") =!= "No record found" &&
       col("f_name") =!= col("name")

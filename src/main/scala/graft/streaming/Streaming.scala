@@ -63,6 +63,8 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+        graft.tools.StreamPlans.record("incrementalAppend", batch0.sparkSession)
         val spark = batch0.sparkSession
         // in-batch dedup FIRST: a re-delivered landing file (at-least-
         // once ingest) can repeat an event_id inside one micro-batch —
@@ -139,6 +141,8 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+        graft.tools.StreamPlans.record("nearDupAdmit", batch0.sparkSession)
         val spark = batch0.sparkSession
         // scoped, NOT releaseAll: batch cleanup must only free this
         // batch's own caches/pins — a global release inside a batch
@@ -470,6 +474,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: Dataset[PackedDoc], _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamPackAudit", b.sparkSession)
           b.toDF().write.mode("append").parquet(outDir)
         }
         .start()
@@ -527,6 +533,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: Dataset[Scd2Row], _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamScd2Audit", b.sparkSession)
           b.toDF().withColumn("run", lit(k)).write.mode("append").parquet(outDir)
         }
         .start()
@@ -601,6 +609,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: Dataset[Session], _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamSessionAudit", b.sparkSession)
           b.toDF().write.mode("append").parquet(outDir)
         }
         .start()
@@ -664,6 +674,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamIntervalJoinAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -719,6 +731,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamOhlcAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -787,6 +801,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamDedupAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -886,6 +902,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamEmaAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -962,6 +980,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamOuterJoinAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -1017,6 +1037,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamTrendAudit", b.sparkSession)
           val delta = b.groupBy(col("event_type"),
               (col("user_id") % 10).as("cohort"), to_date(col("ts")).as("day"))
             .agg((dsum(col("value")) * 10000).cast("long").as("y"))
@@ -1138,6 +1160,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamFunnelAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -1243,6 +1267,8 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+          graft.tools.StreamPlans.record("streamKAnonAudit", b.sparkSession)
           b.write.mode("append").parquet(outDir)
         }
         .start()
@@ -1351,8 +1377,17 @@ object Streaming {
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: Dataset[StratSampleRow], _: Long) =>
-            b.toDF().write.mode("append").parquet(outDir)
+          .foreachBatch { (b: Dataset[StratSampleRow], bid: Long) =>
+            // per-batch plan net (r12 verdict #5): no-op unless a spec enabled collection
+            graft.tools.StreamPlans.record("streamStratSampleAudit", b.sparkSession)
+            // IDEMPOTENT per batchId (r12 ADVICE): a failure-replayed
+            // batch OVERWRITES its own subdirectory instead of
+            // appending a second copy — the max-gen fold below keeps
+            // every row of the latest gen, so an append-mode duplicate
+            // would survive to the compared output. batchIds are
+            // unique across the three chunk queries because they share
+            // one checkpoint (the offset log continues numbering).
+            b.toDF().write.mode("overwrite").parquet(s"$outDir/batchId=$bid")
           }
           .start()
         q.awaitTermination()

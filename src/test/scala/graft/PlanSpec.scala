@@ -155,8 +155,14 @@ class PlanSpec extends SparkSpec {
                               // delete-maintained store
       "q234_important_parts", // 1-row global-mean broadcast (the
                               // q142/q178 threshold pattern)
-      "q253_dangling_mass")   // two 1-row broadcasts per round (dangling
+      "q253_dangling_mass",   // two 1-row broadcasts per round (dangling
                               // mass + node count — the q142 stats shape)
+      "q256_zipf_slope",      // 1-row max-frequency broadcast keying the
+                              // Prefix rank offsets (the q142/q178
+                              // 1-row-stats pattern)
+      "q257_kl_drift")        // 1-row corpus-token-total broadcast (the
+                              // q113/q126 shape); the vocab and
+                              // source-total joins are equi-joins
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

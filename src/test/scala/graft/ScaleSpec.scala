@@ -70,6 +70,18 @@ class ScaleSpec extends SparkSpec {
       val filtered = spark.read.parquet(s"$tmp/many").filter($"doc_id" < 10)
       assert(hasRepartition(Tables.fanOut(filtered)),
         "fanOut must repartition filtered scans - their partitions may be mostly empty")
+      // the nonSelectiveFilter OPT-IN (r13): a call site that vouches
+      // its predicate keeps the bulk of every partition (q01's
+      // l_shipdate <= 1998-09-02 shape) makes Filter transparent, so
+      // an already-parallel filtered scan stays exchange-free at
+      // cluster scale...
+      assert(!hasRepartition(Tables.fanOut(filtered, nonSelectiveFilter = true)),
+        "under the nonSelectiveFilter opt-in an already-parallel filtered scan must stay a no-op")
+      // ...while the single-file fixture shape still spreads — the
+      // opt-in changes the narrow-scan TEST, never the count gate
+      val filteredSingle = Tables.documents(spark, sf).filter($"doc_id" >= 0)
+      assert(hasRepartition(Tables.fanOut(filteredSingle, nonSelectiveFilter = true)),
+        "the opt-in must not disable the single-file spread")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }

@@ -98,6 +98,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(m2.getString(1) == "Old Name" && m2.getString(2) == "Banking")
   }
 
+  test("merge: duplicate details symbols collapse to ONE row, deterministically (r12 ADVICE)") {
+    // the reference keys details by symbol (dict), so a source yielding
+    // the same symbol twice must not fan out snapshot rows through the
+    // join — and the winner must be layout-independent (max struct)
+    val old = Seq(("AAA", "Old Name", "Banking", "https://x/AAA"))
+      .toDF("symbol", "name", "sector", "url")
+    val dupFresh = Seq(
+      ("AAA", "Aaa Corp", "Energy", "https://x/AAA1"),
+      ("AAA", "Zzz Corp", "Textile", "https://x/AAA2")
+    ).toDF("symbol", "name", "sector", "url")
+    val m = Snapshots.mergeUpsert(old, dupFresh).collect()
+    assert(m.length == 1, "duplicate details rows must not fan out the snapshot")
+    // max(struct(name, sector, url)) → the lexicographically largest
+    // name wins, independent of partition layout
+    assert(m(0).getString(1) == "Zzz Corp")
+    val mRev = Snapshots.mergeUpsert(old, dupFresh.repartition(7)).collect()
+    assert(mRev.length == 1 && mRev(0).getString(1) == "Zzz Corp",
+      "winner must be independent of partition layout")
+  }
+
   test("change log classifies and excludes rename pairs (S15)") {
     val added = Seq(("N1", "x"), ("N2", "y")).toDF("new_symbol", "new_name")
     val deleted = Seq(("O1", "x"), ("O2", "z")).toDF("old_symbol", "old_name")

@@ -38,7 +38,14 @@ class StressSpec extends SparkSpec {
     val hot = spark.range(100)
       .select((col("id") + 50000000L).as("doc_id"),
         lit(hotText).as("text"), lit("hot").as("source"))
-    Caches.cached(replicas.unionByName(hot))
+    // plain .cache(), NOT Caches.cached (r12 ADVICE): each test's
+    // `finally Caches.releaseAll()` would unpersist a registered
+    // suite-lifetime fixture after the first test, recomputing the 10x
+    // explode+union uncached in every later test. The suite's session
+    // teardown releases the plain cache.
+    val df = replicas.unionByName(hot)
+    df.cache()
+    df
   }
 
   test("near-dup LSH at 10x + hot bucket: banded route, no cartesian, hot cluster fully recovered") {
