@@ -541,6 +541,72 @@ object CorpusHealth {
         .groupBy(col("source"), col("ns").as("n_tokens"), col("n_types"))
         .agg(sum(col("csw") * col("sg")).as("kl_granule_sum"))
         .orderBy("source")
+    }),
+
+    // SOURCE-ABLATION REPORT (r13) — what does the mixture LOSE if a
+    // source is dropped? Per source: token mass and its corpus share
+    // (ppm), type count, and the UNIQUE tail — types appearing in no
+    // other source, plus the token mass those unique types carry.
+    // The "unique" test is a per-token source-spread count over the
+    // (source, w) aggregate — vocab-sized, never a corpus re-scan —
+    // and every metric is an exact integer. Scale shape: one tokenize
+    // pass → (source, w) counts (map-side combined); the spread join
+    // is vocab-keyed and stats-gated; N broadcasts as 1 row.
+    "q258_source_ablation" -> ((s, dir) => {
+      val tok = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("source"), explode(wsToks).as("w"))
+      val sw = graft.Caches.cached(
+        tok.groupBy("source", "w").agg(count(lit(1)).as("csw")))
+      val spread = sw.groupBy("w").agg(count(lit(1)).as("n_sources"))
+      val n = sw.agg(sum(col("csw")).as("n"))
+      sw.join(Tables.maybeBroadcast(spread), Seq("w"))
+        .groupBy("source")
+        .agg(sum(col("csw")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("types_unique"),
+          sum(when(col("n_sources") === 1, col("csw")).otherwise(0L)).as("mass_unique"))
+        .crossJoin(broadcast(n))
+        .withColumn("mass_ppm", expr("n_tokens * 1000000 DIV n"))
+        .drop("n")
+        .orderBy("source")
+    }),
+
+    // KNESER-NEY CONTINUATION COUNTS (r13) — the smoothing statistics
+    // an LM trainer derives before interpolated KN: per token, the
+    // unigram count c(w), the LEFT continuation count N1+(·w)
+    // (distinct preceding types — KN's "how many contexts does w
+    // complete?"), the RIGHT fertility N1+(w·) (distinct following
+    // types), and the KN continuation-probability numerator in ppm
+    // (N1+(·w)·10⁶ DIV |distinct bigram types|). Top-50 by unigram
+    // count with a deterministic token tie-break — a bounded
+    // TakeOrdered, never a vocab-wide sort at any scale. Scale shape:
+    // one bigram pass → distinct (v, w) (cached, consumed by both
+    // directions and the type total); the unigram table joins
+    // vocab-keyed; the bigram-type total broadcasts as 1 row.
+    "q259_kneser_ney_counts" -> ((s, dir) => {
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+        .select(wsToks.as("toks"))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = graft.Caches.cached(docs
+        .filter(size(col("toks")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(element_at(col("toks"), col("i")).as("v"),
+          element_at(col("toks"), col("i") + 1).as("w"))
+        .distinct())
+      val left = bi.groupBy("w").agg(count(lit(1)).as("cont_left"))
+      val right = bi.groupBy("v").agg(count(lit(1)).as("fert_right"))
+      val btypes = bi.agg(count(lit(1)).as("n_bigram_types"))
+      uni
+        .join(Tables.maybeBroadcast(left), Seq("w"), "left")
+        .join(Tables.maybeBroadcast(right.withColumnRenamed("v", "w")), Seq("w"), "left")
+        .na.fill(0L, Seq("cont_left", "fert_right"))
+        .crossJoin(broadcast(btypes))
+        .withColumn("cont_ppm", expr("cont_left * 1000000 DIV n_bigram_types"))
+        .select(col("w").as("token"), col("c"), col("cont_left"),
+          col("fert_right"), col("cont_ppm"))
+        .orderBy(col("c").desc, col("token"))
+        .limit(50)
     })
   )
 
@@ -579,6 +645,57 @@ object CorpusHealth {
             / (CAST(n_vocab AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS zipf_slope
           FROM a""",
+
+    // spread = per-token distinct-source count over the (source, w)
+    // aggregate; unique-type metrics are conditional sums on spread=1
+    "q258_source_ablation" ->
+      """WITH u AS (
+            SELECT source,
+              unnest(str_split_regex(trim(text), '\s+')) AS w
+            FROM documents),
+          sw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw
+            FROM u GROUP BY 1, 2),
+          spread AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM sw GROUP BY 1),
+          tot AS (SELECT CAST(SUM(csw) AS BIGINT) AS n FROM sw)
+          SELECT source,
+            CAST(SUM(csw) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_types,
+            CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS types_unique,
+            CAST(SUM(CASE WHEN n_sources = 1 THEN csw ELSE 0 END) AS BIGINT)
+              AS mass_unique,
+            (CAST(SUM(csw) AS BIGINT) * 1000000) // (SELECT n FROM tot)
+              AS mass_ppm
+          FROM sw JOIN spread USING (w)
+          GROUP BY 1 ORDER BY 1""",
+
+    // distinct bigram types feed both continuation directions and the
+    // type total; missing directions coalesce to 0
+    "q259_kneser_ney_counts" ->
+      """WITH d AS (
+            SELECT str_split_regex(trim(text), '\s+') AS toks
+            FROM documents),
+          u AS (SELECT unnest(toks) AS w FROM d),
+          uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+          g AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE len(toks) >= 2),
+          bi AS (
+            SELECT DISTINCT toks[CAST(i AS INT)] AS v,
+              toks[CAST(i + 1 AS INT)] AS w
+            FROM g),
+          l AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cont_left FROM bi GROUP BY 1),
+          r AS (SELECT v AS w, CAST(COUNT(*) AS BIGINT) AS fert_right FROM bi GROUP BY 1),
+          bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bi)
+          SELECT uni.w AS token, uni.c,
+            COALESCE(l.cont_left, 0) AS cont_left,
+            COALESCE(r.fert_right, 0) AS fert_right,
+            (COALESCE(l.cont_left, 0) * 1000000)
+              // (SELECT n_bigram_types FROM bt) AS cont_ppm
+          FROM uni LEFT JOIN l ON l.w = uni.w LEFT JOIN r ON r.w = uni.w
+          ORDER BY uni.c DESC, token LIMIT 50""",
 
     // the four-term decomposed granule log-ratio, weighted by the
     // source-local count; the integer numerator is the compared value

@@ -160,9 +160,15 @@ class PlanSpec extends SparkSpec {
       "q256_zipf_slope",      // 1-row max-frequency broadcast keying the
                               // Prefix rank offsets (the q142/q178
                               // 1-row-stats pattern)
-      "q257_kl_drift")        // 1-row corpus-token-total broadcast (the
+      "q257_kl_drift",        // 1-row corpus-token-total broadcast (the
                               // q113/q126 shape); the vocab and
                               // source-total joins are equi-joins
+      "q258_source_ablation", // 1-row corpus-mass broadcast (same
+                              // 1-row-stats shape); the spread join is
+                              // a vocab equi-join
+      "q259_kneser_ney_counts") // 1-row bigram-type-total broadcast;
+                                // continuation joins are vocab
+                                // equi-joins
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -63,6 +63,25 @@ class StreamPlanFingerprintSpec extends AnyFunSuite {
       graft.streaming.Streaming.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, sf); () } finally Caches.releaseAll()
       }
+      // incrementalAppend is the one foreachBatch loop no audit query
+      // drives (its audits are StreamingSpec's P2 tests) — run one
+      // deterministic two-chunk replay here so its internal plans are
+      // netted with the rest
+      val tmp = java.nio.file.Files.createTempDirectory("spfs_p2").toString
+      try {
+        import org.apache.spark.sql.functions.col
+        val ev = Tables.events(spark, sf)
+          .select("event_id", "ts", "value").orderBy("event_id")
+        val schema = ev.schema
+        Seq(ev.limit(200), ev.limit(400)).zipWithIndex.foreach { case (chunk, i) =>
+          chunk.write.mode("overwrite").parquet(s"$tmp/landing/c$i")
+          graft.streaming.Streaming.incrementalAppend(
+            spark, s"$tmp/landing/c$i", s"$tmp/store", s"$tmp/ckpt$i", schema)
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        Caches.releaseAll()
+      }
     } finally graft.tools.StreamPlans.disable()
     val current = graft.tools.StreamPlans.collected
     assert(current.nonEmpty, "no per-batch plans were recorded — the " +
