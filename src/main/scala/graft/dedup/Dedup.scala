@@ -183,6 +183,7 @@ object Dedup {
     // whole pipeline on millions of pairs.
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     graft.plans.SortedShingles.register(docs.sparkSession)
+    graft.plans.SortedShinglesPacked.register(docs.sparkSession)
     // sorted distinct shingle arrays in ONE compiled pass. STATS-ROUTED
     // source (same budget as the survivors-join shape): past the budget
     // the build is scoped to SURVIVOR docs — candidate pairs touch a
@@ -194,10 +195,21 @@ object Dedup {
     // its extra query stages (pair-cache barrier, id union, semi-join)
     // cost more than the ~0.5 s of kernel+cache they save on a 60k-doc
     // corpus. q86 pins the scoped shape on the real corpus.
+    //
+    // GRAM REPRESENTATION (r13, guide §1.2 per-task work / §2.3
+    // narrower types): for n <= 3 the grams are PACKED LONGS
+    // (21-bit code points — injective on valid UTF-8), so the per-pair
+    // merge compares primitives and the cached arrays are 8 bytes/gram;
+    // counts and therefore the pair set + jaccard values are
+    // bit-identical to the string spelling (TextDedupSpec lockstep +
+    // q37 re-proven vs DuckDB at all three SFs this round). n > 3
+    // keeps the UTF8String kernel.
+    val kernel = if (n <= 3) graft.plans.SortedShinglesPacked.NAME
+                 else graft.plans.SortedShingles.NAME
     val shSrc = if (clusterScale) survivorDocs(docs, pairs) else Tables.fanOut(docs)
     val shArr = graft.Caches.cached(shSrc
       .select(col("doc_id"),
-        call_function(graft.plans.SortedShingles.NAME, col("text"), lit(n)).as("sh")))
+        call_function(kernel, col("text"), lit(n)).as("sh")))
     verifyExactJaccard(fanned, shArr, threshold, leafExpansion = 8.0 * n)
   }
 

@@ -5,10 +5,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, NullType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, NullType, StringType}
 
-/** |A ∩ B| for two SORTED, DISTINCT string arrays via a two-pointer
-  * merge — O(|A|+|B|), zero allocation, whole-stage-codegen'd.
+/** |A ∩ B| for two SORTED, DISTINCT string OR bigint arrays via a
+  * two-pointer merge — O(|A|+|B|), zero allocation,
+  * whole-stage-codegen'd.
   *
   * Built because Spark's ArrayIntersect evaluates interpreted and
   * builds a hash set per call: on the dedup verify path (millions of
@@ -27,20 +28,36 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
-  /** Analysis-time type validation: both inputs must be ARRAY<STRING>.
+  /** Analysis-time type validation: both inputs must be ARRAY<STRING>,
+    * or both ARRAY<BIGINT> (the [[SortedShinglesPacked]] spelling).
     * Without this, a misuse like sorted_intersect_count(arr_of_int, x)
     * would pass analysis and fail deep in codegen/runtime. */
   override def checkInputDataTypes(): TypeCheckResult = {
     // NullType element = the empty array() literal — trivially valid
     // (the merge loop never dereferences an element of an empty array)
-    def ok(t: DataType) = t match {
-      case ArrayType(StringType | NullType, _) => true
-      case _ => false
+    def elem(t: DataType): Option[DataType] = t match {
+      case ArrayType(e @ (StringType | LongType), _) => Some(e)
+      case ArrayType(NullType, _) => None // empty literal: matches either
+      case _ => Some(t) // non-array / bad element — fails the check below
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    val (l, r) = (elem(left.dataType), elem(right.dataType))
+    val bothOk = Seq(l, r).flatten.forall(t => t == StringType || t == LongType)
+    val sameElem = (l, r) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => true
+    }
+    if (bothOk && sameElem) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"${SortedIntersectCount.NAME} requires (ARRAY<STRING>, ARRAY<STRING>), " +
+      s"${SortedIntersectCount.NAME} requires matching (ARRAY<STRING>, ARRAY<STRING>) " +
+        s"or (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
         s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  /** Element type driving the comparison — resolved at analysis time,
+    * so codegen branches statically (no per-row dispatch). */
+  private lazy val longElems: Boolean = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullable: Boolean = true
@@ -53,7 +70,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       // null element poisons the result (sortedness is undefined with
       // nulls) — return NULL, never NPE; DotScaled convention
       if (a.isNullAt(i) || b.isNullAt(j)) return null
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val c =
+        if (longElems) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -65,12 +84,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val cmp =
+        if (longElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          int $i = 0, $j = 0;
          ${ev.value} = 0;
          while ($i < $a.numElements() && $j < $b.numElements()) {
            if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-           int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           int $c = $cmp;
            if ($c == 0) { ${ev.value}++; $i++; $j++; }
            else if ($c < 0) { $i++; } else { $j++; }
          }

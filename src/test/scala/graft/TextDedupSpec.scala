@@ -205,6 +205,45 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("packed-long shingles preserve set sizes and pairwise intersection counts exactly") {
+    // The r13 verify kernel: grams as 21-bit-packed code points
+    // (ARRAY<BIGINT>). Everything the exact-Jaccard verify reads —
+    // |set| and |A ∩ B| — must be bit-identical to the string kernel
+    // for ANY valid-UTF-8 corpus (injective packing), including
+    // multibyte code points and len<n edge cases, at every n in the
+    // kernel's 1..3 domain.
+    graft.plans.SortedShingles.register(spark)
+    graft.plans.SortedShinglesPacked.register(spark)
+    graft.plans.SortedIntersectCount.register(spark)
+    val edge = Seq("", "ab", "abc", "aaaaaa", "hello world",
+      "ünïcödé tøkens", "zyxwvu", "日本語テキスト", "ab日cd日ab")
+      .toDF("text")
+    val real = Tables.documents(spark, sf).limit(60).select(col("text"))
+    Seq(1, 2, 3).foreach { n =>
+      Seq(edge, real).foreach { df =>
+        val arrs = df.select(
+          call_function(graft.plans.SortedShingles.NAME, col("text"), lit(n)).as("s"),
+          call_function(graft.plans.SortedShinglesPacked.NAME, col("text"), lit(n)).as("p"))
+        // set sizes equal per doc
+        arrs.select(size(col("s")).as("ns"), size(col("p")).as("np"))
+          .as[(Int, Int)].collect().foreach { case (ns, np) =>
+            assert(ns == np, s"n=$n packed set size $np != string set size $ns")
+          }
+        // pairwise intersection counts equal (all pairs of the frame)
+        val withId = arrs.withColumn("i", monotonically_increasing_id())
+        val pairs = withId.as("x").crossJoin(withId.as("y"))
+          .filter(col("x.i") < col("y.i"))
+          .select(
+            expr("sorted_intersect_count(x.s, y.s)").as("cs"),
+            expr("sorted_intersect_count(x.p, y.p)").as("cp"))
+          .as[(Int, Int)].collect()
+        pairs.foreach { case (cs, cp) =>
+          assert(cs == cp, s"n=$n packed intersect $cp != string intersect $cs")
+        }
+      }
+    }
+  }
+
   test("codegen'd sorted_token_shingles matches array_sort(tokenShingles) element-for-element") {
     graft.plans.SortedTokenShingles.register(spark)
     // same adversarial whitespace set as the token-signature lockstep:
