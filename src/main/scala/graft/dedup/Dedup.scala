@@ -684,12 +684,23 @@ object Dedup {
     * 100 TB a pair graph that outgrows the budget routes to the loop
     * automatically. */
   def components(pairs: DataFrame, maxIter: Int = 20,
-                 localBudget: Long = 8L * 1000 * 1000): DataFrame = {
+                 localBudget: Long = 8L * 1000 * 1000,
+                 uniquePairs: Boolean = false): DataFrame = {
     val sess = pairs.sparkSession
-    val edges = graft.Caches.cached(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .distinct())
+    // `uniquePairs`: caller vouches the pair stream is duplicate-free
+    // with a_id < b_id (every producer ending in a distinct()/groupBy
+    // over (a_id, b_id) qualifies). Then the symmetrized union is
+    // ALREADY distinct — branch 1 has src < dst, branch 2 src > dst —
+    // and the defensive dedup below would burn a pair-stream-sized
+    // exchange + hash aggregate to remove nothing (guide §2.4: remove
+    // shuffles on data already unique). Correctness never depends on
+    // it: components of a multigraph equal components of its support,
+    // so a wrong vouch costs loop work, not answers; the default stays
+    // safe for un-vouched streams (e.g. incrementalComponents'
+    // quotient edges, which genuinely collide).
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val edges = graft.Caches.cached(if (uniquePairs) sym else sym.distinct())
     // Size the iterative shuffle to the GRAPH, not the session default:
     // near-dup pair graphs are orders of magnitude smaller than the
     // corpus, and every round pays per-task scheduling on every shuffle
@@ -887,7 +898,7 @@ object Dedup {
       // corpus (see tokenShingles doc).
       val pairs = graft.Caches.cached(minhashNearDupsTokens(docs.select("doc_id", "text"),
         w = 5, k = 32, bands = 8, threshold = 0.7))
-      val clustered = components(pairs) // (doc_id, canonical_id)
+      val clustered = components(pairs, uniquePairs = true) // (doc_id, canonical_id); LSH verify pairs are distinct a<b
       val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
         .select("doc_id")
       val survivors = docs.join(removed, Seq("doc_id"), "left_anti")
@@ -917,7 +928,8 @@ object Dedup {
       val pairs = graft.Caches.cached(
         jaccardPairsTokens(docs.select("doc_id", "text"), 5)
           .filter(col("jaccard") >= 0.7))
-      val clustered = components(pairs)
+      // uniquePairs: jaccardPairsTokens ends in a groupBy(a_id, b_id)
+      val clustered = components(pairs, uniquePairs = true)
       val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
         .select("doc_id")
       val survivors = docs.join(removed, Seq("doc_id"), "left_anti")
@@ -975,7 +987,7 @@ object Dedup {
       val pairs = graft.Caches.cached(
         jaccardPairsTokens(docs.select("doc_id", "text"), 5)
           .filter(col("jaccard") >= 0.7))
-      val members = components(pairs)
+      val members = components(pairs, uniquePairs = true) // groupBy(a,b) output
         .join(docs.select("doc_id", "n_tok"), Seq("doc_id"))
       members
         .groupBy(col("canonical_id").as("cluster_id"))
@@ -998,7 +1010,7 @@ object Dedup {
       // cached for the same union-branch reason as q65
       val pairs = graft.Caches.cached(
         jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7))
-      components(pairs).orderBy("doc_id")
+      components(pairs, uniquePairs = true).orderBy("doc_id") // groupBy(a,b) output
     }),
 
     // INCREMENTAL connected-components maintenance — the graph member
@@ -1025,7 +1037,8 @@ object Dedup {
           .select("a_id", "b_id"))
       val newE = pairs.filter((col("a_id") + col("b_id")) % 3 === 0)
       val oldE = pairs.filter((col("a_id") + col("b_id")) % 3 =!= 0)
-      incrementalComponents(graft.Caches.cached(components(oldE)), newE)
+      // oldE is a filtered subset of a groupBy(a,b) stream: unique a<b
+      incrementalComponents(graft.Caches.cached(components(oldE, uniquePairs = true)), newE)
         .orderBy("doc_id")
     }),
 
@@ -1043,7 +1056,7 @@ object Dedup {
         .select("doc_id", "text")
       val pairs = graft.Caches.cached(
         jaccardPairs(docs, 3).filter(col("jaccard") >= 0.7))
-      components(pairs)
+      components(pairs, uniquePairs = true) // groupBy(a,b) output
         .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -1108,7 +1121,7 @@ object Dedup {
         minhashNearDupsTokens(docs.select("doc_id", "text"),
           w = 5, k = 32, bands = 8, threshold = 0.7))
     val h = substring(md5(col("cluster_id").cast("string")), 1, 2)
-    docs.join(components(pairs), Seq("doc_id"), "left")
+    docs.join(components(pairs, uniquePairs = true), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
       .withColumn("split",
         when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))

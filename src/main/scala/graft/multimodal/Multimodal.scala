@@ -502,7 +502,8 @@ object Multimodal {
         graft.dedup.Dedup.hammingPairs(
           ph.select(col("media_id").as("doc_id"), col("phash").as("sig")),
           maxDist = 7))
-      val clustered = graft.dedup.Dedup.components(pairs)
+      // uniquePairs: hammingPairs ends in a distinct() with a_id < b_id
+      val clustered = graft.dedup.Dedup.components(pairs, uniquePairs = true)
       val removed = clustered.filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id").as("media_id"))
       val withKind = ph.select("media_id")

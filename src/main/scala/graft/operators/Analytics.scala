@@ -187,9 +187,19 @@ object Analytics {
   private[graft] def pageRank(edges0: org.apache.spark.sql.DataFrame,
                               damping: Double, tol: Double, maxIter: Int,
                               localBudget: Long = 8L * 1000 * 1000,
-                              redistributeDangling: Boolean = false): org.apache.spark.sql.DataFrame = {
+                              redistributeDangling: Boolean = false,
+                              distinctEdges: Boolean = false): org.apache.spark.sql.DataFrame = {
     val sess = edges0.sparkSession
-    val edges = graft.Caches.cached(edges0.select(col("src"), col("dst")).distinct())
+    // `distinctEdges`: caller vouches the edge list is duplicate-free
+    // (e.g. derived injectively from a store that was written
+    // distinct), so the defensive dedup — an edge-sized exchange +
+    // hash aggregate at every scale — removes nothing (guide §2.4).
+    // Unlike components(), PageRank's ANSWER does depend on edge
+    // multiplicity (degrees), so the vouch must be structural, never
+    // statistical; default stays the safe dedup.
+    val edges = graft.Caches.cached(
+      if (distinctEdges) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).distinct())
     // the components() small-graph route: below the budget the whole
     // power iteration runs as ONE executor task over index-compressed
     // arrays — ~85 driver-scheduled shuffle rounds on a graph that
@@ -286,7 +296,9 @@ object Analytics {
         else {
           val ids = arr.iterator.flatMap(t => Iterator(t._1, t._2))
             .toArray.distinct.sorted
-          val idx = ids.zipWithIndex.toMap
+          // primitive binary search, not a boxed Long->Int map: the
+          // id->index translation runs twice per edge (r13, guide §1.2)
+          def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
           val n = ids.length
           val src = arr.map(t => idx(t._1))
           val dst = arr.map(t => idx(t._2))
@@ -674,7 +686,12 @@ object Analytics {
       val co = tradeEdges(s, dir)
       val edges = co.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionByName(co.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-      val pr = pageRank(edges, damping = 0.85, tol = 1e-6, maxIter = 120)
+      // distinctEdges: the trade store is written distinct(c, p); the
+      // even/odd mapping is injective and the two union branches are
+      // disjoint by src parity, so the edge list is duplicate-free by
+      // construction
+      val pr = pageRank(edges, damping = 0.85, tol = 1e-6, maxIter = 120,
+        distinctEdges = true)
       pr.filter(col("id") % 2 === 0)
         .select(expr("id DIV 2").as("custkey"),
           floor(col("rank") * 1e9).cast("long").as("rank_nano"))

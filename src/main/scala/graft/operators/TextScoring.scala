@@ -330,7 +330,7 @@ object TextScoring {
       val pairs = graft.Caches.cached(
         Dedup.jaccardPairsTokens(exact.select("doc_id", "text"), 5)
           .filter(col("jaccard") >= 0.7))
-      val removed = Dedup.components(pairs)
+      val removed = Dedup.components(pairs, uniquePairs = true) // groupBy(a,b) output
         .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
       val near = graft.Caches.cached(
         exact.join(removed, Seq("doc_id"), "left_anti")

@@ -518,7 +518,8 @@ object Similarity {
         .filter(cosinePre(col("a_emb"), col("b_emb"),
           col("a_nrm"), col("b_nrm")) >= 0.4)
         .select("a_id", "b_id"))
-      val removed = graft.dedup.Dedup.components(pairs)
+      // uniquePairs: one cell per vector, so the a<b cell join emits each pair once
+      val removed = graft.dedup.Dedup.components(pairs, uniquePairs = true)
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id").as("vec_id"))
       val survivors = withCell.join(removed, Seq("vec_id"), "left_anti")

@@ -198,7 +198,9 @@ object Streaming {
           // batch-internal pair; singletons (incl. singleton store
           // hits) are handled by the storeHit anti-join below
           val members = graft.Caches.cached(
-            Dedup.components(graft.Caches.cached(batchPairs)))
+            // uniquePairs: batchPairs is a semi-join-scoped subset of
+            // the LSH verify stream (distinct a<b)
+            Dedup.components(graft.Caches.cached(batchPairs), uniquePairs = true))
           val infectedClusters = members
             .join(storeHit, Seq("doc_id"), "left_semi")
             .select("canonical_id").distinct()
