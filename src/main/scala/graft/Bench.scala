@@ -40,6 +40,22 @@ object Bench {
       // a long run would otherwise accumulate every query's shuffle
       // files on disk (r10 verdict #1, the bench back-half drift)
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // r13 (guide §2.1/§2.2): always use the SORT-based shuffle writer
+      // (one data file + index per map task). The default
+      // bypassMergeThreshold=200 routes every <=200-partition shuffle
+      // through the bypass-merge writer, which creates numMaps x
+      // numPartitions files — at 32 maps x 32 partitions that is 1024
+      // file open/closes per exchange for kilobyte payloads (q72's
+      // 129 KB exchange spent 1.85 s summed over tasks in shuffle
+      // write). Cluster runs are unaffected: production shuffles run
+      // >200 partitions, where Spark already takes the sort path — this
+      // makes local/small-shuffle behavior match it. Measured on a
+      // 5-query shuffle-heavy subset, 3 interleaved A/B pairs:
+      // 5.7-7.3 s (sort) vs 8.9-10.3 s (bypass). Parameterized for
+      // re-measurement; the value is a writer-selection threshold, not
+      // a partition-count tuning.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse(Env.Bypass, "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Exogenous-window canary (r12 verdict #4): a SEPARATE fixed-work
