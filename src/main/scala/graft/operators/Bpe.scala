@@ -70,11 +70,98 @@ object Bpe {
       .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
   }
 
+  /** Spark's `orderBy` on StringType compares UTF8String BINARY bytes;
+    * the single-task argmax must break ties with the IDENTICAL order or
+    * the two routes could diverge on a tied pair count. String.getBytes
+    * (UTF-8) is the same encoding UTF8String.fromString performs
+    * (including '?' replacement of unpaired surrogates), so unsigned
+    * byte-wise comparison reproduces it exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Single-task merge loop for vocabs under the plan-stat budget (r13,
+    * guide §1.2/§2.4): the distributed loop pays ~3 jobs PER ROUND
+    * (argmax collect + two eager checkpoints) no matter how small the
+    * vocab — on a demo-sized vocab that is pure scheduling overhead,
+    * the same fixed-cost-per-round problem [[graft.dedup.Dedup]] solves
+    * with componentsSingleTask. The whole loop runs in ONE executor
+    * task over the in-memory vocab (NOT a driver collect — the vocab
+    * never leaves the executors; only the ≤ nMerges merge rows do,
+    * and the distributed route collects exactly the same rows one per
+    * round). Semantics are the recompute reference's: full pair counts
+    * per round, argmax with (n desc, l, r) UTF8-binary tie-break —
+    * BpeSpec pins route equality on the corpus and the hand corpus. */
+  private def trainMergesSingleTask(spark: SparkSession, wordFreq: DataFrame,
+                                    nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    wordFreq.select(col("word"), col("cnt")).as[(String, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vocab = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+        it.foreach { case (w, c) => vocab += ((w.split("").filter(_.nonEmpty), c)) }
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        def bump(l: String, r: String, d: Long): Unit = {
+          val k = (l, r)
+          val n = counts.getOrElse(k, 0L) + d
+          if (n == 0L) counts.remove(k) else counts(k) = n
+        }
+        def addAdjacencies(syms: Array[String], c: Long): Unit = {
+          var i = 0
+          while (i + 1 < syms.length) { bump(syms(i), syms(i + 1), c); i += 1 }
+        }
+        vocab.foreach { case (syms, c) => addAdjacencies(syms, c) }
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var round = 1
+        while (round <= nMerges && counts.nonEmpty) {
+          var best: ((String, String), Long) = null
+          counts.foreach { e =>
+            if (best == null || e._2 > best._2 ||
+              (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+                (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+              best = e
+          }
+          val ((l, r), n) = best
+          merges += ((round, l, r, n))
+          var wi = 0
+          while (wi < vocab.length) {
+            val (syms, c) = vocab(wi)
+            if (hasAdjacent(syms, l, r)) {
+              addAdjacencies(syms, -c)
+              val merged = applyMerge(syms, l, r)
+              addAdjacencies(merged, c)
+              vocab(wi) = (merged, c)
+            }
+            wi += 1
+          }
+          round += 1
+        }
+        merges.iterator
+      }
+      .collect().sortBy(_._1).toSeq
+  }
+
   /** Learn `nMerges` BPE merges from a (word, count) vocab table with
     * delta-maintained pair counts. Returns (rank, left, right,
-    * pair_count) — deterministic. */
-  def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    * pair_count) — deterministic. Vocabs whose Catalyst plan-stat
+    * estimate fits `localBudgetBytes` route to [[trainMergesSingleTask]]
+    * (the overwhelmingly common case — vocabularies are corpus-SUBLINEAR;
+    * a vocab that outgrows the budget takes the distributed delta loop
+    * automatically). */
+  def trainMerges(spark: SparkSession, wordFreq: DataFrame, nMerges: Int,
+                  localBudgetBytes: Long = 64L * 1024 * 1024): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
+    if (wordFreq.queryExecution.optimizedPlan.stats.sizeInBytes <= localBudgetBytes)
+      return trainMergesSingleTask(spark, wordFreq, nMerges)
     // pin both tables once; each round's lineage is then one delta deep
     // (Caches.pin, not raw localCheckpoint: superseded rounds release
     // mid-loop and whatever survives releases at query end — r10 #1)

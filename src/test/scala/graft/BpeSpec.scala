@@ -40,10 +40,29 @@ class BpeSpec extends SparkSpec {
     val wf = words.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
       .toDF("word", "cnt").groupBy("word")
       .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
-    val inc = Bpe.trainMerges(spark, wf, nMerges = 50)
+    // localBudgetBytes = 0 forces the DISTRIBUTED delta loop — the law
+    // this test exists to pin; the default stats gate would route this
+    // demo vocab to the single-task path (equality pinned below)
+    val inc = Bpe.trainMerges(spark, wf, nMerges = 50, localBudgetBytes = 0L)
     val ref = Bpe.trainMergesRecompute(spark, wf, nMerges = 50)
     assert(inc.nonEmpty && inc == ref,
       s"incremental/recompute diverged: ${inc.zip(ref).find(p => p._1 != p._2)}")
+  }
+
+  test("single-task route == distributed loop (r13 stats-gated degeneration)") {
+    // same construction as the 50-merge law plus multi-byte symbols, so
+    // the UTF8-binary tie-break is exercised across routes
+    val chars = "abcdefgß√" // 1-, 2- and 3-byte UTF-8 code points
+    val words = (0 until 24).map { i =>
+      (0 until 6).map(j => chars((i * 7 + j * 3) % chars.length)).mkString
+    }
+    val wf = words.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+      .toDF("word", "cnt").groupBy("word")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val local = Bpe.trainMerges(spark, wf, nMerges = 50) // under budget → single-task
+    val dist = Bpe.trainMerges(spark, wf, nMerges = 50, localBudgetBytes = 0L)
+    assert(local.nonEmpty && local == dist,
+      s"routes diverged: ${local.zip(dist).find(p => p._1 != p._2)}")
   }
 
   test("q105 is deterministic and emits ranked merges over the corpus") {
