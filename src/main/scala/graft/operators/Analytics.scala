@@ -291,17 +291,54 @@ object Analytics {
       .as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val arr = it.toArray.sorted // deterministic fold order
-        if (arr.isEmpty) Iterator.empty
+        // unpack to PRIMITIVE long arrays immediately (r13, guide §1.2):
+        // the former tuple-array sort + boxed flatMap/distinct spent
+        // more time boxing than the whole power iteration. One box per
+        // edge (the Dataset iterator) is unavoidable; everything after
+        // runs on primitive arrays.
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { t => sb += t._1; db += t._2 }
+        val srcL = sb.result(); val dstL = db.result()
+        val m = srcL.length
+        if (m == 0) Iterator.empty
         else {
-          val ids = arr.iterator.flatMap(t => Iterator(t._1, t._2))
-            .toArray.distinct.sorted
+          // id table: primitive concat + sort + in-place unique
+          val ids0 = new Array[Long](2 * m)
+          System.arraycopy(srcL, 0, ids0, 0, m)
+          System.arraycopy(dstL, 0, ids0, m, m)
+          java.util.Arrays.sort(ids0)
+          var u = 0
+          var i = 1
+          while (i < 2 * m) {
+            if (ids0(i) != ids0(u)) { u += 1; ids0(u) = ids0(i) }
+            i += 1
+          }
+          val n = u + 1
+          val ids = java.util.Arrays.copyOf(ids0, n)
           // primitive binary search, not a boxed Long->Int map: the
           // id->index translation runs twice per edge (r13, guide §1.2)
           def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
-          val n = ids.length
-          val src = arr.map(t => idx(t._1))
-          val dst = arr.map(t => idx(t._2))
+          // deterministic fold order, primitively: (srcIdx, dstIdx)
+          // packed into one long and sorted — ids are ascending, so
+          // index order == id order and this is the IDENTICAL edge
+          // order (hence bit-identical fp sums) as the former boxed
+          // tuple sort. Indices fit 32 bits (n ≤ 2m ≤ 2·localBudget).
+          val packed = new Array[Long](m)
+          var k = 0
+          while (k < m) {
+            packed(k) = (idx(srcL(k)).toLong << 32) | (idx(dstL(k)).toLong & 0xffffffffL)
+            k += 1
+          }
+          java.util.Arrays.sort(packed)
+          val src = new Array[Int](m)
+          val dst = new Array[Int](m)
+          k = 0
+          while (k < m) {
+            src(k) = (packed(k) >>> 32).toInt
+            dst(k) = (packed(k) & 0xffffffffL).toInt
+            k += 1
+          }
           val deg = new Array[Long](n)
           src.foreach(i => deg(i) += 1)
           require(redistributeDangling || deg.forall(_ > 0),

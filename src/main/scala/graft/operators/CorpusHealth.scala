@@ -72,7 +72,7 @@ object CorpusHealth {
     // gram-level join-back and no corpus² anywhere: the owner table
     // collapses to one row per distinct gram before anything joins.
     "q151_novelty_profile" -> ((s, dir) =>
-      noveltyPerSource(s, dir).orderBy("source")),
+      noveltyPerSource(docsToks(s, dir)).orderBy("source")),
 
     // CROSS-SOURCE DUPLICATION MATRIX — which sources are feeding the
     // mixture the same text? For every source pair, the number of
@@ -153,7 +153,9 @@ object CorpusHealth {
     // conditional aggregate (bounded keys) → per-source rollup; the
     // per-source totals join is |sources|-sized.
     "q158_length_drift" -> ((s, dir) =>
-      lengthDriftPerSource(s, dir).orderBy("source")),
+      lengthDriftPerSource(docsToks(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"))).orderBy("source")),
 
     // QUALITY-SIGNAL CALIBRATION TABLE — the reliability diagram for
     // the q113/q126 surprisal score: per eighth-bit score band (score
@@ -246,22 +248,33 @@ object CorpusHealth {
     // parts' shapes (each documented at its core); the final joins are
     // all |sources|-sized.
     "q162_corpus_health" -> ((s, dir) => {
-      val base = Tables.fanOut(Tables.documents(s, dir))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(nTokens.cast("long")).as("total_tokens"))
-      val d = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), bagOfWordsFp.as("fp")))
-      val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
-      val dups = d.join(keepers, Seq("fp"))
+      // ONE narrow per-doc pass feeds three of the four component cores
+      // (r13, guide §2.3): the dashboard used to re-read the parquet
+      // and re-tokenize per core — four corpus passes where two
+      // suffice. The cache holds (doc_id, source, n_tok, fp) — a few
+      // dozen bytes per doc, NO token arrays (an A/B measured the
+      // toks-array cache round-trip costlier than re-splitting) — and
+      // serves the volume rollup, the dup accounting and the drift
+      // monitor; novelty keeps its own tokenize (its gram pipeline
+      // dwarfs the split). Every derived value is the same expression
+      // over the same tokens, so the report stays bit-identical to its
+      // standalone spellings.
+      val dt = docsToks(s, dir)
+      val nf = graft.Caches.cached(dt.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp")))
+      val base = nf.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      val keepers = nf.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+      val dups = nf.join(keepers, Seq("fp"))
         .filter(col("doc_id") =!= col("keeper_id"))
         .groupBy("source").agg(count(lit(1)).as("dup_docs"))
       base.join(dups, Seq("source"), "left")
         .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
         .withColumn("dup_rate_ppm", expr("(dup_docs * 1000000) DIV n_docs"))
-        .join(noveltyPerSource(s, dir).select("source", "novelty_ppm"),
+        .join(noveltyPerSource(dt).select("source", "novelty_ppm"),
           Seq("source"), "left")
-        .join(lengthDriftPerSource(s, dir)
+        .join(lengthDriftPerSource(nf)
           .select(col("source"), col("tv_ppm").as("drift_tv_ppm")),
           Seq("source"), "left")
         .select("source", "n_docs", "total_tokens", "dup_docs",

@@ -91,14 +91,24 @@ object TextAnalysis {
       .select("doc_id", "n_tok", "score"))
   }
 
+  /** The shared (doc_id, source, toks) frame the per-source health
+    * cores consume (r13, guide §2.3/§2.4): q162 composes FOUR of those
+    * cores, and each used to re-read the parquet and re-tokenize —
+    * four corpus passes for one dashboard. Callers that compose several
+    * cores tokenize ONCE (and may cache the result); standalone queries
+    * pass it uncached, where column pruning keeps never-tokenizing
+    * branches (e.g. novelty's source lookup) as cheap narrow scans. */
+  private[operators] def docsToks(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), wsToks.as("toks"))
+
   /** q151's per-source n-gram novelty core — (source, n_docs,
     * total_grams, novel_grams, novelty_ppm). One spelling shared by
     * q151 and the q162 health report, so the metric cannot drift
-    * between its standalone and dashboard forms. */
-  private[operators] def noveltyPerSource(s: org.apache.spark.sql.SparkSession,
-                               dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), col("source"), wsToks.as("toks"))
+    * between its standalone and dashboard forms. `docs` is a
+    * [[docsToks]] frame. */
+  private[operators] def noveltyPerSource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val grams = docs.filter(size(col("toks")) >= 8)
       .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
       .select(col("doc_id"),
@@ -107,7 +117,7 @@ object TextAnalysis {
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val src = docs.select(col("doc_id"), col("source"))
     perDoc.join(novel, Seq("doc_id"), "left").join(src, Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -121,10 +131,11 @@ object TextAnalysis {
     * tv_ppm, worst_band, worst_band_d_ppm). Shared by q158 and the
     * q162 health report (same no-drift-between-spellings argument as
     * [[noveltyPerSource]]). */
-  private[operators] def lengthDriftPerSource(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): org.apache.spark.sql.DataFrame = {
-    val banded = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), col("source"), nTokens.cast("long").as("n_tok"))
+  /** `docs` carries (doc_id, source, n_tok) — computed from [[docsToks]]
+    * by standalone q158, read off q162's shared narrow per-doc cache. */
+  private[operators] def lengthDriftPerSource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val banded = docs
+      .select(col("doc_id"), col("source"), col("n_tok"))
       .withColumn("band", expr("CAST(length(bin(n_tok + 1)) - 1 AS INT)"))
       // md5-keyed ~12.5% batch split (q60's idiom) — the testdata's
       // doc_id % 20 == source makes any modular split per-source

@@ -32,6 +32,9 @@ object ProfileQueries {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // match Bench's shuffle-writer selection (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse(Env.Bypass, "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def consume(df: org.apache.spark.sql.DataFrame): Unit =

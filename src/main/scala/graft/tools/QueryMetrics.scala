@@ -22,6 +22,10 @@ object QueryMetrics {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's shuffle-writer selection, or shuffleWriteTime
+      // metrics reflect the bypass-merge writer the bench never uses
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse(Env.Bypass, "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
