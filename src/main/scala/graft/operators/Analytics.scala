@@ -514,10 +514,22 @@ object Analytics {
     // to the exact count — a hash-matchable oracle surface; the raw
     // estimate's error bound is asserted in AnalyticsSpec.
     "q29_approx_distinct" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .groupBy(col("o_orderstatus"))
-        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      // exact and sketch SPLIT into two aggregates joined on the
+      // |statuses|-sized result (r13, guide §2.3): mixing countDistinct
+      // with approx_count_distinct in ONE agg makes the planner's
+      // distinct-rewrite evaluate the HLL partial at the (status,
+      // custkey) grain — one 3.4 KB sketch buffer PER DISTINCT KEY
+      // (43k sketches / 145 MB through the exchange at sf0.1, and
+      // distinct-key-sized at any scale). Split, the HLL partial
+      // map-combines to one sketch per (task, status) and the distinct
+      // two-phase carries no sketches; the extra scan is the cheaper
+      // side of that trade at every scale. Same aggregates, same rows.
+      val o = Tables.orders(s, dir)
+      val exact = o.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      val approx = o.groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      exact.join(approx, Seq("o_orderstatus"))
         .withColumn("rel_err",
           abs(col("approx_custs") - col("exact_custs")).cast("double") / col("exact_custs"))
         .select(col("o_orderstatus"), col("exact_custs"),

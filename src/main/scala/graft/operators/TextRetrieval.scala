@@ -75,7 +75,12 @@ object TextRetrieval {
           .select("doc_id", "fp"))
       val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       val rare = fps.join(
-        fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+        // (doc_id, fp) is UNIQUE by construction (fp comes from an
+        // array_distinct per doc), so the document frequency is a plain
+        // count — countDistinct's rewrite added a second corpus-sized
+        // exchange + aggregate to dedup already-distinct pairs (r13,
+        // guide §2.4, the components()/pageRank vouched-unique rule)
+        fps.groupBy("fp").agg(count(lit(1)).as("nd"))
           .filter(col("nd") <= 10).select("fp"),
         Seq("fp"), "left_semi")
       rare.as("x").join(rare.as("y"),
