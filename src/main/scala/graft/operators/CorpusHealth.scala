@@ -86,12 +86,13 @@ object CorpusHealth {
     // maybe hundreds), never corpus-sized, so the pair stream stays
     // linear in the distinct-gram count.
     "q152_source_overlap" -> ((s, dir) => {
+      graft.plans.TokenGramMd5s.register(s)
       val docs = Tables.fanOut(Tables.documents(s, dir))
         .select(col("source"), wsToks.as("toks"))
       val sg = graft.Caches.cached(docs.filter(size(col("toks")) >= 8)
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
         .select(col("source"),
-          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+          explode(call_function(graft.plans.TokenGramMd5s.NAME,
+            col("toks"), lit(8))).as("gram"))
         .distinct())
       val tot = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val shared = sg.select(col("source").as("source_a"), col("gram"))

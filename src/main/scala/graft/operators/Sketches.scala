@@ -224,11 +224,12 @@ object Sketches {
     val toks = split(trim(col("text")), "\\s+")
     val docs = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"), toks.as("toks"))
+    graft.plans.TokenGramMd5s.register(s)
     val grams = graft.Caches.cached(docs
       .filter(size(col("toks")) >= 13)
-      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
       .select(col("doc_id"), col("source"),
-        md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+        explode(call_function(graft.plans.TokenGramMd5s.NAME,
+          col("toks"), lit(13))).as("gram")))
     val evalGrams = grams.filter(col("doc_id") % 20 === 0)
       .select("gram").distinct()
     // the gate statistic doubles as the filter's sizing parameter —

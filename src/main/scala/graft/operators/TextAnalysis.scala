@@ -74,6 +74,11 @@ object TextAnalysis {
                               dir: String): org.apache.spark.sql.DataFrame = {
     val tok = graft.Caches.cached(Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(wsToks).as("w")))
+    // r13 A/B: REMOVING this cache was tried and measured WORSE (q113
+    // 1.49→2.26 s, q126 0.62→1.11): three consumers (vocab aggregate,
+    // total count, the per-token join) each re-running the explode cost
+    // more than the cache round-trip — unlike q162's toks-array cache,
+    // this one caches narrow (doc_id, w) rows. Kept.
     val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("n")) // COUNT, not SUM: stays BIGINT in the oracle too
     graft.Caches.cached(tok
@@ -109,10 +114,11 @@ object TextAnalysis {
     * between its standalone and dashboard forms. `docs` is a
     * [[docsToks]] frame. */
   private[operators] def noveltyPerSource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.plans.TokenGramMd5s.register(docs.sparkSession)
     val grams = docs.filter(size(col("toks")) >= 8)
-      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
       .select(col("doc_id"),
-        md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram"))
+        explode(call_function(graft.plans.TokenGramMd5s.NAME,
+          col("toks"), lit(8))).as("gram"))
       .distinct()
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
@@ -451,14 +457,15 @@ object TextAnalysis {
       // contamination semi-join side — uncached, the corpus tokenize +
       // explode + per-position md5 (the expensive work here) runs twice
       // (the same two-consumer shape q72 caches)
+      graft.plans.TokenGramMd5s.register(s)
       val grams = graft.Caches.cached(docs
-        // Spark's sequence(1, hi) DESCENDS when hi < 1 (DuckDB's
-        // generate_series is empty) — filter short docs instead of
-        // clamping, same row semantics on both engines
+        // short docs filtered BEFORE the kernel (the kernel yields an
+        // empty array for them anyway; the filter keeps row semantics
+        // identical to the old sequence(1, hi)-descends guard)
         .filter(size(col("toks")) >= 13)
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
         .select(col("doc_id"), col("source"),
-          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+          explode(call_function(graft.plans.TokenGramMd5s.NAME,
+            col("toks"), lit(13))).as("gram")))
       val benchGrams = grams.filter(col("doc_id") % 20 === 0)
         .select("gram").distinct()
       // no broadcast() hint: the eval gram set grows linearly with the
@@ -494,11 +501,12 @@ object TextAnalysis {
     "q139_contamination_report" -> ((s, dir) => {
       val docs = Tables.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), wsToks.as("toks"))
+      graft.plans.TokenGramMd5s.register(s)
       val grams = graft.Caches.cached(docs
         .filter(size(col("toks")) >= 13)
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 12)))
         .select(col("doc_id"), col("source"),
-          md5(array_join(slice(col("toks"), col("i"), lit(13)), " ")).as("gram")))
+          explode(call_function(graft.plans.TokenGramMd5s.NAME,
+            col("toks"), lit(13))).as("gram")))
       val benchGrams = grams.filter(col("doc_id") % 20 === 0)
         .select("gram").distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
@@ -591,10 +599,11 @@ object TextAnalysis {
       // bench r6: 1.90 s cached vs 2.25 s recomputing the gram stream
       // per consumer (sf0.1, reps=3 min) — the double tokenize+md5
       // costs more than the one materialization, so the cache stays
+      graft.plans.TokenGramMd5s.register(s)
       val grams = graft.Caches.cached(docs
-        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
         .select(col("doc_id"),
-          md5(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("gram")))
+          explode(call_function(graft.plans.TokenGramMd5s.NAME,
+            col("toks"), lit(8))).as("gram")))
       val shared = grams.select("doc_id", "gram").distinct()
         .groupBy("gram").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)

@@ -62,13 +62,13 @@ object TextRetrieval {
     // Scale shape: one generate-only winnow pass, index join bounded
     // by the df ceiling, never doc×doc.
     "q140_winnow_pairs" -> ((s, dir) => {
+      graft.plans.TokenGramMd5s.register(s)
       val fps = graft.Caches.cached(
         Tables.fanOut(Tables.documents(s, dir))
           .select(col("doc_id"), wsToks.as("toks"))
           .filter(size(col("toks")) >= 8)
-          .withColumn("gh", expr(
-            "transform(sequence(1, size(toks) - 7), " +
-              "i -> md5(array_join(slice(toks, i, 8), ' ')))"))
+          .withColumn("gh", call_function(graft.plans.TokenGramMd5s.NAME,
+            col("toks"), lit(8)))
           .withColumn("fp", explode(expr(
             "array_distinct(transform(sequence(1, greatest(size(gh) - 3, 1)), " +
               "i -> array_min(slice(gh, i, 4))))")))

@@ -1137,6 +1137,41 @@ class TextDedupSpec extends SparkSpec {
       "bitmap bytes must equal tokens x (maxdoc/8 + 1)")
   }
 
+  test("token_gram_md5s == the exploded md5(array_join(slice)) spelling (r13 kernel lockstep)") {
+    graft.plans.TokenGramMd5s.register(spark)
+    // real corpus docs + edge fixtures: exactly w tokens, w-1 tokens
+    // (empty array), repeated grams (duplicates kept in order),
+    // multi-byte tokens, single-token grams at w=1
+    val fixture = Seq(
+      (9001L, "a b c d e f g h"), (9002L, "a b c d e f g"),
+      (9003L, "x y x y x y x y x y"), (9004L, "ß √ ü é ß √ ü é ß"),
+      (9005L, "one"), (9006L, ""))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(fixture)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    Seq(1, 8, 13).foreach { w =>
+      val ref = docs
+        .filter(size(col("toks")) >= w)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - (w - 1))))
+        .select(col("doc_id"), col("i"),
+          md5(array_join(slice(col("toks"), col("i"), lit(w)), " ")).as("g"))
+      val ker = docs
+        .filter(size(col("toks")) >= w)
+        .select(col("doc_id"), posexplode(
+          call_function(graft.plans.TokenGramMd5s.NAME, col("toks"), lit(w)))
+          .as(Seq("p", "g")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), col("g"))
+      val diff = ref.exceptAll(ker).count() + ker.exceptAll(ref).count()
+      assert(diff == 0, s"w=$w: kernel diverges from the exploded spelling")
+    }
+    // short-array guard: n < w yields an EMPTY array, not null/crash
+    val short = docs.filter(size(col("toks")) < 13)
+      .select(size(call_function(graft.plans.TokenGramMd5s.NAME,
+        col("toks"), lit(13))).as("n")).agg(max(col("n"))).head.getInt(0)
+    assert(short == 0)
+  }
+
   test("incrementalComponents == full recompute on a fixture with every merge case") {
     import graft.dedup.Dedup
     // old graph: {1,2,3} (chain), {10,11}, {20,21} (untouched tonight),
