@@ -434,21 +434,36 @@ object Analytics {
     }),
 
     // Hierarchical rollup: year → priority with grouping flags.
+    // PRE-AGGREGATED before the Expand (r13, guide §2.3 "aggregate
+    // before you shuffle"): rollup/cube multiply their INPUT by the
+    // grouping-set count (Expand), so the naive spelling expands every
+    // fact row 3×/4×. Count and the exact decimal sum are both
+    // decomposable, so a plain (keys → partials) aggregate first makes
+    // the Expand run on the |distinct key-combo| table — bounded by
+    // the group domain, not the fact table, at every scale. Decimal
+    // re-summation is exact and order-independent, so sum_price/
+    // sum_qty are bit-identical; n = sum of partial counts.
     "q23_rollup" -> ((s, dir) => {
-      Tables.orders(s, dir)
+      val pre = Tables.orders(s, dir)
         .select(year(col("o_orderdate")).as("y"), col("o_orderpriority"), col("o_totalprice"))
-        .rollup(col("y"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("sum_price"),
+        .groupBy(col("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"), dsum(col("o_totalprice")).as("ps"))
+      pre.rollup(col("y"), col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).cast(graft.functions.Exact.D38_4).cast("double").as("sum_price"),
           grouping(col("y")).cast("int").as("g_y"), grouping(col("o_orderpriority")).cast("int").as("g_p"))
         .orderBy(col("g_y"), col("g_p"), col("y"), col("o_orderpriority"))
     }),
 
-    // Full cube over flag×status.
+    // Full cube over flag×status (pre-aggregated — see q23).
     "q24_cube" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      val pre = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsumd(col("l_quantity")).as("sum_qty"),
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), dsum(col("l_quantity")).as("ps"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).cast(graft.functions.Exact.D38_4).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_f"), grouping(col("l_linestatus")).cast("int").as("g_s"))
         .orderBy(col("g_f"), col("g_s"), col("l_returnflag"), col("l_linestatus"))
     }),
@@ -486,12 +501,18 @@ object Analytics {
         .orderBy("event_type", "day")
     }),
 
-    // GROUPING SETS via the SQL surface over a temp view.
+    // GROUPING SETS via the SQL surface over a temp view
+    // (pre-aggregated before the Expand — see q23; SUM of the partial
+    // counts is COUNT(*), and the Expand runs on the bounded
+    // (status × priority) table instead of 3× the fact table).
     "q27_grouping_sets" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-           FROM orders_v
+        """WITH pre AS (
+             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS pn
+             FROM orders_v GROUP BY o_orderstatus, o_orderpriority)
+           SELECT o_orderstatus, o_orderpriority, SUM(pn) AS n
+           FROM pre
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            ORDER BY o_orderstatus, o_orderpriority""")
     }),
